@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.schemas import PRODUCT_SCHEMA
+from scala_etl_test_spark.sources.api_source import read_product_details_api
+from scala_etl_test_spark.sources.csv_source import list_files_above_watermark, read_orders_csv
+from scala_etl_test_spark.sources.jdbc_source import coerce_all_string_frame, jdbc_watermark_query
+
+from tests.fixtures import orders_rows, product_details_rows, write_csv_files
+
+
+def test_file_watermark_listing(spark, tmp_path):
+    write_csv_files(tmp_path, n_files=5)
+    all_files = list_files_above_watermark(spark, str(tmp_path), -1)
+    assert [f.split("/")[-1] for f in all_files] == ["00.csv", "01.csv", "02.csv", "03.csv", "04.csv"]
+    pruned = list_files_above_watermark(spark, str(tmp_path), 2)
+    assert [f.split("/")[-1] for f in pruned] == ["03.csv", "04.csv"]
+
+
+def test_csv_scan_dropmalformed_and_watermark(spark, tmp_path):
+    rows = write_csv_files(tmp_path, n_files=5, malformed_in_last=2)
+    full = read_orders_csv(spark, str(tmp_path))
+    # malformed rows dropped at scan; all good rows survive. The filter on a
+    # parsed column forces the parser to run (bare count() short-circuits
+    # parsing under CSV column pruning — see csv_source.py docstring).
+    assert full.filter(F.col("order_id").isNotNull()).count() == len(rows)
+    assert full.schema == PRODUCT_SCHEMA
+    # watermark=3 keeps only 04.csv's rows (round-robin: indices 4, 9, ...)
+    tail = read_orders_csv(spark, str(tmp_path), file_number=3)
+    expected = {r[0] for i, r in enumerate(rows) if i % 5 == 4}
+    assert {r["order_id"] for r in tail.collect()} == expected
+    # empty result for watermark beyond all files
+    assert read_orders_csv(spark, str(tmp_path), file_number=99).count() == 0
+
+
+def test_jdbc_subquery_form():
+    q = jdbc_watermark_query("dbo.order_details", 146023)
+    assert q == "(select * from dbo.order_details where CAST(order_id AS int) > 146023) as t"
+    assert jdbc_watermark_query("t").endswith("> -1) as t")
+
+
+def test_all_string_coercion(spark):
+    rows = [tuple(str(v) for v in r) for r in orders_rows()]
+    df = spark.createDataFrame(rows, PRODUCT_SCHEMA.fieldNames())
+    out = coerce_all_string_frame(df)
+    assert out.schema == PRODUCT_SCHEMA
+    assert out.count() == len(rows)
+    assert out.filter(F.col("order_id").isNull()).count() == 0
+
+
+def test_api_source_file_url(spark, tmp_path):
+    items = [
+        {"product_name": name, "aisle": aisle, "department": dep}
+        for name, aisle, dep in product_details_rows()
+    ]
+    payload = {"count": len(items), "results": {"items": items}}
+    p = tmp_path / "api.json"
+    p.write_text(json.dumps(payload))
+    df = read_product_details_api(spark, f"file://{p}")
+    assert df.count() == len(items)
+    assert df.columns == ["product_name", "aisle", "department"]
