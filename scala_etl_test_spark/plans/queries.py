@@ -1,0 +1,782 @@
+"""The engine's declared query inventory (driver contract).
+
+One entry per SURVEY.md §2 operator family, re-targeted at the driver's
+TPC-H-ish testdata per FIXTURES.md §B, plus TPC-H classics as headline
+benchmark queries. Every entry ships BOTH a Spark callable
+``(spark, sf_dir) -> DataFrame`` and a DuckDB oracle SQL string over the same
+parquet tables.
+
+Cross-engine determinism rules (these make the driver's value-hash match):
+
+- **Float aggregation**: raw doubles are cast to ``decimal(12,2)`` *before*
+  arithmetic/summing, so both engines do exact decimal math, and the final
+  column is cast back to ``double`` — bit-identical results independent of
+  partitioning/order. Never sum raw doubles in an oracle-checked query.
+- **Types at the boundary**: DuckDB ``sum(INTEGER)`` yields HUGEINT and
+  Spark yields LONG — every aggregate is explicitly cast (``AS BIGINT`` /
+  ``AS DOUBLE``) on both sides.
+- **Timestamps** are formatted to strings before output.
+- **Ties**: any top-k/first-row-wins query carries a total-order tie-break.
+- **Column names**: aliased identically on both sides (driver sorts columns
+  by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from scala_etl_test_spark.functions.cleaning import int_div
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(12,{scale})")
+
+
+# --------------------------------------------------------------------------
+# P1/P5/P6 — scan + filter + projection (pushdown-friendly)
+# --------------------------------------------------------------------------
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection reaching the parquet scan (SURVEY §2.2).
+
+    ``.explain`` shows PushedFilters for both predicates and a 4-column
+    ReadSchema — the scan reads nothing else.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_quantity AS DOUBLE) AS quantity,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 — positional UNION ALL (duplicates kept), verified via aggregation
+# --------------------------------------------------------------------------
+
+def q_union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional union (ApplaudoETL.scala:157 semantics): lineitem split by
+    a predicate and re-unioned must be count- and sum-preserving."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_linenumber") <= 3)
+    hi = li.filter(F.col("l_linenumber") > 3)
+    return (
+        lo.union(hi)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_UNION_POSITIONAL = """
+WITH u AS (
+  SELECT * FROM lineitem WHERE l_linenumber <= 3
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_linenumber > 3
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM u GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# F1-F3 — split / explode / getItem round-trip on a synthesized encoding
+# --------------------------------------------------------------------------
+
+def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order_detail normalization pattern (ApplaudoETL.scala:158-162) on
+    synthesized data: encode two `flag|status|qty` triples per lineitem row,
+    explode back to 2 rows, decompose via getItem."""
+    li = _t(spark, sf_dir, "lineitem")
+    item = F.concat_ws("|", "l_returnflag", "l_linestatus", F.col("l_linenumber").cast("string"))
+    encoded = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws("~", item, item).alias("detail"),
+    )
+    exploded = encoded.withColumn("triple", F.explode(F.split("detail", "~")))
+    parts = F.split(F.col("triple"), r"\|")
+    return exploded.select(
+        "l_orderkey",
+        "l_linenumber",
+        parts.getItem(0).alias("flag"),
+        parts.getItem(1).alias("status"),
+        parts.getItem(2).cast("int").alias("item_number"),
+    )
+
+
+SQL_SPLIT_EXPLODE = """
+WITH encoded AS (
+  SELECT l_orderkey, l_linenumber,
+         concat_ws('~', t.item, t.item) AS detail
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('|', l_returnflag, l_linestatus, CAST(l_linenumber AS VARCHAR)) AS item
+    FROM lineitem
+  ) t
+), exploded AS (
+  SELECT l_orderkey, l_linenumber, unnest(string_split(detail, '~')) AS triple
+  FROM encoded
+)
+SELECT l_orderkey, l_linenumber,
+       string_split(triple, '|')[1] AS flag,
+       string_split(triple, '|')[2] AS status,
+       CAST(string_split(triple, '|')[3] AS INTEGER) AS item_number
+FROM exploded
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 — broadcast LEFT equi-join with NULL-preserving unmatched keys
+# --------------------------------------------------------------------------
+
+def q_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⟕ broadcast(part-subset) (ApplaudoETL.scala:43-44 shape): the
+    dimension is filtered so some fact rows have no match → NULL brand kept
+    through the aggregation. Explicit ``F.broadcast`` as in the reference."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_size") > 10).select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(dim), li["l_partkey"] == dim["p_partkey"], "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_BROADCAST_LEFT_JOIN = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem l
+LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 10) p
+  ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# J2 — INNER USING join
+# --------------------------------------------------------------------------
+
+def q_inner_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation USING-style (single key column in output), the
+    ``Seq("user_id")`` join shape of ApplaudoETL.scala:59."""
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nationkey")
+    nat = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nationkey")
+    return (
+        cust.join(nat, on=["nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_INNER_JOIN_USING = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — whole-partition window SUM
+# --------------------------------------------------------------------------
+
+def q_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum(x) over (partition by key)`` with no orderBy — the
+    total_products_bought pattern (ApplaudoETL.scala:213)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("order_total_qty"),
+    )
+
+
+SQL_WINDOW_SUM = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE)
+         AS order_total_qty
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 — conditional (filtered) window SUM
+# --------------------------------------------------------------------------
+
+def q_conditional_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum(when(col.isin(...), x).otherwise(0)) over w`` — the mom/single/
+    pet filtered-sum pattern (ApplaudoETL.scala:216-221). Two conditional
+    sums over the SAME window spec compile to ONE Window node (§4.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    returned = F.sum(
+        F.when(F.col("l_returnflag").isin("A", "R"), _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).over(w)
+    filled = F.sum(
+        F.when(F.col("l_linestatus") == "F", _dec("l_quantity")).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        returned.cast("double").alias("returned_qty"),
+        filled.cast("double").alias("filled_qty"),
+    )
+
+
+SQL_CONDITIONAL_WINDOW_SUM = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CASE WHEN l_returnflag IN ('A','R') THEN CAST(l_quantity AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END)
+            OVER (PARTITION BY l_orderkey) AS DOUBLE) AS returned_qty,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END)
+            OVER (PARTITION BY l_orderkey) AS DOUBLE) AS filled_qty
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — key-distinct, deterministic first-row-wins
+# --------------------------------------------------------------------------
+
+def q_dedup_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dropDuplicates("user_id")`` pattern (ApplaudoETL.scala:224) made
+    deterministic: keep each customer's lowest-orderkey order (SURVEY §2.8
+    Trap 2 tie-break policy)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("first_order_price"),
+        )
+    )
+
+
+SQL_DEDUP_FIRST_ORDER = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS first_order_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — groupBy count
+# --------------------------------------------------------------------------
+
+def q_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy(k).count()`` (reference ipynb cells 27/29 verification)."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_GROUPBY_COUNT = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — exact quantiles per group (single-pass rewrite of the driver loop)
+# --------------------------------------------------------------------------
+
+def q_quantiles_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of l_quantity per l_linestatus. Continuous (interpolated)
+    quantiles: Spark ``percentile`` == DuckDB ``quantile_cont`` (rank
+    convention pinned by tests/test_quantile_pin.py). The reference's
+    discrete formulation (approxQuantile ε=0) is exercised in
+    segmentation; this query is the one-pass groupBy form (SURVEY §2.4 A6).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+
+
+SQL_QUANTILES_PER_GROUP = """
+SELECT l_linestatus,
+       quantile_cont(l_quantity, 0.25) AS q1,
+       quantile_cont(l_quantity, 0.5)  AS q2,
+       quantile_cont(l_quantity, 0.75) AS q3
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# U-A — category rule engine (integer-division semantics) on TPC-H
+# --------------------------------------------------------------------------
+
+def q_category_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clientsCategory rule shape (ApplaudoETL.scala:201-211) re-targeted
+    at orders: a customer is labeled by INTEGER-division share tests —
+    true iff 100 % of their orders match (Trap 1 semantics), priority-ordered.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("finished_orders"),
+        F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+        .cast("long")
+        .alias("urgent_orders"),
+    )
+    category = (
+        F.when(int_div(F.col("finished_orders"), F.col("total_orders")) > 0.5, F.lit("All Finished"))
+        .when(int_div(F.col("urgent_orders"), F.col("total_orders")) > 0.6, F.lit("All Urgent"))
+        .otherwise(F.lit("A complete mystery"))
+    )
+    return per_cust.select(
+        "o_custkey",
+        "total_orders",
+        "finished_orders",
+        "urgent_orders",
+        category.alias("category"),
+    )
+
+
+SQL_CATEGORY_RULES = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS total_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_orders, finished_orders, urgent_orders,
+       CASE WHEN finished_orders // total_orders > 0.5 THEN 'All Finished'
+            WHEN urgent_orders // total_orders > 0.6 THEN 'All Urgent'
+            ELSE 'A complete mystery' END AS category
+FROM per_cust
+"""
+
+
+# --------------------------------------------------------------------------
+# U-B — segmentation rule engine (quantile thresholds) on TPC-H
+# --------------------------------------------------------------------------
+
+def q_segmentation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clientsSegmentation shape (ApplaudoETL.scala:234-263) re-targeted:
+    per-order-priority quartiles of o_totalprice (continuous), per-customer
+    window total, rule engine with gaps, deterministic collapse by max
+    o_orderkey. The quantile table joins back broadcast-style (7-row dim)."""
+    orders = _t(spark, sf_dir, "orders")
+    quartiles = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    w = Window.partitionBy("o_custkey")
+    dom = F.dayofmonth("o_orderdate")
+    labeled = (
+        orders.withColumn("cust_total", F.sum(_dec("o_totalprice")).over(w).cast("double"))
+        .join(F.broadcast(quartiles), on="o_orderpriority", how="left")
+        .withColumn(
+            "segment",
+            F.when((dom <= 7) & (F.col("cust_total") > F.col("q3")), "You've Got a Friend in Me")
+            .when((dom >= 10) & (dom <= 19) & (F.col("cust_total") > F.col("q2")), "Baby come Back")
+            .when((dom > 20) & (F.col("cust_total") > F.col("q1")), "Special Offers")
+            .otherwise("Undefined"),
+        )
+    )
+    pick = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        labeled.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "segment")
+    )
+
+
+SQL_SEGMENTATION_RULES = """
+WITH quartiles AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.5)  AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderpriority
+), labeled AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o.o_custkey) AS DOUBLE)
+           AS cust_total,
+         day(o.o_orderdate) AS dom,
+         q.q1, q.q2, q.q3
+  FROM orders o LEFT JOIN quartiles q USING (o_orderpriority)
+), segmented AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN dom <= 7 AND cust_total > q3 THEN 'You''ve Got a Friend in Me'
+              WHEN dom >= 10 AND dom <= 19 AND cust_total > q2 THEN 'Baby come Back'
+              WHEN dom > 20 AND cust_total > q1 THEN 'Special Offers'
+              ELSE 'Undefined' END AS segment,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+  FROM labeled
+)
+SELECT o_custkey, segment FROM segmented WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# F4-F9 — cast / regexp_replace / when / trim / abs / isin projection
+# --------------------------------------------------------------------------
+
+def q_validate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface (SURVEY §2.7) on synthesized dirty data:
+    pad-then-trim, negate-then-abs, strip digits, when/otherwise, isin."""
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        "c_custkey",
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")).alias("padded_name"),
+        (F.col("c_custkey") * -1).alias("neg_key"),
+        F.col("c_acctbal").alias("bal"),
+        "c_mktsegment",
+    )
+    return dirty.select(
+        "c_custkey",
+        F.trim(F.col("padded_name")).alias("name_trimmed"),
+        F.regexp_replace(F.trim(F.col("padded_name")), "[0-9]", "").alias("name_no_digits"),
+        F.abs(F.col("neg_key")).cast("long").alias("abs_key"),
+        F.when(F.col("bal") < 0, F.lit(0.0)).otherwise(_dec("bal").cast("double")).alias("bal_floor"),
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY").alias("is_target_segment"),
+    )
+
+
+SQL_VALIDATE_NORMALIZE = """
+SELECT c_custkey,
+       trim(concat('  ', c_name, '  ')) AS name_trimmed,
+       regexp_replace(trim(concat('  ', c_name, '  ')), '[0-9]', '', 'g') AS name_no_digits,
+       CAST(abs(c_custkey * -1) AS BIGINT) AS abs_key,
+       CASE WHEN c_acctbal < 0 THEN 0.0
+            ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) END AS bal_floor,
+       c_mktsegment IN ('BUILDING','MACHINERY') AS is_target_segment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# O1 — ORDER BY + LIMIT top-k (tie-broken)
+# --------------------------------------------------------------------------
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    revenue = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue")
+    )
+    return revenue.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(10)
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H classics (headline bench queries)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan+agg throughput query.
+    All money math in exact decimal; averages derived from exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.sum(disc_price).alias("_sum_disc"),
+            F.sum(charge).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        (F.col("_sum_qty").cast("double") / n).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / n).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_TPCH_Q1 = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sb,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sd,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sb AS DOUBLE) AS sum_base_price,
+       CAST(sd AS DOUBLE) AS sum_disc_price,
+       CAST(sc AS DOUBLE) AS sum_charge,
+       CAST(sq AS DOUBLE) / count_order AS avg_qty,
+       CAST(sb AS DOUBLE) / count_order AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority — 3-way join + agg + top-10. The customer
+    filter prunes before the join; AQE picks broadcast for the small side."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue — 6-way join; the region/nation dims
+    broadcast, the c_nationkey == s_nationkey co-location condition is the
+    interesting constraint."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
+        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: time-bucketed rollup + gap sessionization (batch analogs of the
+# streaming extension; SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup expressed in batch: hour bucket × event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user, in batch:
+    lag → new-session flag → cumulative sum → per-user session stats.
+    The streaming form of this operator lives in streaming/sessionize.py."""
+    ev = _t(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(by_time) > 1800 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    # first event of a user is session 0 via sum of flags (lag NULL -> otherwise 0)
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_time.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_filter_project": q_scan_filter_project,
+    "union_positional": q_union_positional,
+    "split_explode": q_split_explode,
+    "broadcast_left_join": q_broadcast_left_join,
+    "inner_join_using": q_inner_join_using,
+    "window_sum": q_window_sum,
+    "conditional_window_sum": q_conditional_window_sum,
+    "dedup_first_order": q_dedup_first_order,
+    "groupby_count": q_groupby_count,
+    "quantiles_per_group": q_quantiles_per_group,
+    "category_rules": q_category_rules,
+    "segmentation_rules": q_segmentation_rules,
+    "validate_normalize": q_validate_normalize,
+    "topk_customers": q_topk_customers,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
+    "union_positional": SQL_UNION_POSITIONAL,
+    "split_explode": SQL_SPLIT_EXPLODE,
+    "broadcast_left_join": SQL_BROADCAST_LEFT_JOIN,
+    "inner_join_using": SQL_INNER_JOIN_USING,
+    "window_sum": SQL_WINDOW_SUM,
+    "conditional_window_sum": SQL_CONDITIONAL_WINDOW_SUM,
+    "dedup_first_order": SQL_DEDUP_FIRST_ORDER,
+    "groupby_count": SQL_GROUPBY_COUNT,
+    "quantiles_per_group": SQL_QUANTILES_PER_GROUP,
+    "category_rules": SQL_CATEGORY_RULES,
+    "segmentation_rules": SQL_SEGMENTATION_RULES,
+    "validate_normalize": SQL_VALIDATE_NORMALIZE,
+    "topk_customers": SQL_TOPK_CUSTOMERS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "events_hourly_rollup": SQL_EVENTS_HOURLY_ROLLUP,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

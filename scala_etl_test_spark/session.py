@@ -38,6 +38,9 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # read TIMESTAMP(NANOS) parquet (events.ts) as long nanos; converted
+        # to micro-precision timestamps in sources.parquet_source.read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master:
         builder = builder.master(master)

@@ -19,7 +19,16 @@ TPCH_TABLES = [
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table. ``events.ts`` is TIMESTAMP(NANOS) parquet,
+    which Spark only reads as long nanos (``nanosAsLong`` — set by
+    ``session.build_session``); convert to a micro-precision timestamp, the
+    same truncation DuckDB applies, so oracles agree."""
+    from pyspark.sql import functions as F, types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
