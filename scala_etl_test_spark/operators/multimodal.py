@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (beyond-reference).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. Everything Spark-side is real and tested — schema, partition-safe
+Arrow batching, UDF signatures, frame-index explosion; only the *codec* step
+is stubbed (no image/audio libraries in this container) behind a
+deterministic fake + a clearly-marked ``NotImplementedError`` real path.
+
+Scale notes:
+- decode/feature-extract run via ``mapInPandas`` → Arrow batches; tune
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for large payloads
+  (a 10 MB image × 10k default batch = 100 GB per batch — set ~64).
+- payload bytes should live in their own parquet column so column pruning
+  skips them for metadata-only queries.
+- frame sampling is a native explode (no Python) — decode only sampled
+  frames, never the whole video.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+        T.StructField("meta_n_frames", T.IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Native (no-Python) payload metadata: byte length + md5 digest."""
+    return df.withColumn("byte_len", F.length(F.col(payload_col)).cast("long")).withColumn(
+        "payload_md5", F.md5(F.col(payload_col))
+    )
+
+
+def byte_histogram_features(payload: bytes, bins: int = 16) -> list[float]:
+    """REAL feature: normalized byte-value histogram (no codec needed).
+    Deterministic, library-free — the stand-in embedding for tests."""
+    if not payload:
+        return [0.0] * bins
+    counts = [0] * bins
+    for b in payload:
+        counts[b * bins // 256] += 1
+    total = len(payload)
+    return [c / total for c in counts]
+
+
+def decode_media(payload: bytes, modality: str, mime: str) -> dict:
+    """The REAL decode path — intentionally stubbed: image/audio codecs are
+    not available in this container. Slot PIL/torchaudio/pyav in here.
+    """
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; "
+        "use fake_decode (deterministic) for pipeline testing"
+    )
+
+
+def fake_decode(payload: bytes, modality: str) -> dict:
+    """Deterministic fake decode: derives pseudo-dimensions from the payload
+    digest so pipeline tests have stable, content-dependent outputs."""
+    digest = hashlib.md5(payload or b"").digest()
+    return {
+        "width": 16 + digest[0] % 64,
+        "height": 16 + digest[1] % 64,
+        "n_frames": 1 + digest[2] % 8 if modality == "video" else 1,
+    }
+
+
+def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes via mapInPandas.
+
+    The UDF signature (Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]) is
+    the production shape: batch-in/batch-out, no per-row Python dispatch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if use_real_codec:
+                    decode_media(payload, r["modality"], r["mime"])  # raises: marked stub
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "modality": r["modality"],
+                        "byte_len": len(payload),
+                        "payload_md5": hashlib.md5(payload).hexdigest(),
+                        "features": byte_histogram_features(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frame_indices(
+    df: DataFrame, n_frames_col: str = "meta_n_frames", every: int = 2
+) -> DataFrame:
+    """One row per sampled frame index — native explode over a sequence;
+    decode happens after sampling, never before."""
+    idx = F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
+    return df.withColumn("frame_index", F.explode(idx))

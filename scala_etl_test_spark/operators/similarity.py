@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, all native expressions (higher-order functions — JVM-side, no
+Python in the scoring loop):
+
+- **brute-force top-k** — the exactness baseline: one pass over all vectors,
+  cosine against a literal query vector, ``orderBy.limit(k)`` (Spark plans
+  TakeOrderedAndProject: per-partition heaps + a k-row driver merge, so the
+  shuffle is k rows per partition, not the corpus).
+- **IVF (inverted-file)** — the scale path: vectors are assigned to their
+  nearest centroid once (any clustering; a deterministic stride-seeded
+  assignment here), the query probes only the ``nprobe`` nearest centroid
+  partitions. At 100 TB the assignment is a write-time partition key
+  (``partitionBy(cluster_id)``) so a probe is partition pruning, not a scan.
+- **random-hyperplane LSH** — signature = sign pattern of ``nbits`` random
+  projections; candidates share the signature bucket. Hyperplanes are
+  generated from a hash of (bit, dim) so executors regenerate them
+  deterministically — nothing is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from scala_etl_test_spark.functions.vectors import cosine_similarity
+
+
+def _as_double_array(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    ``round_digits`` quantizes the similarity so results are reproducible
+    across engines/architectures; ties break on ``id_col``.
+    """
+    sim = cosine_similarity(F.col(vec_col), _as_double_array(query))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold within a blocking key
+    (label/cluster). Blocking turns the n² cross join into Σ b_i² — at scale
+    the block key is an IVF cluster id computed at ingest."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                  *( [F.col(block_col).alias("_block")] if block_col else [] ))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                  *( [F.col(block_col).alias("_block")] if block_col else [] ))
+    joined = a.join(b, on="_block") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), round_digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted file index
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (one broadcast join +
+    max_by — centroid count is small by construction). Output adds
+    ``cluster_id``; at scale this is the write-time partition key."""
+    scored = (
+        df.join(F.broadcast(centroids))
+        .withColumn("_sim", cosine_similarity(vec_col, centroid_vec))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.expr(f"max_by({centroid_id}, struct(_sim, -{centroid_id}))").alias("cluster_id")
+    )
+    return df.join(best, on=id_col)
+
+
+def stride_centroids(
+    df: DataFrame, n_centroids: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic centroid seeding: every (max_id/n)-th vector by id.
+    A stand-in for k-means training (pyspark.ml KMeans slots in here) that
+    keeps tests reproducible."""
+    return (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` centroids nearest the query, then brute-force
+    only those clusters. With cluster-partitioned storage the non-probed
+    clusters are pruned at the source."""
+    qcol = _as_double_array(query)
+    probe = (
+        centroids.withColumn("_sim", cosine_similarity("centroid_vec", qcol))
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cluster_id"))
+    )
+    return cosine_topk(
+        df_assigned.join(F.broadcast(probe), on="cluster_id"),
+        query,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_component(bit: int, dim_index: Column) -> Column:
+    """Deterministic ±1 hyperplane component from md5(bit|dim) parity —
+    regenerated identically on every executor, nothing shipped."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(bit)), dim_index.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec_col: Column | str, nbits: int = 8) -> Column:
+    """``nbits``-bit sign signature of random ±1 projections, as an int."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = None
+    for bit in range(nbits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: _hyperplane_component(bit, i)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_val = F.when(proj >= 0, F.lit(2 ** bit)).otherwise(F.lit(0))
+        sig = bit_val if sig is None else sig + bit_val
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via signature-bucket restriction: score only vectors whose LSH
+    signature equals the query's. Sub-linear scan at the cost of recall;
+    multi-probe (flipping low-confidence bits) is the standard extension."""
+    with_sig = df.withColumn("_sig", lsh_signature(vec_col, nbits))
+    qdf = df.sparkSession.range(1).select(_as_double_array(query).alias("qv"))
+    qsig = qdf.select(lsh_signature("qv", nbits).alias("s")).first()["s"]
+    return cosine_topk(
+        with_sig.filter(F.col("_sig") == qsig), query, vec_col=vec_col, id_col=id_col, k=k
+    )

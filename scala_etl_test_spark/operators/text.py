@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data curation (beyond-reference).
+
+All native Column expressions — language ID, quality scoring, token
+counting, and fingerprinting run inside whole-stage codegen; a 100 TB corpus
+pays one scan and zero shuffles for all four (they are row-local).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from scala_etl_test_spark.operators.dedup import normalize_text, word_shingles, words
+
+# marker stopwords per language for the n-gram/stopword-voting heuristic.
+# Order = deterministic tie-break priority.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "ist", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "que", "una", "por", "con"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+
+def _score(w: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(w, lambda t: t.isin(markers)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language by marker-stopword vote, ties broken by the fixed
+    LANG_MARKERS order ('und' for zero evidence)."""
+    w = words(col)
+    scores = {lang: _score(w, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best: Column = F.lit("und")
+    # build the when-chain in priority order: a language wins if its score is
+    # positive and >= every later language's score and > every earlier one's
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            if j < i:
+                cond = cond & (scores[lang] > scores[other])
+            else:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(best)
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality statistics + a composite score in [0, 1]:
+
+    - n_chars / n_words / avg word length,
+    - punctuation ratio (non-alnum, non-space chars / chars),
+    - stopword ratio (any language's markers),
+    - digit ratio,
+    - quality_score: penalizes too-short/too-long docs, high punctuation,
+      zero stopwords — the usual cheap pre-filter before model-based scoring.
+    """
+    t = F.col(text_col)
+    w = words(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    n_stop = F.size(F.filter(w, lambda x: x.isin(all_markers)))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_ratio = F.round(n_stop / n_words, 6)
+    digit_ratio = F.round(n_digit / n_chars, 6)
+    avg_word_len = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_words, 6
+    )
+    length_ok = (n_words >= 5) & (n_words <= 10000)
+    quality = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letters runs, single
+    digits, single punctuation — a deterministic proxy for subword count)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long").alias("re_tokens"),
+        F.length(t).cast("long").alias("chars"),
+    )
+
+
+def document_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
+) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text (exact identity) and
+    the minimum shingle hash (a 1-hash MinHash — winnowing's cheapest form,
+    stable under small edits)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(text_col)).alias("fingerprint"),
+        F.array_min(F.transform(word_shingles(text_col, shingle_n), F.md5)).alias(
+            "min_shingle_hash"
+        ),
+    )

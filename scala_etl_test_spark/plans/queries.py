@@ -737,6 +737,8 @@ FROM sessions GROUP BY user_id
 # Registry
 # --------------------------------------------------------------------------
 
+from scala_etl_test_spark.plans.queries_data import DATA_ORACLE_SQL, DATA_QUERIES
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "union_positional": q_union_positional,
@@ -757,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
+    **DATA_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -779,4 +782,5 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "events_hourly_rollup": SQL_EVENTS_HOURLY_ROLLUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    **DATA_ORACLE_SQL,
 }

@@ -1,0 +1,420 @@
+"""Oracle-checked queries for the beyond-reference training-data operators
+(dedup, similarity search, text analysis) over the ``documents`` and
+``embeddings`` tables.
+
+Shared normalization contract (Spark ↔ DuckDB):
+``norm = trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))``,
+``words = split(norm, ' ')``, shingles are n-word joins, hashes are md5-hex.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from scala_etl_test_spark.operators import dedup as D
+from scala_etl_test_spark.operators import similarity as S
+from scala_etl_test_spark.operators import text as X
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _shingles_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} "
+        f"THEN list_transform(range(0, len(w) - {n} + 1), i -> {parts}) "
+        f"ELSE [{_NORM_SQL.replace('text', 'd.text')}] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+FROM fp
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicates
+# --------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _ROWS, _SHINGLE_N, _MINHASH_T = 16, 4, 4, 3, 0.2
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows=_ROWS,
+        shingle_n=_SHINGLE_N,
+        threshold=_MINHASH_T,
+    )
+
+
+def _minhash_sql() -> str:
+    from scala_etl_test_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    mins = ",\n         ".join(
+        f"MIN(({a} * h31 + {b}) % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_params(_NUM_HASHES))
+    )
+    band_rows = []
+    for b in range(_BANDS):
+        cols = " || '|' || ".join(f"CAST(s{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS))
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sigs")
+    bands_union = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH shingled0 AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(_SHINGLE_N)} AS sh) AS s
+), shingled AS (
+  SELECT doc_id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_PRIME} AS h31
+  FROM shingled0
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled GROUP BY doc_id
+), bands AS (
+  {bands_union}
+), buckets AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_size FROM bands
+  ) WHERE bucket_size <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) AS jaccard
+FROM common co
+JOIN sizes za ON za.doc_id = co.id_a
+JOIN sizes zb ON zb.doc_id = co.id_b
+WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >= {_MINHASH_T}
+"""
+
+
+SQL_DEDUP_MINHASH_PAIRS = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + pairs
+# --------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(D.simhash(docs, "text", "doc_id"), "doc_id", max_hamming=4)
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH fp AS ({_simhash_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard with blocking
+# --------------------------------------------------------------------------
+
+_JACCARD_T = 0.15
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        block_cols=["lang"],
+        shingle_n=2,
+        threshold=_JACCARD_T,
+        length_col="n_chars",
+        length_band=30,
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(2)} AS sh) AS s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 30
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+), common AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN shingled sa ON sa.doc_id = p.id_a
+  JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) AS jaccard
+FROM common co
+JOIN sizes za ON za.doc_id = co.id_a
+JOIN sizes zb ON zb.doc_id = co.id_b
+WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >= {_JACCARD_T}
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup + ANN top-k
+# --------------------------------------------------------------------------
+
+_COS_DEDUP_T = 0.35
+
+_COS_SQL = """
+CAST(list_sum(list_transform(range(1, len({a}) + 1),
+       i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) AS DOUBLE)
+/ (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+       i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+       i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", block_col="label", threshold=_COS_DEDUP_T
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {_COS_DEDUP_T}
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.cosine_topk(emb, [float(v) for v in query], k=20)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe path — rows-only check (the centroid-argmax assignment is
+    awkward as one SQL statement); recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    centroids = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, centroids)
+    return S.ivf_topk(assigned, centroids, [float(v) for v in query], k=20, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id("text").alias("predicted_lang"))
+
+
+def _lang_id_sql() -> str:
+    langs = list(X.LANG_MARKERS)
+    score = {
+        lang: f"len(list_filter(w, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in X.LANG_MARKERS.items()
+    }
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    chain = "\n            ".join(whens)
+    return f"""
+SELECT doc_id, lang,
+       CASE {chain}
+            ELSE 'und' END AS predicted_lang
+FROM (SELECT doc_id, lang, {_WORDS_SQL} AS w FROM documents)
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.text_stats(docs, "text", "doc_id")
+
+
+_ALL_MARKERS = sorted({m for ms in X.LANG_MARKERS.values() for m in ms})
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w,
+         length(text) AS n_chars,
+         len({_WORDS_SQL}) AS n_words,
+         len(list_filter({_WORDS_SQL}, x -> x IN ({", ".join(repr(m) for m in _ALL_MARKERS)}))) AS n_stop,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / n_words, 6) AS avg_word_len,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+       round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+       round((CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+FROM base
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_counts(docs, "text", "doc_id")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS BIGINT) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.document_fingerprints(docs, "text", "doc_id", shingle_n=5)
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT d.doc_id,
+       md5({_NORM_SQL.replace('text', 'd.text')}) AS fingerprint,
+       list_min(list_transform(s.sh, x -> md5(x))) AS min_shingle_hash
+FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+     LATERAL (SELECT {_shingles_sql(5)} AS sh) AS s
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+DATA_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    # ann_ivf_topk: rows-only (non-SQL-expressible assignment), see docstring
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators import dedup as D
+
+DOCS = [
+    # exact dup pair (after normalization: case/punct-insensitive)
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog!!"),
+    # near-dup of 1 (one word changed)
+    (3, "The quick brown fox jumps over the lazy cat"),
+    # unrelated
+    (4, "completely different content about spark engines and shuffles"),
+    (5, "yet another unrelated document mentioning parquet and arrow"),
+    # short doc (< shingle width)
+    (6, "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalized(docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["fingerprint"] == by_id[2]["fingerprint"]
+    assert not by_id[1]["is_duplicate"] and by_id[2]["is_duplicate"]
+    assert by_id[2]["keep_id"] == 1
+    assert by_id[3]["is_duplicate"] is False
+
+
+def test_minhash_finds_near_dups_not_unrelated(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 3) in pairs  # near-dup detected
+    assert (4, 5) not in pairs  # unrelated not paired
+
+
+def test_shingles_short_doc_fallback(spark, docs):
+    row = docs.filter(F.col("doc_id") == 6).select(
+        D.word_shingles("text", 3).alias("sh")
+    ).first()
+    assert row["sh"] == ["tiny doc"]
+
+
+def test_simhash_close_for_near_dups(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) == 0  # same token set
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])  # near-dup closer than unrelated
+
+
+def test_jaccard_pairs_exact_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 3)], ["id_a", "id_b"])
+    out = D.jaccard_for_pairs(pairs, docs, "text", "doc_id").collect()
+    # 9-word docs, 7 shingles each, differ in last word -> 6 common of 8 union
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(6 / 8)
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    # 20 identical docs -> one bucket of 20; cap at 10 must drop all pairs
+    many = spark.createDataFrame([(i, "same text everywhere here now") for i in range(20)], ["doc_id", "text"])
+    sigs = D.minhash_signatures(many, "text", "doc_id")
+    bands = D.lsh_bands(sigs, "doc_id")
+    assert D.lsh_candidate_pairs(bands, "doc_id", max_bucket=10).count() == 0
+    assert D.lsh_candidate_pairs(bands, "doc_id", max_bucket=100).count() == 20 * 19 / 2

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_brute_force_topk_self_first(emb, query_vec):
+    rows = S.cosine_topk(emb, query_vec, k=5).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(emb, query_vec):
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, query_vec, k=10).collect()}
+    centroids = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, centroids)
+    # probing all clusters == brute force (sanity: the index is lossless)
+    full = {r["vec_id"] for r in S.ivf_topk(assigned, centroids, query_vec, k=10, nprobe=16).collect()}
+    assert full == exact
+    # probing few clusters trades recall; must still return k rows
+    probe = S.ivf_topk(assigned, centroids, query_vec, k=10, nprobe=4).collect()
+    assert len(probe) == 10
+
+
+def test_lsh_bucket_contains_query_and_orders(emb, query_vec):
+    rows = S.lsh_bucket_topk(emb, query_vec, k=10, nbits=4).collect()
+    # vec 0 shares its own bucket -> always recalled
+    assert rows[0]["vec_id"] == 0
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_near_dup_blocking_only_same_label(emb):
+    out = S.embedding_near_dup_pairs(emb, threshold=0.3)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        out.join(labels.withColumnRenamed("vec_id", "id_a").withColumnRenamed("label", "la"), on="id_a")
+        .join(labels.withColumnRenamed("vec_id", "id_b").withColumnRenamed("label", "lb"), on="id_b")
+    )
+    assert joined.filter(F.col("la") != F.col("lb")).count() == 0

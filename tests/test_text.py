@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog sat of the mat in a house"),
+        (2, "der hund und die katze sind nicht ein problem"),
+        (3, "le chat et la maison des les animaux est grande"),
+        (4, "xyzzy qwerty plugh"),  # no markers -> und
+        (5, "numbers 123 and punctuation!!! %% everywhere 456"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lang_id_markers(docs):
+    got = {r["doc_id"]: r["pl"] for r in docs.select("doc_id", X.lang_id("text").alias("pl")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_text_stats_ratios(docs):
+    out = {r["doc_id"]: r for r in X.text_stats(docs, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 12
+    assert r1["stop_ratio"] > 0.3  # 'the' x3, 'and', 'of', 'in', 'a'
+    assert r1["punct_ratio"] == 0.0
+    assert r1["quality_score"] == 1.0
+    r5 = out[5]
+    assert r5["digit_ratio"] > 0
+    assert r5["punct_ratio"] > 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world 42!")], ["doc_id", "text"])
+    row = X.token_counts(df, "text", "doc_id").first()
+    assert row["ws_tokens"] == 3
+    # re tokens: hello, world, 4, 2, !
+    assert row["re_tokens"] == 5
+    assert row["chars"] == 15
+
+
+def test_fingerprint_stable_under_case_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick, Brown Fox! jumps over it"), (2, "the quick brown fox jumps over it")],
+        ["doc_id", "text"],
+    )
+    out = X.document_fingerprints(df, "text", "doc_id").collect()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["min_shingle_hash"] == out[1]["min_shingle_hash"]
