@@ -1,7 +1,33 @@
-"""Structured-Streaming extensions (beyond-reference, clearly marked).
+"""Structured Streaming operators (beyond-reference; SURVEY.md §2.9).
 
-The reference has no streaming (SURVEY §2.9) — only batch watermark
-incrementality. These modules are the idiomatic Spark upgrade of those
-contracts: a file-source stream replacing the file-number watermark, and
-windowed/stateful event processing over the ``events`` table shape.
+The reference is batch-only; this package provides the streaming twins of
+its incremental-ingestion and analytics capabilities:
+
+- :mod:`sources` — checkpointed file sources (CSV orders, parquet events),
+  the exactly-once upgrade of the reference's file-number watermark.
+- :mod:`rollup` — watermarked tumbling-window aggregation (streaming twin of
+  the batch hourly rollup).
+- :mod:`sessionize` — native ``session_window`` + a custom
+  ``applyInPandasWithState`` stateful operator (streaming twin of the batch
+  lag/cumsum sessionization).
 """
+
+from scala_etl_test_spark.streaming.rollup import hourly_rollup
+from scala_etl_test_spark.streaming.sessionize import (
+    session_windows,
+    stateful_user_sessions,
+)
+from scala_etl_test_spark.streaming.sources import (
+    run_available_now,
+    stream_events_parquet,
+    stream_orders_csv,
+)
+
+__all__ = [
+    "hourly_rollup",
+    "run_available_now",
+    "session_windows",
+    "stateful_user_sessions",
+    "stream_events_parquet",
+    "stream_orders_csv",
+]

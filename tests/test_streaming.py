@@ -1,0 +1,112 @@
+"""Structured Streaming operators: checkpointed incremental ingestion,
+watermarked windowed rollup, session windows, custom stateful sessionize.
+
+Parity strategy: each streaming operator is drained with
+``Trigger.AvailableNow`` over the same data its batch twin reads, and the
+results must match the batch answer exactly (batch/stream unification)."""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.plans.queries import q_events_hourly_rollup, q_events_sessionize
+from scala_etl_test_spark.sources.csv_source import read_orders_csv
+from scala_etl_test_spark.sources.parquet_source import read_table
+from scala_etl_test_spark.streaming import (
+    hourly_rollup,
+    run_available_now,
+    session_windows,
+    stateful_user_sessions,
+    stream_events_parquet,
+    stream_orders_csv,
+)
+
+from tests.fixtures import orders_csv_text, orders_rows
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+@pytest.fixture()
+def events_dir(sf_dir, tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_csv_incremental_exactly_once(spark, tmp_path):
+    """The checkpoint replaces the file-number watermark: a second run over
+    the same directory picks up ONLY files added since the first run."""
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    rows = orders_rows()
+    (csv_dir / "00.csv").write_text(orders_csv_text(rows[:4]))
+    (csv_dir / "01.csv").write_text(orders_csv_text(rows[4:8]))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    sdf = stream_orders_csv(spark, str(csv_dir))
+    run_available_now(sdf, ckpt, query_name="inc1", sink_format="parquet", sink_path=out)
+    assert spark.read.parquet(out).count() == 8
+
+    # new file arrives; same checkpoint → only its rows are appended
+    (csv_dir / "02.csv").write_text(orders_csv_text(rows[8:10]))
+    sdf = stream_orders_csv(spark, str(csv_dir))
+    run_available_now(sdf, ckpt, query_name="inc2", sink_format="parquet", sink_path=out)
+    total = spark.read.parquet(out).count()
+
+    batch = read_orders_csv(spark, f"file://{csv_dir}")
+    assert total == batch.count() == len(rows)
+
+
+def test_stream_csv_drops_malformed(spark, tmp_path):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "00.csv").write_text(orders_csv_text(orders_rows()[:5], malformed=3))
+    sdf = stream_orders_csv(spark, str(csv_dir)).filter(F.col("order_id").isNotNull())
+    run_available_now(sdf, str(tmp_path / "ckpt"), query_name="malformed_stream")
+    assert spark.sql("SELECT * FROM malformed_stream").count() == 5
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    sdf = hourly_rollup(stream_events_parquet(spark, events_dir), watermark="2 hours")
+    run_available_now(
+        sdf, str(tmp_path / "ckpt"), output_mode="complete", query_name="rollup_stream"
+    )
+    got = _rows(spark, "rollup_stream")
+    want = {tuple(r) for r in q_events_hourly_rollup(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_session_window_batch_matches_lag_formulation(spark, sf_dir):
+    """Native session_window == the lag/cumsum sessionization, per user."""
+    per_session = session_windows(read_table(spark, sf_dir, "events"))
+    got = {
+        tuple(r)
+        for r in per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {tuple(r) for r in q_events_sessionize(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState running totals on a drained stream == batch."""
+    sdf = stateful_user_sessions(stream_events_parquet(spark, events_dir))
+    run_available_now(
+        sdf, str(tmp_path / "ckpt"), output_mode="update", query_name="stateful_sessions"
+    )
+    got = _rows(spark, "stateful_sessions")
+    want = {tuple(r) for r in q_events_sessionize(spark, sf_dir).collect()}
+    assert got == want
