@@ -386,6 +386,85 @@ FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, 
 
 
 # --------------------------------------------------------------------------
+# multimodal plumbing (binary payload columns)
+# --------------------------------------------------------------------------
+#
+# The testdata ships no binary table, so the media table is derived
+# deterministically from ``documents``: payload = UTF-8 bytes of the text,
+# modality from the source column, frame count from the text length. The
+# point is the *plumbing* — binary columns, metadata, native payload stats,
+# frame-index explosion, Arrow-batched feature extraction — which is exactly
+# what a real image/audio table exercises (operators/multimodal.py).
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_etl_test_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("source") == "web", "image")
+        .when(F.col("source") == "books", "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.lit(1) + F.col("n_chars") % 8).cast("int").alias("meta_n_frames"),
+    )
+
+
+_MODALITY_SQL = (
+    "CASE WHEN source = 'web' THEN 'image' "
+    "WHEN source = 'books' THEN 'audio' ELSE 'video' END"
+)
+
+
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_etl_test_spark.operators.multimodal import attach_payload_stats
+
+    media = _media_table(spark, sf_dir)
+    return attach_payload_stats(media).select("media_id", "modality", "byte_len", "payload_md5")
+
+
+SQL_MULTIMODAL_PAYLOAD_STATS = f"""
+SELECT doc_id AS media_id,
+       {_MODALITY_SQL} AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_etl_test_spark.operators.multimodal import sample_frame_indices
+
+    media = _media_table(spark, sf_dir)
+    return sample_frame_indices(media, every=2).select("media_id", "meta_n_frames", "frame_index")
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       CAST(1 + n_chars % 8 AS INTEGER) AS meta_n_frames,
+       CAST(unnest(range(0, CAST(1 + n_chars % 8 AS INTEGER), 2)) AS INTEGER) AS frame_index
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas byte-histogram).
+    Rows-only driver check: the per-byte histogram is not reasonably
+    SQL-expressible; determinism/shape are pinned in tests/test_multimodal.py
+    and the md5/byte_len columns are oracle-checked via
+    multimodal_payload_stats."""
+    from scala_etl_test_spark.operators.multimodal import extract_features
+
+    media = _media_table(spark, sf_dir)
+    return extract_features(media)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -402,6 +481,9 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_payload_stats": q_multimodal_payload_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_features": q_multimodal_features,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -417,4 +499,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    # multimodal_features: rows-only (byte-histogram not SQL-expressible)
 }
