@@ -1,0 +1,112 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the answers are right at small SF; these prove the
+*plans* are the ones that survive a 100 TB / 1000-executor run: filters reach
+the parquet scan, projections prune columns, small dimensions broadcast,
+same-spec window expressions collapse into one shuffle, aggregations combine
+map-side, and the hot path never leaves the JVM."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_etl_test_spark.plans.queries import ORACLE_SQL, QUERIES
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_filter_pushdown_reaches_parquet_scan(q):
+    p = plan(q("scan_filter_project"))
+    assert "PushedFilters: [" in p
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in p
+
+
+def test_column_pruning_reaches_parquet_scan(q):
+    """The projection must prune the lineitem scan to the referenced columns
+    — reading all 16 columns for a narrow query is wrong at any scale."""
+    p = plan(q("tpch_q1"))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema, p
+    line = read_schema[0]
+    assert "l_comment" not in line and "l_partkey" not in line, line
+
+
+def test_small_dimension_joins_broadcast(q):
+    for name in ("broadcast_left_join", "tpch_q3", "tpch_q5"):
+        p = plan(q(name))
+        assert "BroadcastHashJoin" in p, f"{name} lost its broadcast:\n{p}"
+
+
+def test_no_shuffle_in_products_pipeline(q):
+    """Reference products pipeline is scan → narrow ops → broadcast join:
+    shuffle-free (SURVEY §4.3). Any Exchange here is a regression."""
+    p = plan(q("broadcast_left_join"))
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_same_spec_windows_collapse_to_one_shuffle(q):
+    """Four window sums over the identical partitionBy(user_id) spec must
+    compile to ONE Window node / one exchange (SURVEY §4.2)."""
+    p = plan(q("conditional_window_sum"), mode="simple")
+    assert p.count("Window [") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_aggregation_combines_map_side(q):
+    """TPC-H Q1 must partial-aggregate before the exchange (map-side
+    combine): shuffled bytes ∝ groups, not rows."""
+    p = plan(q("tpch_q1"))
+    assert "partial_sum" in p or "partial_count" in p, p
+
+
+def test_exact_dedup_single_shuffle(q):
+    p = plan(q("dedup_exact"), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_hot_paths_stay_jvm_side(q):
+    """No row-at-a-time Python anywhere; Arrow-batched Python only in the
+    explicitly-Python multimodal feature extractor."""
+    python_ok = {"multimodal_features"}
+    for name in QUERIES:
+        p = plan(q(name), mode="simple")
+        assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python UDF:\n{p}"
+        if name not in python_ok:
+            assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+                f"{name} unexpectedly leaves the JVM:\n{p}"
+            )
+
+
+def test_whole_stage_codegen_covers_core_queries(spark, sf_dir):
+    """With AQE the codegen stars only appear in the final plan, so pin the
+    non-adaptive plan: every core query must have codegen spans."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("tpch_q1", "category_rules", "text_quality"):
+            p = plan(QUERIES[name](spark, sf_dir), mode="simple")
+            assert "*(" in p, f"{name} has no whole-stage-codegen span:\n{p}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_every_query_has_an_oracle_or_documented_reason(q):
+    undocumented = {
+        n
+        for n in QUERIES
+        if n not in ORACLE_SQL and "rows-only" not in (QUERIES[n].__doc__ or "").lower()
+    }
+    assert not undocumented, f"queries lacking oracle SQL without documented reason: {undocumented}"
