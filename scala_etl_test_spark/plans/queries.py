@@ -734,6 +734,155 @@ FROM sessions GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q6 — the pure filter+agg throughput query
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue: every predicate pushes to the parquet scan; the agg
+    partial-combines map-side, so shuffled bytes = one row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (set-membership shapes; Spark plans LeftSemi/LeftAnti)
+# --------------------------------------------------------------------------
+
+
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 deeply-discounted line item: left-semi join — probe
+    side streams, no fact-side duplication, build side only carries the key."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_SEMI_JOIN_EXISTS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders: left-anti join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN_NO_ORDERS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k per group (training-data staple: best-k docs per source)
+# --------------------------------------------------------------------------
+
+
+def q_topk_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest documents per source via ranked window. Spark plans a
+    WindowGroupLimit (top-k pushed into the shuffle — partial per-partition
+    top-k before the exchange), so no group ever materializes fully."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+SQL_TOPK_DOCS_PER_SOURCE = """
+SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — results pinned against plain SQL
+# --------------------------------------------------------------------------
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (16-way hot-key spread), row-identical to the
+    plain join — the oracle IS the plain join."""
+    from scala_etl_test_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on=["o_orderkey"], salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_skew_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT user) per event_type — exact, but no
+    reducer ever holds a whole hot key's value set."""
+    from scala_etl_test_spark.operators.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", salt=16)
+
+
+SQL_SKEW_DISTINCT_COUNT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -759,6 +908,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_sessionize": q_events_sessionize,
+    "tpch_q6": q_tpch_q6,
+    "semi_join_exists": q_semi_join_exists,
+    "anti_join_no_orders": q_anti_join_no_orders,
+    "topk_docs_per_source": q_topk_docs_per_source,
+    "skew_salted_join": q_skew_salted_join,
+    "skew_distinct_count": q_skew_distinct_count,
     **DATA_QUERIES,
 }
 
@@ -782,5 +937,11 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "events_hourly_rollup": SQL_EVENTS_HOURLY_ROLLUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "tpch_q6": SQL_TPCH_Q6,
+    "semi_join_exists": SQL_SEMI_JOIN_EXISTS,
+    "anti_join_no_orders": SQL_ANTI_JOIN_NO_ORDERS,
+    "topk_docs_per_source": SQL_TOPK_DOCS_PER_SOURCE,
+    "skew_salted_join": SQL_SKEW_SALTED_JOIN,
+    "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     **DATA_ORACLE_SQL,
 }
