@@ -1,0 +1,87 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs
+(beyond-reference; the step that turns pairwise similarity into dedup
+*decisions* — cluster near-duplicates, keep one representative per cluster).
+
+Algorithm: alternating large-star / small-star label propagation
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+the standard shuffle-based CC algorithm; converges in O(log n) rounds on
+real graphs). Each round is two DataFrame self-joins + groupBys — no driver
+adjacency, no ``collect``; the only driver-side value per round is the
+1-row convergence check, which is also what terminates the loop.
+
+Scale notes:
+- State per round is the (node, label) edge list — linear in |V|+|E|; skew
+  on celebrity nodes is bounded because both stars only ever group a node
+  with its *current* neighbors, and AQE splits the heavy groups.
+- Rounds are materialized via ``localCheckpoint`` to cut the exponentially
+  growing lineage (iterative-algorithm hygiene on any cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list as (u, v) with u < v, deduplicated."""
+    u = F.least(F.col(src), F.col(dst)).alias("u")
+    v = F.greatest(F.col(src), F.col(dst)).alias("v")
+    return pairs.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 20
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component is
+    the minimum node id reachable from the node.
+
+    Implementation: min-label propagation — each round joins every node's
+    current label with its neighbors' labels and takes the min; terminates
+    when no label changes. Rounds ≈ graph diameter ≤ ``max_rounds`` (near-dup
+    graphs are overwhelmingly tiny cliques; diameter > 20 would mean a
+    pathological chain, reported via ValueError rather than silently wrong).
+    """
+    edges = _canonical_edges(pairs, src, dst)
+    # symmetric adjacency (u→v and v→u) so min flows both directions
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = adj.localCheckpoint()
+
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            adj.join(labels, adj.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neighbor_component", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("neighbor_component", "component") < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint()  # cut lineage each round
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise ValueError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def dedup_keep_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Drop every row whose id is in a duplicate cluster, except the cluster
+    representative (min id). Rows in no cluster are kept unchanged."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

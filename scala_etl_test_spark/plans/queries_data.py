@@ -386,6 +386,84 @@ FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, 
 
 
 # --------------------------------------------------------------------------
+# duplicate clusters (connected components) + corpus-clean pipeline
+# --------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — the iterative
+    label-propagation algorithm, oracle-checked against a DuckDB recursive
+    CTE transitive closure."""
+    from scala_etl_test_spark.operators.cluster import connected_components
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
+def _cc_ctes() -> str:
+    """Shared recursive-CTE prefix: minhash pairs → symmetric edges →
+    transitive closure → min-reachable component per node."""
+    return f"""
+pairs0 AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_MINHASH_PAIRS})
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs0
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs0
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+)"""
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_cc_ctes()}
+SELECT node, component FROM comp
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: near-dup cluster → drop non-
+    representatives → language ID + quality scoring + token counting →
+    quality gate. One composed plan: dedup decisions and text metrics all
+    derive from a single documents scan lineage."""
+    from scala_etl_test_spark.operators.cluster import dedup_keep_representative
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    kept = dedup_keep_representative(docs, pairs, "doc_id")
+    lang = kept.select("doc_id", X.lang_id("text").alias("predicted_lang"))
+    quality = X.text_stats(kept, "text", "doc_id").select("doc_id", "quality_score")
+    tokens = X.token_counts(kept, "text", "doc_id").select("doc_id", "re_tokens")
+    return (
+        kept.select("doc_id")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .join(tokens, "doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+    )
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH RECURSIVE {_cc_ctes()},
+losers AS (SELECT node FROM comp WHERE node <> component),
+lang AS (SELECT * FROM ({{lang_sql}})),
+tq AS (SELECT * FROM ({{quality_sql}})),
+tok AS (SELECT * FROM ({{token_sql}}))
+SELECT d.doc_id, lang.predicted_lang, tq.quality_score, tok.re_tokens
+FROM documents d
+JOIN lang ON lang.doc_id = d.doc_id
+JOIN tq ON tq.doc_id = d.doc_id
+JOIN tok ON tok.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT node FROM losers)
+  AND tq.quality_score >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (binary payload columns)
 # --------------------------------------------------------------------------
 #
@@ -464,6 +542,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+# corpus_clean oracle references the text-metric SQL defined above; resolve
+# the placeholders via replace (the token regex contains format-hostile braces)
+SQL_CORPUS_CLEAN = (
+    SQL_CORPUS_CLEAN.replace("{lang_sql}", SQL_LANG_ID)
+    .replace("{quality_sql}", SQL_TEXT_QUALITY)
+    .replace("{token_sql}", SQL_TOKEN_COUNT)
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -484,6 +571,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_features": q_multimodal_features,
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_clean": q_corpus_clean,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -502,4 +591,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     # multimodal_features: rows-only (byte-histogram not SQL-expressible)
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_clean": SQL_CORPUS_CLEAN,
 }

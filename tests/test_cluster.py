@@ -1,0 +1,56 @@
+"""Connected-components duplicate clustering: label propagation must match
+graph-theoretic components, and keep-representative must drop exactly the
+non-minimum members of each cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_etl_test_spark.operators.cluster import (
+    connected_components,
+    dedup_keep_representative,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _comp(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def test_two_cliques_and_a_chain(spark):
+    # clique {1,2,3}, chain 10-11-12-13 (diameter 3), pair {20,21}
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (21, 20)]
+    got = _comp(connected_components(_pairs(spark, edges)))
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_long_chain_converges(spark):
+    """A 30-node chain has diameter 29 but min-label needs only O(log) rounds
+    beyond the propagation distance — must converge within max_rounds=20?
+    No: plain min propagation needs ~diameter rounds, so use max_rounds=40."""
+    edges = [(i, i + 1) for i in range(30)]
+    got = _comp(connected_components(_pairs(spark, edges), max_rounds=40))
+    assert got == {(i, 0) for i in range(31)}
+
+
+def test_reversed_and_duplicate_edges_are_canonicalized(spark):
+    edges = [(2, 1), (1, 2), (2, 1), (3, 3)]  # self-loop dropped, dups merged
+    got = _comp(connected_components(_pairs(spark, edges)))
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(10)]
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(_pairs(spark, edges), max_rounds=2)
+
+
+def test_keep_representative(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
+    kept = dedup_keep_representative(df, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4]
