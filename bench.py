@@ -30,6 +30,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "ann_cosine_topk",
     "text_quality",
+    "tpch_q6",
+    "semi_join_exists",
+    "dedup_clusters",
+    "corpus_clean",
 ]
 
 
