@@ -883,6 +883,48 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# As-of join (operators/asof.py) — DuckDB has a native ASOF JOIN, so the
+# union-window implementation is oracle-checked against the real thing
+# --------------------------------------------------------------------------
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event joined to the user's most recent purchase value at
+    or before the click (NULL if none). Right side is deduped per (user, ts)
+    so tie semantics are engine-independent."""
+    from scala_etl_test_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return as_of_join(
+        clicks,
+        purchases,
+        partition_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+SQL_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -914,6 +956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_docs_per_source": q_topk_docs_per_source,
     "skew_salted_join": q_skew_salted_join,
     "skew_distinct_count": q_skew_distinct_count,
+    "asof_last_purchase": q_asof_last_purchase,
     **DATA_QUERIES,
 }
 
@@ -943,5 +986,6 @@ ORACLE_SQL: dict[str, str] = {
     "topk_docs_per_source": SQL_TOPK_DOCS_PER_SOURCE,
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
+    "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     **DATA_ORACLE_SQL,
 }
