@@ -901,13 +901,20 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("last_purchase_value"))
     )
-    return as_of_join(
+    joined = as_of_join(
         clicks,
         purchases,
         partition_cols=["user_id"],
         left_ts="ts",
         right_ts="ts",
         value_cols=["last_purchase_value"],
+    )
+    # timestamps leave the query as formatted strings (determinism rules)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "last_purchase_value",
     )
 
 
@@ -918,7 +925,9 @@ WITH clicks AS (
   SELECT user_id, ts, MAX(value) AS last_purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT c.event_id, c.user_id, c.ts, p.last_purchase_value
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.last_purchase_value
 FROM clicks c
 ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
