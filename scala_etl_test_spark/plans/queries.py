@@ -934,6 +934,128 @@ ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 
 
 # --------------------------------------------------------------------------
+# Range join (operators/rangejoin.py): errors contained in user sessions
+# --------------------------------------------------------------------------
+
+
+def q_range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors range-joined into their user's session interval [min ts,
+    max ts] (bin-blocked equi-join, no cross product), counted per session.
+    Sessions come from the native session_window aggregation."""
+    from scala_etl_test_spark.operators.rangejoin import range_join
+    from scala_etl_test_spark.streaming.sessionize import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .select("user_id", "s_start", "s_end")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    joined = range_join(
+        errors, sessions, "ts", "s_start", "s_end", ["user_id"], bin_width_seconds=3600
+    )
+    return joined.groupBy(
+        "user_id", F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start")
+    ).agg(F.count(F.lit(1)).alias("n_errors"))
+
+
+SQL_RANGE_JOIN_SESSION_ERRORS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT e.user_id,
+       strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_errors
+FROM events e
+JOIN sessions s ON e.user_id = s.user_id AND e.ts BETWEEN s.s_start AND s.s_end
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: signup → click → purchase progression per user
+# --------------------------------------------------------------------------
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel stage per user via conditional min-timestamp chaining
+    (one aggregation, no joins): stage 1 = signed up, 2 = clicked after
+    signup, 3 = purchased after that click."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("tc"))
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(F.col("tc") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    first_purchase = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("tp") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    staged = (
+        per_user.join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_signup").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage")
+        )
+    )
+    return staged.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id
+), first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN per_user u ON e.user_id = u.user_id
+  WHERE e.event_type = 'click' AND e.ts > u.t_signup
+  GROUP BY e.user_id
+), first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN first_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN p.t_purchase IS NOT NULL THEN 3
+            WHEN c.t_click IS NOT NULL THEN 2
+            WHEN u.t_signup IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user u
+LEFT JOIN first_click c ON u.user_id = c.user_id
+LEFT JOIN first_purchase p ON u.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -966,6 +1088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "skew_distinct_count": q_skew_distinct_count,
     "asof_last_purchase": q_asof_last_purchase,
+    "range_join_session_errors": q_range_join_session_errors,
+    "events_funnel": q_events_funnel,
     **DATA_QUERIES,
 }
 
@@ -996,5 +1120,7 @@ ORACLE_SQL: dict[str, str] = {
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
+    "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     **DATA_ORACLE_SQL,
 }
