@@ -934,6 +934,47 @@ ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share (conditional agg over a join)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share for one ship month: broadcast dim join +
+    conditional decimal aggregation; the ratio is derived from exact sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01")) & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,4)"))).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+         p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS promo_share_pct
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # Range join (operators/rangejoin.py): errors contained in user sessions
 # --------------------------------------------------------------------------
 
@@ -1088,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "skew_distinct_count": q_skew_distinct_count,
     "asof_last_purchase": q_asof_last_purchase,
+    "tpch_q14": q_tpch_q14,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
     **DATA_QUERIES,
@@ -1120,6 +1162,7 @@ ORACLE_SQL: dict[str, str] = {
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
+    "tpch_q14": SQL_TPCH_Q14,
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     **DATA_ORACLE_SQL,
