@@ -975,6 +975,80 @@ FROM j
 
 
 # --------------------------------------------------------------------------
+# Multi-dimensional aggregation: ROLLUP (hierarchy totals in one pass)
+# --------------------------------------------------------------------------
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day) rollup: leaf, per-type, and grand totals in ONE
+    aggregation pass (Spark Expand + single shuffle, not three queries)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: long → wide (per-user event-type counts)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user counts pivoted to one column per event type. The pivot
+    values are DECLARED (not discovered) — at scale the discovery pass is a
+    full extra scan, and an explicit list keeps the schema stable."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the sketch path
+    for cardinalities too hot for exact distinct at corpus scale.
+
+    Rows-only driver check: the HLL estimate is engine-specific by design
+    (DuckDB's approx_count_distinct uses a different sketch), so there is no
+    cross-engine hash; the error bound vs exact is pinned in
+    tests/test_plans.py instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
 # Range join (operators/rangejoin.py): errors contained in user sessions
 # --------------------------------------------------------------------------
 
@@ -1130,6 +1204,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_distinct_count": q_skew_distinct_count,
     "asof_last_purchase": q_asof_last_purchase,
     "tpch_q14": q_tpch_q14,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
+    "approx_distinct_users": q_approx_distinct_users,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
     **DATA_QUERIES,
@@ -1163,6 +1240,9 @@ ORACLE_SQL: dict[str, str] = {
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "tpch_q14": SQL_TPCH_Q14,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    # approx_distinct_users: rows-only (sketches are engine-specific)
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     **DATA_ORACLE_SQL,

@@ -103,6 +103,25 @@ def test_whole_stage_codegen_covers_core_queries(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_approx_distinct_within_error_bound(q, spark, sf_dir):
+    """HLL++ estimate (rsd=0.01) must sit within 5% of the exact distinct
+    count per group — the sketch's documented accuracy with slack."""
+    from pyspark.sql import functions as F
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    approx = {r["event_type"]: r["approx_users"] for r in q("approx_distinct_users").collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, approx[k], exact[k])
+
+
 def test_every_query_has_an_oracle_or_documented_reason(q):
     undocumented = {
         n
