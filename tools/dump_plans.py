@@ -1,0 +1,86 @@
+"""Regenerate PLANS.md: formatted physical plans for representative queries,
+annotated with the scale property each plan demonstrates.
+
+    python tools/dump_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SHOWCASE = [
+    (
+        "scan_filter_project",
+        "Both predicates appear in PushedFilters; ReadSchema carries only the 4 referenced columns.",
+    ),
+    (
+        "tpch_q1",
+        "partial_* aggregates before the Exchange (map-side combine): shuffled bytes ∝ groups, not rows.",
+    ),
+    (
+        "broadcast_left_join",
+        "BroadcastHashJoin with the filtered dimension on the build side; no Exchange anywhere — the reference's products pipeline stays shuffle-free.",
+    ),
+    (
+        "conditional_window_sum",
+        "Four same-spec window sums collapse into ONE Window node over one Exchange.",
+    ),
+    (
+        "dedup_exact",
+        "Exactly one Exchange (on the md5 fingerprint, uniform → skew-free).",
+    ),
+    (
+        "topk_docs_per_source",
+        "WindowGroupLimit before the Exchange: per-partition partial top-k, so no group ever materializes fully.",
+    ),
+    (
+        "semi_join_exists",
+        "LeftSemi join: build side carries only the key, probe rows never duplicate.",
+    ),
+    (
+        "events_rollup",
+        "Expand feeds a single HashAggregate: leaf + subtotal + grand total in one shuffle.",
+    ),
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    from scala_etl_test_spark.plans.queries import QUERIES
+    from scala_etl_test_spark.session import build_session
+
+    spark = build_session(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    out = [
+        "# PLANS — physical-plan showcase",
+        "",
+        "Formatted Catalyst plans for representative registry queries, with the",
+        "scale property each one demonstrates. These same properties are",
+        "*asserted* by `tests/test_plans.py`; this file is the human-readable",
+        "evidence. Regenerate with `python tools/dump_plans.py > PLANS.md`.",
+        "",
+        "Plans are built at sf0.001 (plan shape is SF-independent; AQE may",
+        "further improve them at runtime).",
+        "",
+    ]
+    for name, why in SHOWCASE:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**What to look for:** {why}")
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
