@@ -1,0 +1,79 @@
+"""Deterministic dataset splitting & sampling (beyond-reference).
+
+Training pipelines need splits that are (a) reproducible across runs,
+engines, and cluster sizes, (b) stable under data growth (a doc keeps its
+split when new docs arrive), and (c) leakage-aware (all members of a
+duplicate cluster land in the same split). ``randomSplit``/``sample`` give
+none of these — they depend on partitioning and seed plumbing.
+
+The primitive here is **hash-bucket assignment**: bucket = md5(key) mod N.
+Content-addressed, so it satisfies (a) and (b) by construction, and (c) by
+hashing the *cluster representative* instead of the row id. md5 keeps the
+assignment portable across engines (same trick as operators/dedup.py) —
+swap xxhash64 at production scale, structure unchanged.
+
+No shuffle at all: assignment is a narrow projection; only the optional
+per-stratum proportion *checks* aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): md5 → 60-bit int → mod.
+    Engine-portable (DuckDB: same md5/substr/mod pipeline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    return (h % buckets).alias("bucket")
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/…) by hash bucket.
+
+    ``weights`` maps split name → fraction (must sum to ~1); boundaries are
+    cumulative over the insertion order. ``salt`` derives an independent
+    split from the same keys (e.g. per-experiment resplits)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")) if salt else F.col(key_col)
+    b = hash_bucket(key)
+    expr = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        bound = int(round(cum * HASH_BUCKETS))
+        cond = b < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Split where every near-duplicate cluster lands in ONE split: hash the
+    cluster representative (connected-components min id), not the row id —
+    otherwise a train/test near-dup pair leaks test content into training."""
+    from scala_etl_test_spark.operators.cluster import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    with_rep = df.join(comp, on=id_col, how="left").withColumn(
+        "_split_key", F.coalesce("component", F.col(id_col))
+    )
+    return assign_split(with_rep, "_split_key", weights, split_col).drop(
+        "component", "_split_key"
+    )

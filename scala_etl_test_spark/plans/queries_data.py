@@ -464,6 +464,35 @@ WHERE d.doc_id NOT IN (SELECT node FROM losers)
 
 
 # --------------------------------------------------------------------------
+# deterministic dataset split (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by portable content hash —
+    identical in Spark and DuckDB, stable under data growth."""
+    from scala_etl_test_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (binary payload columns)
 # --------------------------------------------------------------------------
 #
@@ -573,6 +602,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean": q_corpus_clean,
+    "dataset_split": q_dataset_split,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -593,4 +623,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     # multimodal_features: rows-only (byte-histogram not SQL-expressible)
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_clean": SQL_CORPUS_CLEAN,
+    "dataset_split": SQL_DATASET_SPLIT,
 }

@@ -1,0 +1,72 @@
+"""Deterministic splitting: reproducibility, stability under growth,
+proportion accuracy, salt independence, cluster-level leakage safety."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators.sampling import assign_split, leakage_safe_split
+from scala_etl_test_spark.sources.parquet_source import read_table
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _assignment(df, id_col="doc_id"):
+    return {r[id_col]: r["split"] for r in df.collect()}
+
+
+def test_split_is_deterministic(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = _assignment(assign_split(docs, "doc_id", WEIGHTS).select("doc_id", "split"))
+    b = _assignment(assign_split(docs, "doc_id", WEIGHTS).select("doc_id", "split"))
+    assert a == b
+
+
+def test_split_stable_under_growth(spark, sf_dir):
+    """A document's split must not change when the dataset grows — hash
+    assignment depends only on the key, never on the cohort."""
+    docs = read_table(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") < 100)
+    full = _assignment(assign_split(docs, "doc_id", WEIGHTS).select("doc_id", "split"))
+    part = _assignment(assign_split(subset, "doc_id", WEIGHTS).select("doc_id", "split"))
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_split_proportions(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["count"]
+        for r in assign_split(docs, "doc_id", WEIGHTS).groupBy("split").count().collect()
+    }
+    assert set(counts) <= set(WEIGHTS)
+    for name, w in WEIGHTS.items():
+        assert abs(counts.get(name, 0) / n - w) < 0.05, (name, counts)
+
+
+def test_salt_gives_independent_split(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = _assignment(assign_split(docs, "doc_id", WEIGHTS).select("doc_id", "split"))
+    b = _assignment(assign_split(docs, "doc_id", WEIGHTS, salt="exp2").select("doc_id", "split"))
+    diff = sum(1 for k in a if a[k] != b[k])
+    assert diff > 0.1 * len(a)  # a real resplit, not a copy
+
+
+def test_bad_weights_raise(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (30, 31)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(df, pairs, "doc_id", WEIGHTS)
+    got = _assignment(out.select("doc_id", "split"))
+    for cluster in [(0, 1, 2), (10, 11), (20, 21, 22), (30, 31)]:
+        assert len({got[i] for i in cluster}) == 1, (cluster, {i: got[i] for i in cluster})
+    assert out.columns == ["doc_id", "text", "split"]
