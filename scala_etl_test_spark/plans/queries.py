@@ -1049,6 +1049,39 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JSON column extraction (from_json with declared schema — no inference)
+# --------------------------------------------------------------------------
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column with a DECLARED schema (inference
+    would cost a full extra scan) and aggregate the extracted field. Unlike
+    the reference's driver-side json4s parsing (ApplaudoETL.scala:138), this
+    is a distributed column operation inside codegen."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_unparseable"),
+    )
+
+
+SQL_JSON_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS n_unparseable
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Range join (operators/rangejoin.py): errors contained in user sessions
 # --------------------------------------------------------------------------
 
@@ -1207,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "approx_distinct_users": q_approx_distinct_users,
+    "json_props_extract": q_json_props_extract,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
     **DATA_QUERIES,
@@ -1243,6 +1277,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
     # approx_distinct_users: rows-only (sketches are engine-specific)
+    "json_props_extract": SQL_JSON_PROPS_EXTRACT,
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     **DATA_ORACLE_SQL,

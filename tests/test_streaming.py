@@ -101,6 +101,30 @@ def test_session_window_batch_matches_lag_formulation(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Watermarked stream-stream interval join == the same join in batch."""
+    from scala_etl_test_spark.streaming.joins import clicks_with_recent_purchase
+
+    sev = stream_events_parquet(spark, events_dir)
+    sdf = clicks_with_recent_purchase(
+        sev.filter(F.col("event_type") == "click"),
+        sev.filter(F.col("event_type") == "purchase"),
+    )
+    run_available_now(sdf, str(tmp_path / "ckpt"), query_name="ss_join")
+    got = _rows(spark, "ss_join")
+
+    bev = read_table(spark, sf_dir, "events")
+    want = {
+        tuple(r)
+        for r in clicks_with_recent_purchase(
+            bev.filter(F.col("event_type") == "click"),
+            bev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture actually exercises matches
+
+
 def test_stateful_sessions_match_batch(spark, sf_dir, events_dir, tmp_path):
     """applyInPandasWithState running totals on a drained stream == batch."""
     sdf = stateful_user_sessions(stream_events_parquet(spark, events_dir))
