@@ -1049,6 +1049,68 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Window frame spec: per-user moving average over the last 4 events
+# --------------------------------------------------------------------------
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame (3 PRECEDING..CURRENT) with a total order —
+    beyond the reference's unbounded frames (SURVEY §2.5). Decimal math for
+    cross-engine exactness."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_dec("value")).over(w) / F.count(F.lit(1)).over(w))
+        .cast("decimal(16,6)")
+        .cast("double")
+        .alias("moving_avg"),
+    )
+
+
+SQL_WINDOW_MOVING_AVG = """
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w / COUNT(*) OVER w AS DECIMAL(16,6)) AS DOUBLE) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics)
+# --------------------------------------------------------------------------
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers buying in BOTH halves of the year (intersect) and ONLY in
+    the first half (except), labeled and unioned — Spark plans left-semi /
+    left-anti under the distinct set ops."""
+    orders = _t(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    h2 = orders.filter(F.month("o_orderdate") > 6).select("o_custkey")
+    both = h1.intersect(h2).withColumn("cohort", F.lit("both_halves"))
+    only_h1 = h1.subtract(h2).withColumn("cohort", F.lit("h1_only"))
+    return both.unionByName(only_h1).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SQL_SET_OPS_CUSTOMERS = """
+WITH h1 AS (SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6),
+     h2 AS (SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6),
+     labeled AS (
+       SELECT o_custkey, 'both_halves' AS cohort FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+       UNION ALL
+       SELECT o_custkey, 'h1_only' AS cohort FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+     )
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM labeled GROUP BY cohort
+"""
+
+
+# --------------------------------------------------------------------------
 # JSON column extraction (from_json with declared schema — no inference)
 # --------------------------------------------------------------------------
 
@@ -1241,6 +1303,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "approx_distinct_users": q_approx_distinct_users,
     "json_props_extract": q_json_props_extract,
+    "window_moving_avg": q_window_moving_avg,
+    "set_ops_customers": q_set_ops_customers,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
     **DATA_QUERIES,
@@ -1278,6 +1342,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     # approx_distinct_users: rows-only (sketches are engine-specific)
     "json_props_extract": SQL_JSON_PROPS_EXTRACT,
+    "window_moving_avg": SQL_WINDOW_MOVING_AVG,
+    "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     **DATA_ORACLE_SQL,
