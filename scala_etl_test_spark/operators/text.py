@@ -49,6 +49,33 @@ def lang_id(col: Column | str) -> Column:
     return expr.otherwise(best)
 
 
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1] as a standalone Column (same formula
+    as text_stats; Catalyst CSEs the shared subexpressions in one select)."""
+    t = F.col(col) if isinstance(col, str) else col
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    n_stop = F.size(F.filter(w, lambda x: x.isin(all_markers)))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_ratio = F.round(n_stop / n_words, 6)
+    length_ok = (n_words >= 5) & (n_words <= 10000)
+    return F.round(
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0, F.lit(0.25)).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def re_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count as a standalone Column."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality statistics + a composite score in [0, 1]:
 

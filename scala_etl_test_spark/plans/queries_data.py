@@ -435,16 +435,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
     kept = dedup_keep_representative(docs, pairs, "doc_id")
-    lang = kept.select("doc_id", X.lang_id("text").alias("predicted_lang"))
-    quality = X.text_stats(kept, "text", "doc_id").select("doc_id", "quality_score")
-    tokens = X.token_counts(kept, "text", "doc_id").select("doc_id", "re_tokens")
-    return (
-        kept.select("doc_id")
-        .join(lang, "doc_id")
-        .join(quality, "doc_id")
-        .join(tokens, "doc_id")
-        .filter(F.col("quality_score") >= 0.5)
-    )
+    # all three metrics are row-local Column expressions → ONE projection
+    # over one scan (no self-joins); Catalyst CSEs the shared tokenization
+    return kept.select(
+        "doc_id",
+        X.lang_id("text").alias("predicted_lang"),
+        X.quality_score("text").alias("quality_score"),
+        X.re_token_count("text").alias("re_tokens"),
+    ).filter(F.col("quality_score") >= 0.5)
 
 
 SQL_CORPUS_CLEAN = f"""
