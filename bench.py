@@ -31,6 +31,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "tpch_q6",
+    "tpch_q10",
     "semi_join_exists",
     "dedup_clusters",
     "corpus_clean",

@@ -975,6 +975,113 @@ FROM j
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q10 shape — top-20 customers by returned-item revenue
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-revenue ranking: fact filtered early, two broadcast dims, exact
+    decimal revenue, total-order tie-break for the top-k."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select("c_custkey", "c_name", "n_name", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape — large-quantity orders (group-having + join back)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold: the HAVING side is a
+    small aggregate joined back to the order header (semi-join-like shape;
+    AQE broadcasts the filtered aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 120)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(t._qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS _qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+) t ON o.o_orderkey = t.l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE — all grouping-set combinations in one pass
+# --------------------------------------------------------------------------
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type × weekday) cube: leaf, both marginals, and grand total
+    from a single Expand pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.dayofweek("ts").alias("weekday"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("weekday").cast("string"), F.lit("ALL")).alias("weekday"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(wd AS VARCHAR), 'ALL') AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT event_type, dayofweek(ts) + 1 AS wd FROM events)
+GROUP BY CUBE (event_type, wd)
+"""
+
+
+# --------------------------------------------------------------------------
 # Multi-dimensional aggregation: ROLLUP (hierarchy totals in one pass)
 # --------------------------------------------------------------------------
 
@@ -1299,6 +1406,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_distinct_count": q_skew_distinct_count,
     "asof_last_purchase": q_asof_last_purchase,
     "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "events_cube": q_events_cube,
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1338,6 +1448,9 @@ ORACLE_SQL: dict[str, str] = {
     "skew_distinct_count": SQL_SKEW_DISTINCT_COUNT,
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q18": SQL_TPCH_Q18,
+    "events_cube": SQL_EVENTS_CUBE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
     # approx_distinct_users: rows-only (sketches are engine-specific)
