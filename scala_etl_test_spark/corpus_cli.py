@@ -1,0 +1,81 @@
+"""Training-data corpus CLI (beyond-reference).
+
+Runs the corpus-curation pipeline over a directory of parquet tables
+(``documents.parquet`` required, ``embeddings.parquet`` optional) and writes
+one parquet table per artifact:
+
+    python -m scala_etl_test_spark.corpus_cli --data <dir> --out <dir> \
+        [--split train=0.8,val=0.1,test=0.1] [--min-quality 0.5]
+
+Artifacts:
+- ``corpus_clean/``   — deduplicated + quality-gated docs with lang/quality/tokens
+- ``dedup_clusters/`` — (node, component) near-duplicate cluster map
+- ``splits/``         — leakage-safe train/val/test assignment (clusters
+                        never straddle a split)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        if not frac:
+            raise SystemExit(f"bad --split component {part!r} (want name=fraction)")
+        out[name.strip()] = float(frac)
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="scala-etl-test-spark-corpus")
+    parser.add_argument("--data", required=True, help="dir containing documents.parquet")
+    parser.add_argument("--out", required=True, help="output dir (one subdir per artifact)")
+    parser.add_argument("--split", default="train=0.8,val=0.1,test=0.1")
+    parser.add_argument("--min-quality", type=float, default=0.5)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators import text as X
+    from scala_etl_test_spark.operators.cluster import connected_components
+    from scala_etl_test_spark.operators.sampling import leakage_safe_split
+    from scala_etl_test_spark.plans.queries_data import q_dedup_minhash_pairs
+    from scala_etl_test_spark.session import build_session
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    weights = _parse_weights(args.split)
+    spark = build_session()
+    docs = read_table(spark, args.data, "documents")
+
+    pairs = q_dedup_minhash_pairs(spark, args.data).persist()
+    comp = connected_components(pairs)
+    comp.write.mode("overwrite").parquet(f"{args.out}/dedup_clusters")
+
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, on="doc_id", how="left_anti")
+    clean = kept.select(
+        "doc_id",
+        X.lang_id("text").alias("predicted_lang"),
+        X.quality_score("text").alias("quality_score"),
+        X.re_token_count("text").alias("re_tokens"),
+    ).filter(F.col("quality_score") >= args.min_quality)
+    clean.write.mode("overwrite").parquet(f"{args.out}/corpus_clean")
+
+    splits = leakage_safe_split(docs, pairs, "doc_id", weights).select("doc_id", "split")
+    splits.write.mode("overwrite").parquet(f"{args.out}/splits")
+    pairs.unpersist()
+
+    n_docs, n_clean = docs.count(), clean.count()
+    print(
+        f"docs={n_docs} clusters={comp.select('component').distinct().count()} "
+        f"clean={n_clean} ({n_clean / max(n_docs, 1):.1%}) -> {args.out}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Corpus CLI smoke: all three artifacts written, internally consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.corpus_cli import main
+
+
+def test_corpus_cli_artifacts(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    main(["--data", sf_dir, "--out", out])
+    assert "clean=" in capsys.readouterr().out
+
+    clusters = spark.read.parquet(f"{out}/dedup_clusters")
+    clean = spark.read.parquet(f"{out}/corpus_clean")
+    splits = spark.read.parquet(f"{out}/splits")
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert splits.count() == n_docs
+    assert set(splits.columns) == {"doc_id", "split"}
+    assert clean.count() <= n_docs
+    assert set(clean.columns) == {"doc_id", "predicted_lang", "quality_score", "re_tokens"}
+    # no cluster loser survives in the clean corpus
+    losers = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    assert clean.join(losers, "doc_id").count() == 0
+    # a near-dup cluster never straddles splits
+    straddling = (
+        clusters.join(splits, clusters.node == splits.doc_id)
+        .groupBy("component")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert straddling.count() == 0
