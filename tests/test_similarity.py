@@ -37,6 +37,25 @@ def test_ivf_recall_vs_brute_force(emb, query_vec):
     assert len(probe) == 10
 
 
+def test_kmeans_centroids_plug_into_ivf(emb, query_vec):
+    """Trained centroids must drop into the IVF path unchanged: full probe is
+    lossless (== brute force), partial probe returns k rows, every vector is
+    assigned exactly once. (No recall-vs-stride claim: on near-uniform
+    synthetic vectors partition recall is data-noise; trained cells pay off
+    on naturally clustered embeddings.)"""
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, query_vec, k=10).collect()}
+    centroids = S.kmeans_centroids(emb, 16)
+    assert centroids.count() == 16
+    assigned = S.ivf_assign(emb, centroids)
+    assert assigned.count() == emb.count()
+    full = {
+        r["vec_id"]
+        for r in S.ivf_topk(assigned, centroids, query_vec, k=10, nprobe=16).collect()
+    }
+    assert full == exact
+    assert len(S.ivf_topk(assigned, centroids, query_vec, k=10, nprobe=4).collect()) == 10
+
+
 def test_lsh_bucket_contains_query_and_orders(emb, query_vec):
     rows = S.lsh_bucket_topk(emb, query_vec, k=10, nbits=4).collect()
     # vec 0 shares its own bucket -> always recalled
