@@ -279,6 +279,54 @@ LIMIT 20
 """
 
 
+_LSH_NBITS = 8
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket ANN: score only vectors sharing the
+    query's sign signature. The hyperplanes are md5-derived, so the entire
+    index is reproducible in DuckDB — a full cross-engine oracle for an ANN
+    structure."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.lsh_bucket_topk(emb, [float(v) for v in query], k=10, nbits=_LSH_NBITS)
+
+
+def _lsh_sql() -> str:
+    def hyper(bit: int, idx: str) -> str:
+        return (
+            f"CASE WHEN CAST(concat('0x', substr(md5('{bit}' || '|' || CAST({idx} AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+
+    def proj(bit: int, v: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({hyper(bit, 'i - 1')})))"
+        )
+
+    def sig(v: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {proj(bit, v)} >= 0 THEN {2 ** bit} ELSE 0 END"
+            for bit in range(_LSH_NBITS)
+        )
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+     qsig AS (SELECT {sig('qv')} AS s FROM q),
+     sigs AS (SELECT vec_id, embedding, {sig('embedding')} AS s FROM embeddings)
+SELECT e.vec_id,
+       round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cosine
+FROM sigs e, q, qsig
+WHERE e.s = qsig.s
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+SQL_ANN_LSH_TOPK = _lsh_sql()
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe path — rows-only check (the centroid-argmax assignment is
     awkward as one SQL statement); recall vs brute force is pinned in
@@ -590,6 +638,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -611,6 +660,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # ann_ivf_topk: rows-only (non-SQL-expressible assignment), see docstring
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
