@@ -30,3 +30,29 @@ def store_parquet(
 
 def show_console(df: DataFrame, n: int = 10) -> None:
     df.show(n, truncate=False)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+    sort_by: list[str] | None = None,
+) -> int:
+    """Write parquet compacted to ~``target_mb`` files — the small-files
+    mitigation (a 100 TB table written from thousands of tasks otherwise
+    lands as millions of KB-sized objects that throttle any object store's
+    listing and per-request costs).
+
+    File count comes from the optimizer's size estimate of the plan (driver
+    metadata only, no extra pass). ``sort_by`` additionally orders rows
+    within each output file so parquet row-group min/max stats prune reads
+    on those columns (poor man's clustering). Returns the partition count.
+    """
+    size_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int(int(size_bytes) // (target_mb * 1024 * 1024)) + 1)
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode(mode).parquet(path)
+    return n_files

@@ -85,6 +85,30 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path)
     assert got == want
 
 
+def test_stream_rollup_restart_picks_up_new_files(spark, sf_dir, events_dir, tmp_path):
+    """Checkpointed aggregation across restarts: a second availableNow run
+    over the same checkpoint folds ONLY the new file into the running state
+    (complete mode re-emits the merged result)."""
+    ckpt = str(tmp_path / "ckpt")
+    sdf = hourly_rollup(stream_events_parquet(spark, events_dir))
+    run_available_now(sdf, ckpt, output_mode="complete", query_name="rollup_r1")
+    first = {
+        (r["hour_bucket"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM rollup_r1").collect()
+    }
+
+    shutil.copy(f"{sf_dir}/events.parquet", pathlib.Path(events_dir) / "part-001.parquet")
+    sdf = hourly_rollup(stream_events_parquet(spark, events_dir))
+    run_available_now(sdf, ckpt, output_mode="complete", query_name="rollup_r2")
+    second = {
+        (r["hour_bucket"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM rollup_r2").collect()
+    }
+    # same data twice → every group count exactly doubles (state restored,
+    # old file not reprocessed, new file folded in)
+    assert second == {k: 2 * v for k, v in first.items()}
+
+
 def test_session_window_batch_matches_lag_formulation(spark, sf_dir):
     """Native session_window == the lag/cumsum sessionization, per user."""
     per_session = session_windows(read_table(spark, sf_dir, "events"))
