@@ -42,6 +42,10 @@ SHOWCASE = [
         "events_rollup",
         "Expand feeds a single HashAggregate: leaf + subtotal + grand total in one shuffle.",
     ),
+    (
+        "tpch_q10",
+        "Fact filtered at the scan, both dimensions broadcast, top-20 via TakeOrderedAndProject (k rows per partition, never a full sort).",
+    ),
 ]
 
 
