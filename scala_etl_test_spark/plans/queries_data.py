@@ -510,6 +510,37 @@ WHERE d.doc_id NOT IN (SELECT node FROM losers)
 
 
 # --------------------------------------------------------------------------
+# table profiling (operators/profile.py)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (nulls, exact distinct, min/max)."""
+    from scala_etl_test_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_DOCUMENTS = _profile_sql()
+
+
+# --------------------------------------------------------------------------
 # deterministic dataset split (operators/sampling.py)
 # --------------------------------------------------------------------------
 
@@ -650,6 +681,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean": q_corpus_clean,
     "dataset_split": q_dataset_split,
+    "profile_documents": q_profile_documents,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -672,4 +704,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dataset_split": SQL_DATASET_SPLIT,
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
 }

@@ -1,0 +1,46 @@
+"""Driver-contract smoke: exactly what the driver's verify does — entry()
+runs with a stable schema, every queries() entry is callable, every
+oracle_sql() key has a query, omissions are documented."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def contract():
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_runs_with_stable_schema(contract, spark):
+    df = contract.entry(spark)
+    assert df.count() > 0
+    assert df.columns == [
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "count_order",
+    ]
+
+
+def test_contract_shapes(contract):
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    assert len(qs) >= 57
+    assert set(oracles) <= set(qs)
+    missing = set(qs) - set(oracles)
+    # every omission is a documented rows-only check
+    assert missing == {"ann_ivf_topk", "multimodal_features", "approx_distinct_users"}
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
