@@ -31,3 +31,43 @@ def test_compacted_sorted_write_clusters_rows(spark, sf_dir, tmp_path):
     # rows within the (single) file are non-decreasing on the sort key
     ts = [r["l_shipdate"] for r in back.select("l_shipdate").collect()]
     assert ts == sorted(ts)
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from scala_etl_test_spark.functions.cleaning import zorder_key
+
+    df = spark.createDataFrame([(x, y) for x in range(8) for y in range(8)], "x int, y int")
+    rows = df.select("x", "y", zorder_key(["x", "y"], bits=3).alias("z")).collect()
+    z = {(r["x"], r["y"]): r["z"] for r in rows}
+    # known Morton values: (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3 (2,2)=12 (7,7)=63
+    assert z[(0, 0)] == 0 and z[(1, 0)] == 1 and z[(0, 1)] == 2
+    assert z[(1, 1)] == 3 and z[(2, 2)] == 12 and z[(7, 7)] == 63
+    assert len(set(z.values())) == 64  # bijective on the grid
+
+
+def test_zorder_sorted_write_prunes_both_dims(spark, tmp_path):
+    """Sorting by the z-key bounds BOTH dimensions per file; a plain x-sort
+    leaves y unconstrained (full range in every file)."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.functions.cleaning import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    ).withColumn("z", zorder_key(["x", "y"], bits=6))
+    out = str(tmp_path / "zorder")
+    df.repartitionByRange(4, "z").sortWithinPartitions("z").write.parquet(out)
+    spans = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("y") - F.min("y")).alias("y_span"), (F.max("x") - F.min("x")).alias("x_span"))
+        .collect()
+    )
+    # a plain x-sort leaves y_span = 63 in EVERY file; z-ordering must bound
+    # both dimensions on average (sampled range boundaries may straddle one
+    # quadrant edge, so assert the mean, not each file)
+    mean_y = sum(r["y_span"] for r in spans) / len(spans)
+    mean_x = sum(r["x_span"] for r in spans) / len(spans)
+    assert mean_y < 48, spans
+    assert mean_x < 48, spans
