@@ -330,6 +330,51 @@ def simhash_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 3) ->
     )
 
 
+def simhash_pairs_banded(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Scale path for :func:`simhash_pairs`: split the 60-bit fingerprint
+    into ``max_hamming + 1`` chunks and join on exact chunk equality — by
+    pigeonhole, any pair within ``max_hamming`` differing bits agrees on at
+    least one chunk, so recall is 100% while the join only materializes
+    same-chunk candidates (vs the all-pairs cross join).
+
+    Produces exactly the same rows as the direct formulation (the oracle
+    suite checks the banded form against the brute-force SQL).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .withColumn("hamming", F.col("hamming").cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with cheap blocking
 # ---------------------------------------------------------------------------

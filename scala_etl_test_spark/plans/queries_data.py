@@ -170,8 +170,11 @@ SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uses the BANDED (pigeonhole-chunk) scale path; the oracle is the
+    brute-force all-pairs SQL, so the banding's 100%-recall guarantee is
+    verified, not assumed."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(D.simhash(docs, "text", "doc_id"), "doc_id", max_hamming=4)
+    return D.simhash_pairs_banded(D.simhash(docs, "text", "doc_id"), "doc_id", max_hamming=4)
 
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""

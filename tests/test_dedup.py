@@ -72,3 +72,12 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     bands = D.lsh_bands(sigs, "doc_id")
     assert D.lsh_candidate_pairs(bands, "doc_id", max_bucket=10).count() == 0
     assert D.lsh_candidate_pairs(bands, "doc_id", max_bucket=100).count() == 20 * 19 / 2
+
+
+def test_simhash_banded_equals_direct(spark, docs):
+    from scala_etl_test_spark.operators.dedup import simhash, simhash_pairs, simhash_pairs_banded
+
+    fp = simhash(docs, "text", "doc_id")
+    direct = {tuple(r) for r in simhash_pairs(fp, "doc_id", max_hamming=6).collect()}
+    banded = {tuple(r) for r in simhash_pairs_banded(fp, "doc_id", max_hamming=6).collect()}
+    assert banded == direct
