@@ -285,6 +285,54 @@ LIMIT 20
 _LSH_NBITS = 8
 
 
+def _lsh_sig_sql(v: str, nbits: int = _LSH_NBITS) -> str:
+    """DuckDB expression reproducing operators.similarity.lsh_signature."""
+
+    def hyper(bit: int, idx: str) -> str:
+        return (
+            f"CASE WHEN CAST(concat('0x', substr(md5('{bit}' || '|' || CAST({idx} AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+
+    def proj(bit: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({hyper(bit, 'i - 1')})))"
+        )
+
+    return " + ".join(
+        f"CASE WHEN {proj(bit)} >= 0 THEN {2 ** bit} ELSE 0 END" for bit in range(nbits)
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-blocking near-dup variant: candidate pairs share an LSH sign
+    signature (no external label needed — the index IS the blocking key).
+    Signature is md5-derived, so the oracle rebuilds the whole index in SQL."""
+    from scala_etl_test_spark.operators.similarity import lsh_signature
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = emb.withColumn("_block", lsh_signature("embedding", _LSH_NBITS))
+    return S.embedding_near_dup_pairs(
+        sig, vec_col="embedding", id_col="vec_id", block_col="_block", threshold=_COS_DEDUP_T
+    )
+
+
+def _embedding_near_dup_lsh_sql() -> str:
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS s FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+FROM sigs a JOIN sigs b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {_COS_DEDUP_T}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _embedding_near_dup_lsh_sql()
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket ANN: score only vectors sharing the
     query's sign signature. The hyperplanes are md5-derived, so the entire
@@ -671,6 +719,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -694,6 +743,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     # ann_ivf_topk: rows-only (non-SQL-expressible assignment), see docstring
