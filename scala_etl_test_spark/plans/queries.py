@@ -1377,6 +1377,7 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 from scala_etl_test_spark.plans.queries_data import DATA_ORACLE_SQL, DATA_QUERIES
+from scala_etl_test_spark.plans.queries_tpch2 import TPCH2_ORACLE_SQL, TPCH2_QUERIES
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
@@ -1417,6 +1418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_customers": q_set_ops_customers,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
+    **TPCH2_QUERIES,
     **DATA_QUERIES,
 }
 
@@ -1459,5 +1461,6 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }
