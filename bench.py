@@ -35,6 +35,8 @@ HEADLINE = [
     "semi_join_exists",
     "dedup_clusters",
     "corpus_clean",
+    "tpch_q13",
+    "tpch_q21",
 ]
 
 

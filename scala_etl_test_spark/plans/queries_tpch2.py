@@ -2,12 +2,14 @@
 the first-tranche headliners (Q1/Q3/Q5/Q6/Q10/Q14/Q18 in
 :mod:`scala_etl_test_spark.plans.queries`).
 
-Covered here: EXISTS semi-join aggregation (Q4), nation-pair disjunctive join
-(Q7), market-share conditional ratio (Q8), derived-bucket two-way conditional
-count (Q12), outer-join count distribution (Q13), max-equality selection via a
-scalar aggregate (Q15), distinct-count with NOT-IN exclusion (Q16), correlated
-scalar-average subquery (Q17), disjunctive multi-predicate join (Q19), and
-anti-join + global-scalar threshold (Q22).
+Covered here: correlated-min via window rank (Q2), EXISTS semi-join
+aggregation (Q4), nation-pair disjunctive join (Q7), market-share conditional
+ratio (Q8), HAVING-above-scalar-fraction (Q11), derived-bucket two-way
+conditional count (Q12), outer-join count distribution (Q13), max-equality
+selection via a scalar aggregate (Q15), distinct-count with NOT-IN exclusion
+(Q16), correlated scalar-average subquery (Q17), disjunctive multi-predicate
+join (Q19), two-granularity aggregate comparison (Q20), multi-EXISTS sole-
+latest-shipper (Q21), and anti-join + global-scalar threshold (Q22).
 
 The driver testdata (TESTDATA.md) is TPC-H-ish but lacks ``partsupp``,
 ``l_commitdate``/``l_receiptdate``/``l_shipmode`` and customer phone columns,
@@ -503,7 +505,266 @@ GROUP BY c.c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (correlated-min via window rank)
+# --------------------------------------------------------------------------
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: per qualifying part, the single best supplier in a
+    region. Adapted: the part↔supplier association is observed ``lineitem``
+    pairs (no ``partsupp``), and "minimum supply cost" becomes minimum
+    ``s_acctbal`` (tie-break ``s_suppkey`` for a total order).
+
+    The correlated ``MIN`` subquery of the reference formulation is a
+    ``row_number`` window over the part key — one shuffle on ``p_partkey``
+    instead of a rescan-per-part; the dim joins all broadcast.
+    """
+    assoc = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("p_partkey").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (
+        assoc.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, nation, p_partkey, p_name
+FROM (
+  SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_name,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+  FROM assoc a
+  JOIN part p ON a.l_partkey = p.p_partkey
+  JOIN supplier s ON a.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size <= 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part value concentration (HAVING > scalar fraction)
+# --------------------------------------------------------------------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: parts representing a significant fraction of one
+    nation's shipped value. Adapted: value is shipped ``l_extendedprice``
+    from NATION_3 suppliers (no ``partsupp`` stock value).
+
+    The grand total is a 1-row broadcast; the HAVING fraction is multiplied
+    through (``val * 300 > total``) so both engines compare exact decimals.
+    """
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("_val"))
+    )
+    total = val.agg(F.sum("_val").alias("_total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("_val") * 300 > F.col("_total"))
+        .select("l_partkey", F.col("_val").cast("double").alias("part_value"))
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v, (SELECT SUM(val) AS t FROM v) tot
+WHERE v.val * 300 > tot.t
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers (two-granularity aggregate comparison)
+# --------------------------------------------------------------------------
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern: suppliers holding an outsized share of a part
+    family's volume. Adapted: "availqty > half of shipped qty" (no
+    ``partsupp``) becomes "shipped more than half of a SMALL-type part's
+    total 1996 volume".
+
+    Two aggregates at different granularity — per (part, supplier) and per
+    part — joined on the part key; both shuffles reuse the same key, and the
+    share comparison is multiplied through in exact decimal.
+    """
+    small = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    li96 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(F.sum(_dec("l_quantity")).alias("_q"))
+    per_p = li96.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(_dec("l_quantity")).alias("_qtot")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("_q") * 2 > F.col("_qtot"))
+        .select("l_suppkey")
+        .distinct()
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(F.col("s_suppkey"), F.col("s_name"))
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH small_parts AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL'),
+li96 AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN small_parts ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM li96 GROUP BY l_partkey, l_suppkey
+),
+per_p AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qtot
+  FROM li96 GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM per_ps a JOIN per_p b ON a.l_partkey = b.pk
+JOIN supplier s ON a.l_suppkey = s.s_suppkey
+WHERE a.q * 2 > b.qtot
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (multi-EXISTS via grouped twins)
+# --------------------------------------------------------------------------
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern: suppliers who were the *sole* latest shipper on a
+    multi-supplier finished order. Adapted: with no commit/receipt dates,
+    "failed to meet the committed date" becomes "attained the order's max
+    ship date"; the EXISTS (another supplier on the order) and NOT EXISTS
+    (no other supplier also late) pair survives as grouped counts.
+
+    The per-order rollups (order max, supplier count, count-at-max) are
+    same-spec window functions over the per-(order, supplier) aggregate —
+    the fact table is scanned ONCE and the ``l_orderkey`` partitioning is
+    computed once (the naive self-join formulation rescans the aggregate
+    subtree three times; the oracle SQL keeps that shape for readability,
+    DuckDB materializes the CTE).
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_s_max"))
+    )
+    win = Window.partitionBy("l_orderkey")
+    annotated = ps.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_s_max",
+        F.max("_s_max").over(win).alias("_o_max"),
+        F.count(F.lit(1)).over(win).alias("_n_supp"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("_s_max") == F.col("_o_max"), 1).otherwise(0))
+        .over(win)
+        .alias("_n_at_max"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        annotated.filter(
+            (F.col("_s_max") == F.col("_o_max"))
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_at_max") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH ps AS (
+  SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS s_max
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+po AS (
+  SELECT l_orderkey AS ok, MAX(s_max) AS o_max, CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM ps GROUP BY l_orderkey
+),
+ps_o AS (
+  SELECT ps.* FROM ps JOIN po ON ps.l_orderkey = po.ok WHERE ps.s_max = po.o_max
+),
+pm AS (
+  SELECT l_orderkey AS ok2, CAST(COUNT(*) AS BIGINT) AS n_at_max
+  FROM ps_o GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ps_o
+JOIN po ON ps_o.l_orderkey = po.ok
+JOIN pm ON ps_o.l_orderkey = pm.ok2
+JOIN supplier s ON ps_o.l_suppkey = s.s_suppkey
+WHERE po.n_supp >= 2 AND pm.n_at_max = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
 TPCH2_QUERIES = {
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "tpch_q4": q_tpch_q4,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -517,6 +778,10 @@ TPCH2_QUERIES = {
 }
 
 TPCH2_ORACLE_SQL = {
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q21": SQL_TPCH_Q21,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,

@@ -122,6 +122,17 @@ def test_approx_distinct_within_error_bound(q, spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, approx[k], exact[k])
 
 
+def test_q21_single_scan_shared_window_exchange(q):
+    """TPC-H Q21's three per-order rollups must be same-spec Window nodes
+    over ONE exchange of ONE lineitem scan — the naive multi-CTE plan
+    rescans the fact table three times (3× scan cost at 100 TB)."""
+    p = plan(q("tpch_q21"), mode="simple")
+    assert p.count("Scan parquet") <= 3, p  # lineitem + orders + supplier
+    assert p.count("Window [") == 2, p
+    # exchanges: groupBy(orderkey,suppkey) + window(orderkey) + final groupBy(suppkey)
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
 def test_every_query_has_an_oracle_or_documented_reason(q):
     undocumented = {
         n

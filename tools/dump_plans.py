@@ -46,6 +46,10 @@ SHOWCASE = [
         "tpch_q10",
         "Fact filtered at the scan, both dimensions broadcast, top-20 via TakeOrderedAndProject (k rows per partition, never a full sort).",
     ),
+    (
+        "tpch_q21",
+        "ONE lineitem scan: the three per-order rollups (max ship date, supplier count, count-at-max) are same-spec Window nodes sharing a single Exchange — the naive multi-CTE formulation rescans the aggregate subtree three times.",
+    ),
 ]
 
 
