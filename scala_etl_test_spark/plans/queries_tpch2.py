@@ -567,6 +567,56 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# Q9 — product-type profit (LIKE-filtered 5-way join, profit arithmetic)
+# --------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on a product line by supplier nation and year.
+    Adapted: ``ps_supplycost`` (no ``partsupp``) becomes ``p_retailprice``,
+    so profit = discounted revenue − quantity × retail price — the join
+    shape, LIKE filter, and group-by are the reference pattern.
+
+    Determinism: both profit terms are decimal products (no double sums,
+    no decimal *rounding* — the product's widened scale is exact in both
+    engines); the part dim broadcasts after the LIKE filter.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = _revenue() - _dec("l_quantity") * _dec("p_retailprice")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+                - CAST(l.l_quantity AS DECIMAL(12,2))
+                  * CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER)
+"""
+
+
+# --------------------------------------------------------------------------
 # Q11 — important part value concentration (HAVING > scalar fraction)
 # --------------------------------------------------------------------------
 
@@ -762,6 +812,7 @@ LIMIT 10
 
 TPCH2_QUERIES = {
     "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
     "tpch_q11": q_tpch_q11,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
@@ -779,6 +830,7 @@ TPCH2_QUERIES = {
 
 TPCH2_ORACLE_SQL = {
     "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q9": SQL_TPCH_Q9,
     "tpch_q11": SQL_TPCH_Q11,
     "tpch_q20": SQL_TPCH_Q20,
     "tpch_q21": SQL_TPCH_Q21,
