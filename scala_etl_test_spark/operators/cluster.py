@@ -2,12 +2,16 @@
 (beyond-reference; the step that turns pairwise similarity into dedup
 *decisions* — cluster near-duplicates, keep one representative per cluster).
 
-Algorithm: alternating large-star / small-star label propagation
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
-the standard shuffle-based CC algorithm; converges in O(log n) rounds on
-real graphs). Each round is two DataFrame self-joins + groupBys — no driver
-adjacency, no ``collect``; the only driver-side value per round is the
-1-row convergence check, which is also what terminates the loop.
+Algorithm: iterative min-label propagation over the symmetric edge list —
+each round every node takes the min of its own and its neighbors' labels
+(one join + one groupBy per round); converges in O(graph diameter) rounds,
+which for near-dup graphs (overwhelmingly tiny cliques, diameter ≤ 2-3) is
+a handful of shuffles. No driver adjacency, no ``collect``; the only
+driver-side value per round is the 1-row convergence check, which is also
+what terminates the loop. (The O(log n)-round large-star/small-star scheme
+of Kiveris et al., SoCC'14, is the upgrade path if cluster diameters ever
+grow — for dedup cliques the simpler propagation does strictly fewer
+shuffles per round.)
 
 Scale notes:
 - State per round is the (node, label) edge list — linear in |V|+|E|; skew
