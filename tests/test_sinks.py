@@ -71,3 +71,29 @@ def test_zorder_sorted_write_prunes_both_dims(spark, tmp_path):
     mean_x = sum(r["x_span"] for r in spans) / len(spans)
     assert mean_y < 48, spans
     assert mean_x < 48, spans
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column must
+    become a PartitionFilter (directory pruning — the scan never lists, let
+    alone reads, the other partitions' files). This is THE layout lever for
+    a 100 TB table with a dominant access predicate."""
+    from scala_etl_test_spark.sources.sinks import store_parquet
+
+    li = read_table(spark, sf_dir, "lineitem")
+    store_parquet(li, str(tmp_path), "li_part", partition_by=["l_returnflag"])
+
+    back = spark.read.parquet(f"{tmp_path}/li_part").filter(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    # physical check, not just plan text: with the other partitions' files
+    # deleted AFTER the file index was built, the filtered count can only
+    # succeed if the scan truly never opens them (ignoreMissingFiles=false)
+    exact = li.filter(F.col("l_returnflag") == "R").count()
+    import shutil
+
+    for d in glob.glob(f"{tmp_path}/li_part/l_returnflag=*"):
+        if not d.endswith("l_returnflag=R"):
+            shutil.rmtree(d)
+    assert back.count() == exact
