@@ -1373,6 +1373,48 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Cohort retention matrix (weekly cohorts × week offset)
+# --------------------------------------------------------------------------
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention on purchase activity: cohort = the week of a
+    user's first purchase; each cell counts users from that cohort active
+    ``week_offset`` weeks later. The product-analytics staple that at scale
+    is two shuffles on ``user_id`` (distinct user-weeks, first-week) plus a
+    cell-count aggregate over a tiny (cohorts × offsets) grid.
+
+    Both engines truncate weeks to Monday; the offset division is exact
+    (day deltas between week-truncs are multiples of 7).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    uw = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w")).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        uw.join(fw, on="user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+  FROM events WHERE event_type = 'purchase'
+), fw AS (
+  SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id
+)
+SELECT strftime(fw.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', fw.cw, uw.w) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN fw USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1418,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_customers": q_set_ops_customers,
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     **TPCH2_QUERIES,
     **DATA_QUERIES,
 }
@@ -1461,6 +1504,7 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }

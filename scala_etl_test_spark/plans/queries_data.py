@@ -470,6 +470,57 @@ FROM documents
 """
 
 
+def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms — the TF-IDF pattern with an
+    integer-only ranking: (term frequency DESC, document frequency ASC,
+    word ASC). The float ``tf·ln(N/df)`` score orders identically for fixed
+    tf (rarer ⇒ higher idf) but ``ln`` differs across engines by ULPs, so
+    the oracle-checked ranking stays in exact integers; ``tfidf`` consumers
+    can recompute the float score from the returned (tf, df) pair.
+
+    Scale: one shuffle to (doc, word) counts, one vocab-sized aggregate for
+    df joined back on the word key, one window top-k (WindowGroupLimit keeps
+    per-partition heaps, no full sort of the exploded corpus).
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    words = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_, on="word")
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "word", "tf", "df", F.col("_rn").cast("int").alias("rank"))
+    )
+
+
+SQL_DOCS_TOP_TERMS = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE word <> '' GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+)
+SELECT doc_id, word, tf, df, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rn
+  FROM tf JOIN df USING (word)
+) WHERE rn <= 3
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return X.document_fingerprints(docs, "text", "doc_id", shingle_n=5)
@@ -726,6 +777,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "docs_top_terms": q_docs_top_terms,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -750,6 +802,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
