@@ -58,6 +58,59 @@ def assign_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample_fixed(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum by
+    the content hash of their id and keep the first ``k``. Same guarantees
+    as ``hash_bucket`` splits — reproducible across engines, runs, and
+    cluster sizes (``df.sample``/``sampleBy`` are neither), and a row keeps
+    its membership as other strata grow. ``salt`` derives independent
+    samples from the same keys.
+
+    Scale: one shuffle on the stratum key; the ranking is a window top-k,
+    which Spark executes with per-partition WindowGroupLimit heaps — no
+    stratum ever materializes fully on one task."""
+    from pyspark.sql import Window
+
+    key = (
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+        if salt
+        else F.col(id_col).cast("string")
+    )
+    win = Window.partitionBy(stratum_col).orderBy(F.md5(key).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def mixture_weights(df: DataFrame, group_col: str, round_digits: int = 9) -> DataFrame:
+    """Square-root temperature mixing weights per source: weight ∝ √n.
+    The multinomial temperature-sampling scheme (alpha = 0.5) used to
+    rebalance multi-source/multilingual training mixes — upweights small
+    sources relative to their raw share. Returns (group, n_docs, weight).
+
+    Determinism notes: ``sqrt`` is IEEE-correctly-rounded in every engine
+    (unlike ``pow(x, 0.5)``), and the weight is rounded to ``round_digits``
+    because the denominator is a sum of doubles whose addition order is
+    engine- and partitioning-dependent at the last ULP. The group counts are
+    a single map-side-combined aggregate; the denominator is a 1-row
+    broadcast."""
+    g = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.agg(F.sum(F.sqrt(F.col("n_docs"))).alias("_denom"))
+    return g.join(F.broadcast(t)).select(
+        group_col,
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) / F.col("_denom"), round_digits).alias("weight"),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -649,6 +649,46 @@ SQL_PROFILE_DOCUMENTS = _profile_sql()
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-per-language sample (hash-ordered, engine-portable)."""
+    from scala_etl_test_spark.operators.sampling import stratified_sample_fixed
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_fixed(docs, "lang", "doc_id", k=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixing weights over the ``source`` column."""
+    from scala_etl_test_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source")
+
+
+SQL_CORPUS_MIXTURE = """
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT SUM(sqrt(n_docs)) AS denom FROM g
+)
+SELECT g.source, g.n_docs, round(sqrt(g.n_docs) / t.denom, 9) AS weight
+FROM g, t
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment by portable content hash —
     identical in Spark and DuckDB, stable under data growth."""
@@ -778,6 +818,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "docs_top_terms": q_docs_top_terms,
+    "stratified_sample": q_stratified_sample,
+    "corpus_mixture": q_corpus_mixture,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -803,6 +845,8 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_mixture": SQL_CORPUS_MIXTURE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,

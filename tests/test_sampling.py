@@ -70,3 +70,51 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for cluster in [(0, 1, 2), (10, 11), (20, 21, 22), (30, 31)]:
         assert len({got[i] for i in cluster}) == 1, (cluster, {i: got[i] for i in cluster})
     assert out.columns == ["doc_id", "text", "split"]
+
+
+def test_stratified_sample_fixed_counts_and_stability(spark, sf_dir):
+    """Exactly min(k, |stratum|) rows per stratum; membership is stable when
+    other strata grow (content-addressed, not position-dependent)."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.sampling import stratified_sample_fixed
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sample = stratified_sample_fixed(docs, "lang", "doc_id", k=5)
+    per = {r["lang"]: r["n"] for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(5, n) for lang, n in sizes.items()}
+
+    # growth in OTHER strata must not change this stratum's members
+    en_before = {r["doc_id"] for r in sample.filter(F.col("lang") == "en").collect()}
+    grown = docs.union(
+        docs.filter(F.col("lang") == "fr").withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    en_after = {
+        r["doc_id"]
+        for r in stratified_sample_fixed(grown, "lang", "doc_id", k=5)
+        .filter(F.col("lang") == "en")
+        .collect()
+    }
+    assert en_before == en_after
+
+
+def test_mixture_weights_sqrt_temperature(spark, sf_dir):
+    """Weights sum to 1 and follow w ∝ √n: small sources get a larger share
+    than their raw fraction, large sources a smaller one."""
+    import math
+
+    from scala_etl_test_spark.operators.sampling import mixture_weights
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = mixture_weights(docs, "source").collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    denom = sum(math.sqrt(r["n_docs"]) for r in rows)
+    for r in rows:
+        assert abs(r["weight"] - math.sqrt(r["n_docs"]) / denom) < 1e-8
+        raw_share = r["n_docs"] / total
+        if raw_share < 1 / len(rows):
+            assert r["weight"] >= raw_share  # upweighted
