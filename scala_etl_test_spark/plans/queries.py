@@ -1415,6 +1415,138 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Inter-event gap analytics (lag) and revenue quartiles (ntile)
+# --------------------------------------------------------------------------
+
+def q_events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via ``lag`` over the event-time
+    order (ties broken by event_id for a total order). Gap math stays in
+    exact microseconds (``unix_micros``); the average derives from the
+    exact sum. One shuffle on ``user_id`` shared by the window and the
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("_sum_gap"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            (F.col("_sum_gap").cast("double") / F.col("n_gaps")).alias("avg_gap_us"),
+            "max_gap_us",
+        )
+    )
+
+
+SQL_EVENTS_USER_GAPS = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue quartiles via ``ntile(4)`` over a deterministic
+    total order (revenue in exact decimal DESC, custkey ASC), rolled up to
+    per-quartile counts and revenue. The unpartitioned ntile degrades to a
+    single-task sort at extreme scale — for 100 TB use the percentile-bound
+    join variant; here the input is one row per customer (post-aggregate),
+    which is already small."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = Window.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+SQL_CUSTOMER_REVENUE_QUARTILES = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+  FROM orders GROUP BY o_custkey
+)
+SELECT quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r) AS DOUBLE) AS revenue
+FROM (SELECT o_custkey, r, ntile(4) OVER (ORDER BY r DESC, o_custkey) AS quartile FROM rev)
+GROUP BY quartile
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC upsert (MERGE INTO semantics, anti-join + union form)
+# --------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE over ``customer`` with a synthesized deterministic change
+    feed: every 7th customer gets a +100.00 balance update, every 13th key
+    past the max inserts as a new customer. Verified by aggregate: per
+    mktsegment row count and exact balance sum over the merged table."""
+    from scala_etl_test_spark.operators.merge import upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", (_dec("c_acctbal") + F.lit(100).cast("decimal(12,2)")).cast("double")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    merged = upsert(cust, updates.unionByName(inserts), ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) + CAST(100 AS DECIMAL(12,2)) AS DOUBLE)
+           AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+), merged AS (
+  SELECT * FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM merged GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1461,6 +1593,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_session_errors": q_range_join_session_errors,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_user_gaps": q_events_user_gaps,
+    "customer_revenue_quartiles": q_customer_revenue_quartiles,
+    "merge_upsert": q_merge_upsert,
     **TPCH2_QUERIES,
     **DATA_QUERIES,
 }
@@ -1505,6 +1640,9 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_session_errors": SQL_RANGE_JOIN_SESSION_ERRORS,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_user_gaps": SQL_EVENTS_USER_GAPS,
+    "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
+    "merge_upsert": SQL_MERGE_UPSERT,
     **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }
