@@ -14,9 +14,12 @@ grow — for dedup cliques the simpler propagation does strictly fewer
 shuffles per round.)
 
 Scale notes:
-- State per round is the (node, label) edge list — linear in |V|+|E|; skew
-  on celebrity nodes is bounded because both stars only ever group a node
-  with its *current* neighbors, and AQE splits the heavy groups.
+- State per round is the (node, label) edge list — linear in |V|+|E|. A
+  celebrity node's per-round groupBy input is its full degree (the
+  adjacency is static); partial aggregation (min combines map-side) and
+  AQE skew splits keep that bounded — and the large-star/small-star
+  upgrade below is the structural fix if a pair generator ever emits
+  super-hub nodes.
 - Rounds are materialized via ``localCheckpoint`` to cut the exponentially
   growing lineage (iterative-algorithm hygiene on any cluster).
 """

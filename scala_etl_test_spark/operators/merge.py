@@ -25,14 +25,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def latest_per_key(
-    updates: DataFrame, key_cols: Sequence[str], version_col: str
+    updates: DataFrame, key_cols: Sequence[str], version_col: str | None
 ) -> DataFrame:
-    """Collapse a change feed to its newest row per key (ties broken by the
-    remaining sort being stable on the version column only is NOT enough —
-    callers needing total determinism should pass a strictly monotone
-    version; we tie-break on all key cols which are constant per partition,
-    so equal versions keep an arbitrary-but-single row)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    """Collapse a change feed to exactly one row per key: newest version
+    first (when ``version_col`` is given), ties — and the no-version case —
+    broken by a deterministic total order (``xxhash64`` over every column),
+    so the same feed collapses identically regardless of partitioning or
+    run. A strictly monotone version column remains the caller's tool for
+    *meaningful* (not merely stable) winner selection."""
+    order = [F.xxhash64(*updates.columns).asc()]
+    if version_col is not None:
+        order.insert(0, F.col(version_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -47,10 +51,16 @@ def upsert(
     version_col: str | None = None,
 ) -> DataFrame:
     """SCD-1 merge: rows from ``updates`` replace base rows with the same
-    key and insert otherwise. Schemas must match by name. If ``version_col``
-    is given the feed is first collapsed to latest-per-key."""
+    key and insert otherwise. Schemas must match by name.
+
+    The feed is ALWAYS collapsed to one row per key first (newest
+    ``version_col`` wins; deterministic hash tie-break) — the merged table
+    is key-unique by construction. Documented divergence from SQL MERGE
+    INTO, which *errors* on multiple source matches: erroring from a lazy
+    distributed plan would cost an extra action, so this operator resolves
+    deterministically instead; pass a real version column when the feed can
+    carry multiple updates per key."""
     keys = list(key_cols)
-    if version_col is not None:
-        updates = latest_per_key(updates, keys, version_col)
+    updates = latest_per_key(updates, keys, version_col)
     survivors = base.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(updates)

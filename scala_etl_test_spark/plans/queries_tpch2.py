@@ -676,7 +676,10 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     total 1996 volume".
 
     Two aggregates at different granularity — per (part, supplier) and per
-    part — joined on the part key; both shuffles reuse the same key, and the
+    part — joined on the part key. The per-part total is re-aggregated FROM
+    the per-(part, supplier) table (decimal addition is associative, so the
+    total is bit-identical), which keeps the fact table to a SINGLE scan —
+    the naive formulation reads and broadcast-joins lineitem twice. The
     share comparison is multiplied through in exact decimal.
     """
     small = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
@@ -687,10 +690,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
     )
-    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(F.sum(_dec("l_quantity")).alias("_q"))
-    per_p = li96.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum(_dec("l_quantity")).alias("_qtot")
+    # persist the compact (part, supplier) aggregate: it feeds BOTH the join
+    # probe side and the per-part rollup, and Catalyst does not structurally
+    # dedupe the two branches (alias divergence defeats ReuseExchange) —
+    # without this the fact scan + broadcast join would run twice
+    per_ps = (
+        li96.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .persist()
     )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("_q").alias("_qtot"))
     supp = _t(spark, sf_dir, "supplier")
     return (
         per_ps.join(per_p, F.col("l_partkey") == F.col("_pk"))

@@ -26,3 +26,19 @@ def test_upsert_latest_version_wins(spark):
     got = {r["k"]: r["name"] for r in upsert(base, feed, ["k"], version_col="ver").collect()}
     assert got == {1: "new", 2: "x"}
     assert latest_per_key(feed, ["k"], "ver").count() == 2
+
+
+def test_upsert_duplicate_key_feed_stays_key_unique(spark):
+    """A feed with repeated keys and no version column must still merge to
+    ONE row per key, chosen deterministically (hash tie-break) — never a
+    duplicated dimension row."""
+    base = spark.createDataFrame([(1, "a", 10.0)], "k int, name string, v double")
+    feed = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (1, "x", 1.0)], "k int, name string, v double"
+    )
+    merged = upsert(base, feed, ["k"])
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["name"] in {"x", "y"}
+    # deterministic across repartitionings of the same feed
+    again = upsert(base, feed.repartition(7), ["k"]).collect()
+    assert rows == again
