@@ -49,3 +49,16 @@ def clicks_with_recent_purchase(
     return c.join(p, cond, "inner").select(
         "click_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (bounded) dimension. No watermark and no streaming state — the static
+    side is re-resolved per trigger, so a small dim broadcasts and a
+    refreshed dim table is picked up on the next micro-batch without a
+    restart. This is the streaming twin of the reference's broadcast
+    product-details join (ApplaudoETL.scala:43-44): same plan shape, the
+    fact side just happens to be unbounded."""
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -158,3 +158,27 @@ def test_stateful_sessions_match_batch(spark, sf_dir, events_dir, tmp_path):
     got = _rows(spark, "stateful_sessions")
     want = {tuple(r) for r in q_events_sessionize(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static broadcast enrichment == the same join in batch; no
+    watermark/state needed on either side."""
+    from scala_etl_test_spark.streaming.joins import enrich_with_dimension
+
+    bev = read_table(spark, sf_dir, "events")
+    dim = (
+        bev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+        .select("user_id", "tier")
+    )
+    sdf = enrich_with_dimension(
+        stream_events_parquet(spark, events_dir).select("event_id", "user_id"), dim, on="user_id"
+    )
+    run_available_now(sdf, str(tmp_path / "ckpt"), query_name="enrich")
+    got = _rows(spark, "enrich")
+    want = {
+        tuple(r)
+        for r in enrich_with_dimension(bev.select("event_id", "user_id"), dim, on="user_id").collect()
+    }
+    assert got == want and len(got) > 0
