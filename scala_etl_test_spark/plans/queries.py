@@ -1495,6 +1495,59 @@ GROUP BY quartile
 
 
 # --------------------------------------------------------------------------
+# GROUPING SETS via the SQL entry path
+# --------------------------------------------------------------------------
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((nation), (year), ()) in one aggregate pass,
+    expressed through the ``spark.sql`` entry path (temp views over the same
+    parquet) — the registry otherwise exercises the DataFrame API; this
+    pins that the SQL surface compiles to the identical Expand → single
+    HashAggregate plan the cube/rollup queries gate (one shuffle for all
+    three groupings). ``grouping()`` flags disambiguate NULL group values
+    from grouped-out dimensions."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT nation,
+               o_year,
+               CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               CAST(grouping(nation) AS INT) AS g_nation,
+               CAST(grouping(o_year) AS INT) AS g_year
+        FROM (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 o.o_totalprice AS price
+          FROM v_orders o
+          JOIN v_customer c ON o.o_custkey = c.c_custkey
+          JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        )
+        GROUP BY GROUPING SETS ((nation), (o_year), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT nation,
+       o_year,
+       CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(nation) AS INT) AS g_nation,
+       CAST(GROUPING(o_year) AS INT) AS g_year
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         o.o_totalprice AS price
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+GROUP BY GROUPING SETS ((nation), (o_year), ())
+"""
+
+
+# --------------------------------------------------------------------------
 # CDC upsert (MERGE INTO semantics, anti-join + union form)
 # --------------------------------------------------------------------------
 
@@ -1596,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_gaps": q_events_user_gaps,
     "customer_revenue_quartiles": q_customer_revenue_quartiles,
     "merge_upsert": q_merge_upsert,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
     **TPCH2_QUERIES,
     **DATA_QUERIES,
 }
@@ -1643,6 +1697,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_user_gaps": SQL_EVENTS_USER_GAPS,
     "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
     "merge_upsert": SQL_MERGE_UPSERT,
+    "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }
