@@ -140,3 +140,21 @@ def test_every_query_has_an_oracle_or_documented_reason(q):
         if n not in ORACLE_SQL and "rows-only" not in (QUERIES[n].__doc__ or "").lower()
     }
     assert not undocumented, f"queries lacking oracle SQL without documented reason: {undocumented}"
+
+
+def test_tpch2_dimension_broadcasts(q):
+    """The adapted TPC-H tranche must broadcast its filtered dims — a
+    sort-merge of lineitem against a 200-row part list is the plan that
+    dies first at 100 TB."""
+    for name in ("tpch_q9", "tpch_q17", "tpch_q19"):
+        p = plan(q(name))
+        assert "BroadcastHashJoin" in p, f"{name} lost its dim broadcast:\n{p}"
+
+
+def test_q20_single_fact_scan_via_persist(q):
+    """Q20's per-part rollup must derive from the persisted per-(part,supp)
+    aggregate: two InMemoryTableScans, not a second lineitem scan+join."""
+    df = q("tpch_q20")
+    df.write.mode("overwrite").format("noop").save()
+    p = plan(df)
+    assert p.count("InMemoryTableScan") >= 2, p
