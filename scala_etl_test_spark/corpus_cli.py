@@ -12,6 +12,8 @@ Artifacts:
 - ``dedup_clusters/`` — (node, component) near-duplicate cluster map
 - ``splits/``         — leakage-safe train/val/test assignment (clusters
                         never straddle a split)
+- ``mixture/``        — √-temperature sampling weight per source (the
+                        data-mixing knob for multi-source training)
 """
 
 from __future__ import annotations
@@ -69,6 +71,10 @@ def main(argv: list[str] | None = None) -> None:
     splits = leakage_safe_split(docs, pairs, "doc_id", weights).select("doc_id", "split")
     splits.write.mode("overwrite").parquet(f"{args.out}/splits")
     pairs.unpersist()
+
+    from scala_etl_test_spark.operators.sampling import mixture_weights
+
+    mixture_weights(docs, "source").write.mode("overwrite").parquet(f"{args.out}/mixture")
 
     n_docs, n_clean = docs.count(), clean.count()
     print(

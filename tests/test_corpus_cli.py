@@ -34,3 +34,10 @@ def test_corpus_cli_artifacts(spark, sf_dir, tmp_path, capsys):
         .filter(F.col("n") > 1)
     )
     assert straddling.count() == 0
+    # mixture weights: one row per source, weights sum to 1
+    mixture = spark.read.parquet(f"{out}/mixture")
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("source").distinct().count()
+    )
+    assert mixture.count() == n_sources
+    assert abs(sum(r["weight"] for r in mixture.collect()) - 1.0) < 1e-6
