@@ -280,6 +280,84 @@ def minhash_near_duplicates(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle_table, band_table) for a corpus — the persistent LSH
+    "index". Write both to parquet once; incremental batches then dedup
+    against the corpus WITHOUT re-shingling or re-hashing it (at 100 TB,
+    re-running LSH over the full corpus per ingest batch is the difference
+    between a minutes job and a day job)."""
+    shingles = shingle_table(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles=shingles)
+    return shingles, lsh_bands(sigs, id_col, bands, rows)
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    index_shingles: DataFrame,
+    index_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs (new × corpus ∪ new × new) for an ingest batch against
+    a pre-built index (:func:`build_minhash_index`), with exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard), id_a < id_b, every pair
+    involving at least one new-batch id.
+
+    Identical hash family/banding as the full pipeline ⇒ produces exactly
+    the pairs the full run would emit for these ids (equivalence is pinned
+    by tests). Only the batch is shingled; the corpus index is probed by
+    equi-join on (band_idx, band_hash) — work scales with batch size and
+    bucket hit rate, not corpus size.
+    """
+    new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, shingles=new_shingles
+    )
+    new_bands = lsh_bands(new_sigs, id_col, bands, rows)
+
+    all_bands = index_bands.unionByName(new_bands)
+    counted = all_bands.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+    probe = counted.join(
+        new_bands.select("band_idx", "band_hash").distinct(), on=["band_idx", "band_hash"]
+    )
+    a = probe.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = counted.join(
+        new_bands.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"
+    ).select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        # canonicalize instead of id_a < id_b: the b side is new-only, so a
+        # new×corpus pair with the smaller new id would otherwise be lost
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_shingles = index_shingles.unionByName(new_shingles)
+    verified = jaccard_for_pairs(
+        cands, new_docs, text_col, id_col, shingle_n, shingles=all_shingles
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -81,3 +81,39 @@ def test_simhash_banded_equals_direct(spark, docs):
     direct = {tuple(r) for r in simhash_pairs(fp, "doc_id", max_hamming=6).collect()}
     banded = {tuple(r) for r in simhash_pairs_banded(fp, "doc_id", max_hamming=6).collect()}
     assert banded == direct
+
+
+def test_incremental_dedup_matches_full_run(spark, sf_dir):
+    """Splitting the corpus into (index, batch) and deduping the batch
+    against the pre-built index must produce EXACTLY the full-run pairs
+    that involve a batch id — index reuse cannot change the answer."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    kw = dict(num_hashes=16, bands=4, rows=4, shingle_n=3)
+    shingles, bands_t = build_minhash_index(corpus, "text", "doc_id", **kw)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_near_duplicates(
+            batch, shingles, bands_t, "text", "doc_id", threshold=0.2, **kw
+        ).collect()
+    }
+
+    full = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.2, **kw)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert got == want
+    assert got  # fixture must actually exercise cross-batch pairs
