@@ -133,6 +133,49 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    max_size: int | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """(word, n_docs, n_occurrences, vocab_id) over the normalized corpus —
+    the deterministic vocabulary a tokenizer trainer starts from. Ids are
+    contiguous from 0 in (occurrences DESC, word ASC) order, so the same
+    corpus always yields the same table on any engine or cluster layout.
+
+    Scale: one explode + one groupBy on the word (uniform key); the id
+    assignment is a single unpartitioned ``row_number`` over the
+    *aggregated* vocab (vocab size ≪ corpus size — for web-scale text a few
+    million rows, fine on one task; shard by frequency band if ever not).
+    """
+    from pyspark.sql import Window
+
+    from scala_etl_test_spark.operators.dedup import words
+
+    doc_key = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    tok = df.select(
+        doc_key.alias("_doc"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(
+            F.count_distinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    vocab = vocab.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("long"))
+    if max_size is not None:
+        vocab = vocab.filter(F.col("vocab_id") < max_size)
+    return vocab.select("word", "n_docs", "n_occurrences", "vocab_id")
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
 ) -> DataFrame:

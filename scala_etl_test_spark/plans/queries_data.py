@@ -521,6 +521,34 @@ FROM (
 """
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus vocabulary: top-500 words by (occurrences DESC,
+    word ASC) with contiguous ids — the tokenizer-training starting table."""
+    from scala_etl_test_spark.operators.text import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", min_count=2, max_size=500, id_col="doc_id")
+
+
+SQL_VOCAB_BUILD = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+), vocab AS (
+  SELECT word,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM tok WHERE word <> ''
+  GROUP BY word
+  HAVING COUNT(*) >= 2
+)
+SELECT word, n_docs, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, word ASC) - 1 AS BIGINT)
+         AS vocab_id
+FROM vocab
+QUALIFY vocab_id < 500
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return X.document_fingerprints(docs, "text", "doc_id", shingle_n=5)
@@ -820,6 +848,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_top_terms": q_docs_top_terms,
     "stratified_sample": q_stratified_sample,
     "corpus_mixture": q_corpus_mixture,
+    "vocab_build": q_vocab_build,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -847,6 +876,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
+    "vocab_build": SQL_VOCAB_BUILD,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
