@@ -117,3 +117,18 @@ def test_incremental_dedup_matches_full_run(spark, sf_dir):
     }
     assert got == want
     assert got  # fixture must actually exercise cross-batch pairs
+
+
+def test_build_vocab_partition_invariant(spark, sf_dir):
+    """Vocabulary ids must be identical regardless of input partitioning
+    (deterministic (occurrences DESC, word ASC) total order)."""
+    from scala_etl_test_spark.operators.text import build_vocab
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = {r["word"]: r["vocab_id"] for r in build_vocab(docs, "text", min_count=2, id_col="doc_id").collect()}
+    v2 = {
+        r["word"]: r["vocab_id"]
+        for r in build_vocab(docs.repartition(13), "text", min_count=2, id_col="doc_id").collect()
+    }
+    assert v1 == v2 and len(v1) > 20
