@@ -253,6 +253,45 @@ def jaccard_for_pairs(
     )
 
 
+def containment_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment per candidate pair:
+    ``containment_a = |A∩B| / |A|`` (how much of A is inside B) and the
+    symmetric twin for B. Catches subsumption that Jaccard misses — a doc
+    quoted whole inside a much larger doc has low Jaccard but containment
+    ≈ 1, the criterion corpus-curation pipelines (e.g. quote/boilerplate
+    stripping) act on. Same join shape and cost as
+    :func:`jaccard_for_pairs`; share ``shingles`` to avoid a rescan."""
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_n)
+    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
+    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / F.col("size_a")).alias("containment_a"),
+            (F.col("n_common") / F.col("size_b")).alias("containment_b"),
+        )
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,

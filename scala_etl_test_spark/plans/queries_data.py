@@ -521,6 +521,56 @@ FROM (
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsumption detection: lang+length-blocked pairs where ≥60% of one
+    side's 2-shingles appear in the other (asymmetric containment — catches
+    quoted/embedded documents that Jaccard under-scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    blocked = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("n_chars").alias("len_a")
+    ).join(
+        docs.select(
+            F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("n_chars").alias("len_b")
+        ),
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= 60),
+    ).select("id_a", "id_b")
+    pairs = D.containment_for_pairs(blocked, docs, "text", "doc_id", shingle_n=2)
+    return pairs.filter(
+        (F.col("containment_a") >= 0.6) | (F.col("containment_b") >= 0.6)
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(2)} AS sh) AS s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 60
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+), common AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN shingled sa ON sa.doc_id = p.id_a
+  JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.n_common AS DOUBLE) / za.set_size AS containment_a,
+       CAST(co.n_common AS DOUBLE) / zb.set_size AS containment_b
+FROM common co
+JOIN sizes za ON za.doc_id = co.id_a
+JOIN sizes zb ON zb.doc_id = co.id_b
+WHERE CAST(co.n_common AS DOUBLE) / za.set_size >= 0.6
+   OR CAST(co.n_common AS DOUBLE) / zb.set_size >= 0.6
+"""
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus vocabulary: top-500 words by (occurrences DESC,
     word ASC) with contiguous ids — the tokenizer-training starting table."""
@@ -849,6 +899,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "corpus_mixture": q_corpus_mixture,
     "vocab_build": q_vocab_build,
+    "dedup_containment": q_dedup_containment,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_payload_stats": q_multimodal_payload_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -877,6 +928,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "vocab_build": SQL_VOCAB_BUILD,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
