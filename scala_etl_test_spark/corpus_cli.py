@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from scala_etl_test_spark.operators import text as X
     from scala_etl_test_spark.operators.cluster import connected_components
-    from scala_etl_test_spark.operators.sampling import leakage_safe_split
+    from scala_etl_test_spark.operators.sampling import leakage_safe_split, mixture_weights
     from scala_etl_test_spark.plans.queries_data import q_dedup_minhash_pairs
     from scala_etl_test_spark.session import build_session
     from scala_etl_test_spark.sources.parquet_source import read_table
@@ -71,8 +71,6 @@ def main(argv: list[str] | None = None) -> None:
     splits = leakage_safe_split(docs, pairs, "doc_id", weights).select("doc_id", "split")
     splits.write.mode("overwrite").parquet(f"{args.out}/splits")
     pairs.unpersist()
-
-    from scala_etl_test_spark.operators.sampling import mixture_weights
 
     mixture_weights(docs, "source").write.mode("overwrite").parquet(f"{args.out}/mixture")
 

@@ -189,19 +189,23 @@ def lsh_bands(signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4)
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
 
 
+def _capped_buckets(band_table: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` — the skew kill-switch
+    shared by the full and incremental pipelines (a bucket with B members
+    yields B²/2 pairs; one boilerplate bucket of 10⁶ docs would emit
+    5·10¹¹). Oversized buckets are near-certainly template/boilerplate
+    text, which exact-dedup already catches."""
+    return band_table.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+
+
 def lsh_candidate_pairs(
     band_table: DataFrame, id_col: str, max_bucket: int = 1000
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any LSH bucket.
-
-    ``max_bucket`` is the skew kill-switch: a bucket with B members yields
-    B²/2 pairs, so one boilerplate bucket of 10⁶ docs would emit 5·10¹¹
-    pairs. Buckets larger than the cap are dropped (they are near-certainly
-    template/boilerplate text, which exact-dedup already catches).
-    """
-    counted = band_table.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-    ).filter(F.col("bucket_size") <= max_bucket)
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH bucket, with
+    the ``max_bucket`` skew cap of :func:`_capped_buckets`."""
+    counted = _capped_buckets(band_table, max_bucket)
     a = counted.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = counted.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -209,6 +213,28 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def _pair_overlap(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, n_common, size_a, size_b) for candidate pairs against a
+    distinct (id, shingle) table — the shared core of Jaccard and
+    containment verification. The equi-join on BOTH (id, shingle) touches
+    only matching shingles per pair (O(|A ∩ B|)), never the per-pair cross
+    product, and set sizes come from one aggregation of the same table."""
+    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
+    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
     )
 
 
@@ -220,36 +246,18 @@ def jaccard_for_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs: two joins against the
-    distinct (id, shingle) table — common-count and per-id set sizes come
-    from the same aggregation, so the verification never rescans raw text.
-    Pass ``shingles`` (from :func:`shingle_table`) to share the exploded
-    table with signature computation."""
+    """Exact shingle-set Jaccard for candidate pairs (see
+    :func:`_pair_overlap` for the join shape). Pass ``shingles`` (from
+    :func:`shingle_table`) to share the exploded table with signature
+    computation instead of rescanning raw text."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
-    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
-    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
-    # equi-join on BOTH (id, shingle): per pair this touches only matching
-    # shingles (O(|A ∩ B|)), never the per-pair cross product
-    common = (
-        pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+    return _pair_overlap(pairs, shingles, id_col).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        ).alias("jaccard"),
     )
 
 
@@ -266,29 +274,14 @@ def containment_for_pairs(
     symmetric twin for B. Catches subsumption that Jaccard misses — a doc
     quoted whole inside a much larger doc has low Jaccard but containment
     ≈ 1, the criterion corpus-curation pipelines (e.g. quote/boilerplate
-    stripping) act on. Same join shape and cost as
-    :func:`jaccard_for_pairs`; share ``shingles`` to avoid a rescan."""
+    stripping) act on. Shares :func:`_pair_overlap` with Jaccard."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
-    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
-    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
-    common = (
-        pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("n_common") / F.col("size_a")).alias("containment_a"),
-            (F.col("n_common") / F.col("size_b")).alias("containment_b"),
-        )
+    return _pair_overlap(pairs, shingles, id_col).select(
+        "id_a",
+        "id_b",
+        (F.col("n_common") / F.col("size_a")).alias("containment_a"),
+        (F.col("n_common") / F.col("size_b")).alias("containment_b"),
     )
 
 
@@ -366,16 +359,19 @@ def incremental_near_duplicates(
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n, shingles=new_shingles
     )
-    new_bands = lsh_bands(new_sigs, id_col, bands, rows)
+    new_bands = lsh_bands(new_sigs, id_col, bands, rows).persist()
 
-    all_bands = index_bands.unionByName(new_bands)
-    counted = all_bands.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-    ).filter(F.col("bucket_size") <= max_bucket)
-    probe = counted.join(
-        new_bands.select("band_idx", "band_hash").distinct(), on=["band_idx", "band_hash"]
+    # restrict to buckets the batch actually touches BEFORE counting sizes:
+    # the semi-join keeps whole buckets, so bucket_size (and thus the skew
+    # cap decision) is identical to the full run for every touched bucket —
+    # but the window never shuffles the untouched O(corpus) remainder
+    touched = index_bands.unionByName(new_bands).join(
+        new_bands.select("band_idx", "band_hash").distinct(),
+        on=["band_idx", "band_hash"],
+        how="left_semi",
     )
-    a = probe.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    counted = _capped_buckets(touched, max_bucket)
+    a = counted.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = counted.join(
         new_bands.select(F.col(id_col)).distinct(), on=id_col, how="left_semi"
     ).select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -389,10 +385,18 @@ def incremental_near_duplicates(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
-    all_shingles = index_shingles.unionByName(new_shingles)
+    # verification likewise touches only candidate ids' shingles, not the
+    # whole index: set sizes for a doc are unchanged by the restriction
+    cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    needed_shingles = index_shingles.unionByName(new_shingles).join(
+        cand_ids, on=id_col, how="left_semi"
+    )
     verified = jaccard_for_pairs(
-        cands, new_docs, text_col, id_col, shingle_n, shingles=all_shingles
+        cands, new_docs, text_col, id_col, shingle_n, shingles=needed_shingles
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

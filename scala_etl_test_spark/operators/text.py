@@ -152,8 +152,6 @@ def build_vocab(
     """
     from pyspark.sql import Window
 
-    from scala_etl_test_spark.operators.dedup import words
-
     doc_key = (
         F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
     )

@@ -153,8 +153,7 @@ def test_tpch2_dimension_broadcasts(q):
 
 def test_q20_single_fact_scan_via_persist(q):
     """Q20's per-part rollup must derive from the persisted per-(part,supp)
-    aggregate: two InMemoryTableScans, not a second lineitem scan+join."""
-    df = q("tpch_q20")
-    df.write.mode("overwrite").format("noop").save()
-    p = plan(df)
+    aggregate: two InMemoryTableScans, not a second lineitem scan+join.
+    (Cache substitution happens at planning time — no execution needed.)"""
+    p = plan(q("tpch_q20"))
     assert p.count("InMemoryTableScan") >= 2, p
