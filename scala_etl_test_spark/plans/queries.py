@@ -1495,6 +1495,45 @@ GROUP BY quartile
 
 
 # --------------------------------------------------------------------------
+# UNPIVOT (wide → long melt) + per-measure rollup
+# --------------------------------------------------------------------------
+
+def q_lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the three lineitem money measures into (measure, value) long
+    form with ``DataFrame.unpivot`` (the Expand-based reshape — rows ×
+    measures with NO shuffle), then roll up per measure. The long form is
+    what metric stores and chart layers consume; the aggregate keeps the
+    melt honest in exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("value")).cast("double").alias("total"),
+    )
+
+
+SQL_LINEITEM_UNPIVOT_MEASURES = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+)
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM long GROUP BY measure
+"""
+
+
+# --------------------------------------------------------------------------
 # GROUPING SETS via the SQL entry path
 # --------------------------------------------------------------------------
 
@@ -1650,6 +1689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_revenue_quartiles": q_customer_revenue_quartiles,
     "merge_upsert": q_merge_upsert,
     "grouping_sets_revenue": q_grouping_sets_revenue,
+    "lineitem_unpivot_measures": q_lineitem_unpivot_measures,
     **TPCH2_QUERIES,
     **DATA_QUERIES,
 }
@@ -1698,6 +1738,7 @@ ORACLE_SQL: dict[str, str] = {
     "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
+    "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
     **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }
