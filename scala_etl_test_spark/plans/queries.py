@@ -1147,12 +1147,33 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only driver check: the HLL estimate is engine-specific by design
     (DuckDB's approx_count_distinct uses a different sketch), so there is no
-    cross-engine hash; the error bound vs exact is pinned in
-    tests/test_plans.py instead."""
+    cross-engine hash. The estimate IS pinned against DuckDB's exact
+    ``COUNT(DISTINCT)`` within the published HLL++ error bound via
+    ``BOUNDED_ORACLE`` (tests/test_oracle_parity.py), and against Spark's
+    exact distinct in tests/test_plans.py."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("approx_users")
     )
+
+
+_HLL_RSD = 0.01
+
+# Exact-count oracle + relative tolerance for sketch queries whose values
+# cannot hash-match across engines but must stay inside the sketch's
+# published error bound (keyed per ``queries()`` name; key columns = all
+# non-estimate columns). 6σ of rsd=0.01 — a false failure is ~1e-9, a
+# broken sketch (or a silently changed rsd) trips it immediately.
+BOUNDED_ORACLE: dict[str, tuple[str, str, float]] = {
+    "approx_distinct_users": (
+        """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users
+        FROM events GROUP BY event_type
+        """,
+        "approx_users",
+        6 * _HLL_RSD,
+    ),
+}
 
 
 # --------------------------------------------------------------------------
@@ -1544,10 +1565,12 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that the SQL surface compiles to the identical Expand → single
     HashAggregate plan the cube/rollup queries gate (one shuffle for all
     three groupings). ``grouping()`` flags disambiguate NULL group values
-    from grouped-out dimensions."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    from grouped-out dimensions.
+
+    The tables are passed as ``spark.sql`` DataFrame template arguments —
+    NOT ``createOrReplaceTempView`` — so building the plan mutates no
+    session catalog state (fixed-name views could silently repoint views
+    registered elsewhere in the same long-lived session)."""
     return spark.sql(
         """
         SELECT nation,
@@ -1559,12 +1582,15 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n.n_name AS nation,
                  CAST(year(o.o_orderdate) AS INT) AS o_year,
                  o.o_totalprice AS price
-          FROM v_orders o
-          JOIN v_customer c ON o.o_custkey = c.c_custkey
-          JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+          FROM {orders} o
+          JOIN {customer} c ON o.o_custkey = c.c_custkey
+          JOIN {nation} n ON c.c_nationkey = n.n_nationkey
         )
         GROUP BY GROUPING SETS ((nation), (o_year), ())
-        """
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+        customer=_t(spark, sf_dir, "customer"),
+        nation=_t(spark, sf_dir, "nation"),
     )
 
 
@@ -1645,7 +1671,7 @@ FROM merged GROUP BY c_mktsegment
 from scala_etl_test_spark.plans.queries_data import DATA_ORACLE_SQL, DATA_QUERIES
 from scala_etl_test_spark.plans.queries_tpch2 import TPCH2_ORACLE_SQL, TPCH2_QUERIES
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+_BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "union_positional": q_union_positional,
     "split_explode": q_split_explode,
@@ -1694,7 +1720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **DATA_QUERIES,
 }
 
-ORACLE_SQL: dict[str, str] = {
+_BASE_ORACLE_SQL: dict[str, str] = {
     "scan_filter_project": SQL_SCAN_FILTER_PROJECT,
     "union_positional": SQL_UNION_POSITIONAL,
     "split_explode": SQL_SPLIT_EXPLODE,
@@ -1742,3 +1768,66 @@ ORACLE_SQL: dict[str, str] = {
     **TPCH2_ORACLE_SQL,
     **DATA_ORACLE_SQL,
 }
+
+# Driver-gate ordering: the round-1 correctness gate stopped after the first
+# 50 registry entries in insertion order (44 base + the first 6 tranche-2
+# TPC-H), leaving 35 queries without a CORRECTNESS row.  The public registry
+# therefore lists those 35 first — cheapest-at-sf0.01 first, so that a
+# time-budgeted gate still maximizes new coverage — followed by the
+# already-green round-1 entries.
+_GATE_PRIORITY: list[str] = [
+    # tranche-2 TPC-H (all sub-second at sf0.01)
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q17",
+    "tpch_q7",
+    "tpch_q8",
+    # row-local / narrow-shuffle data queries
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "dataset_split",
+    "stratified_sample",
+    "corpus_mixture",
+    "profile_documents",
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "dedup_exact",
+    # bucketed pair generators / vocab builds
+    "vocab_build",
+    "docs_top_terms",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+    # iterative / composed pipelines (heaviest, still seconds-scale)
+    "dedup_clusters",
+    "corpus_clean",
+]
+
+assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **{name: _BASE_QUERIES[name] for name in _GATE_PRIORITY},
+    **{name: fn for name, fn in _BASE_QUERIES.items() if name not in set(_GATE_PRIORITY)},
+}
+
+ORACLE_SQL: dict[str, str] = {
+    **{name: _BASE_ORACLE_SQL[name] for name in _GATE_PRIORITY if name in _BASE_ORACLE_SQL},
+    **{name: sql for name, sql in _BASE_ORACLE_SQL.items() if name not in set(_GATE_PRIORITY)},
+}
+
+assert set(QUERIES) == set(_BASE_QUERIES)
+assert set(ORACLE_SQL) == set(_BASE_ORACLE_SQL)

@@ -386,9 +386,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate joined back (the filtered part list is small → broadcast).
 
     Determinism: the 20%-of-average comparison is multiplied through
-    (``5 * qty * n < sum_qty``) so both engines compare exact decimals —
-    no decimal-division scale differences. The single final division by 7
-    happens in double.
+    (``qty * (5*n) < sum_qty``) so both engines compare exact decimals —
+    no decimal-division scale differences. ``5*n`` stays in bigint and is
+    cast once to decimal(20,0): the product is decimal(33,2), inside the
+    38-digit cap for any count below 1.8e18 (chained ``dec * 5 * bigint``
+    would promote to precision 44 and, with ANSI off, silently null on
+    overflow). The single final division by 7 happens in double.
     """
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem")
@@ -398,7 +401,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
     )
     small = branded.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk")).filter(
-        _dec("l_quantity") * 5 * F.col("_n") < F.col("_sum_qty")
+        _dec("l_quantity") * (F.lit(5) * F.col("_n")).cast("decimal(20,0)") < F.col("_sum_qty")
     )
     total = small.agg(F.sum(_dec("l_extendedprice")).alias("_tot"))
     return total.select((F.col("_tot").cast("double") / F.lit(7.0)).alias("avg_yearly"))
@@ -417,7 +420,7 @@ WITH branded AS (
 )
 SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM branded b JOIN per_part a ON b.l_partkey = a.pk
-WHERE CAST(b.l_quantity AS DECIMAL(12,2)) * 5 * a.n < a.sum_qty
+WHERE CAST(b.l_quantity AS DECIMAL(12,2)) * CAST(5 * a.n AS DECIMAL(20,0)) < a.sum_qty
 """
 
 
@@ -464,7 +467,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one lifetime order, which would make the anti-join degenerate).
 
     The global average is a 1-row broadcast; the threshold comparison is
-    multiplied through (``bal * n > sum``) to stay in exact decimal.
+    multiplied through (``bal * n > sum``) to stay in exact decimal —
+    decimal(12,2) * decimal(20,0) is decimal(33,2), inside the 38-digit cap
+    for any customer count (bigint), so no overflow-null is possible here.
     """
     cust = _t(spark, sf_dir, "customer")
     thr = cust.filter(F.col("c_acctbal") > 0).agg(
@@ -676,12 +681,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     total 1996 volume".
 
     Two aggregates at different granularity — per (part, supplier) and per
-    part — joined on the part key. The per-part total is re-aggregated FROM
-    the per-(part, supplier) table (decimal addition is associative, so the
-    total is bit-identical), which keeps the fact table to a SINGLE scan —
-    the naive formulation reads and broadcast-joins lineitem twice. The
-    share comparison is multiplied through in exact decimal.
+    part. The per-part total is a window SUM over the per-(part, supplier)
+    aggregate (decimal addition is associative, so the total is
+    bit-identical to a separate GROUP BY), which keeps the fact table to a
+    SINGLE scan and a single lineage — the naive formulation reads and
+    broadcast-joins lineitem twice, and the earlier persist()-based variant
+    leaked a cached table into long-lived sessions. The share comparison is
+    multiplied through in exact decimal.
     """
+    from pyspark.sql import Window
+
     small = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
     li96 = (
         _t(spark, sf_dir, "lineitem")
@@ -690,19 +699,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
     )
-    # persist the compact (part, supplier) aggregate: it feeds BOTH the join
-    # probe side and the per-part rollup, and Catalyst does not structurally
-    # dedupe the two branches (alias divergence defeats ReuseExchange) —
-    # without this the fact scan + broadcast join would run twice
-    per_ps = (
-        li96.groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).alias("_q"))
-        .persist()
-    )
-    per_p = per_ps.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("_q").alias("_qtot"))
+    # the per-part total is a window aggregate over the per-(part, supplier)
+    # rollup: one fact scan, one lineage — no persist() needed (Catalyst
+    # does not structurally dedupe a self-join on the aggregate, so the
+    # two-branch formulation would either rescan lineitem or leak a cached
+    # table into long-lived sessions)
+    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(F.sum(_dec("l_quantity")).alias("_q"))
+    per_part_win = Window.partitionBy("l_partkey")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        per_ps.join(per_p, F.col("l_partkey") == F.col("_pk"))
+        per_ps.withColumn("_qtot", F.sum("_q").over(per_part_win))
         .filter(F.col("_q") * 2 > F.col("_qtot"))
         .select("l_suppkey")
         .distinct()
@@ -774,16 +780,19 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_n_at_max"),
     )
     supp = _t(spark, sf_dir, "supplier")
+    # group by s_name AFTER the supplier join, exactly as the oracle SQL
+    # does: grouping by l_suppkey and then selecting s_name would diverge
+    # from the SQL if two suppliers ever shared a name (two rows vs one
+    # merged row) and make the numwait/s_name tie-break ambiguous
     return (
         annotated.filter(
             (F.col("_s_max") == F.col("_o_max"))
             & (F.col("_n_supp") >= 2)
             & (F.col("_n_at_max") == 1)
         )
-        .groupBy("l_suppkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
-        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )

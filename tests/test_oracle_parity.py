@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from scala_etl_test_spark.plans.queries import ORACLE_SQL, QUERIES
+from scala_etl_test_spark.plans.queries import BOUNDED_ORACLE, ORACLE_SQL, QUERIES
 
 from tests.oracle_harness import compare, duckdb_connection
 
@@ -22,6 +22,23 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     if name not in ORACLE_SQL:
         df = QUERIES[name](spark, sf_dir)
         assert df.count() >= 0  # rows-only check, like the driver
+        if name in BOUNDED_ORACLE:
+            # sketch queries can't hash-match across engines, but must sit
+            # within the sketch's published error bound of DuckDB's exact
+            exact_sql, est_col, rel_tol = BOUNDED_ORACLE[name]
+            exact_pdf = con.execute(exact_sql).fetchdf()
+            key_cols = [c for c in exact_pdf.columns if c != est_col]
+            exact = {tuple(r[k] for k in key_cols): r[est_col] for _, r in exact_pdf.iterrows()}
+            got = {tuple(r[k] for k in key_cols): r[est_col] for r in df.collect()}
+            assert got.keys() == exact.keys(), (sorted(got), sorted(exact))
+            for key, exact_n in exact.items():
+                assert abs(got[key] - exact_n) <= max(1, rel_tol * exact_n), (
+                    name,
+                    key,
+                    got[key],
+                    exact_n,
+                    rel_tol,
+                )
         return
     result = compare(QUERIES[name](spark, sf_dir), con, ORACLE_SQL[name])
     assert result["count_match"], result

@@ -151,9 +151,11 @@ def test_tpch2_dimension_broadcasts(q):
         assert "BroadcastHashJoin" in p, f"{name} lost its dim broadcast:\n{p}"
 
 
-def test_q20_single_fact_scan_via_persist(q):
-    """Q20's per-part rollup must derive from the persisted per-(part,supp)
-    aggregate: two InMemoryTableScans, not a second lineitem scan+join.
-    (Cache substitution happens at planning time — no execution needed.)"""
-    p = plan(q("tpch_q20"))
-    assert p.count("InMemoryTableScan") >= 2, p
+def test_q20_single_fact_scan_via_window(q):
+    """Q20's per-part rollup must be a window SUM over the per-(part,supp)
+    aggregate — ONE lineitem scan, one lineage, and no persist() (the
+    cached-table variant leaked storage into long-lived sessions)."""
+    p = plan(q("tpch_q20"), mode="simple")
+    assert p.count("Scan parquet") <= 3, p  # lineitem + part + supplier
+    assert p.count("Window [") == 1, p
+    assert "InMemoryTableScan" not in p, p
