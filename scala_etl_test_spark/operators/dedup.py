@@ -354,6 +354,13 @@ def incremental_near_duplicates(
     by tests). Only the batch is shingled; the corpus index is probed by
     equi-join on (band_idx, band_hash) — work scales with batch size and
     bucket hit rate, not corpus size.
+
+    The result is materialized eagerly (``localCheckpoint``) so the three
+    intermediate caches (batch shingles/bands, candidate pairs) can be
+    unpersisted before returning — a long-lived ingest session calling this
+    per batch must not accumulate cached blocks until storage eviction. The
+    returned DataFrame is small (verified near-dup pairs for one batch) and
+    its blocks are reclaimed by the ContextCleaner once unreferenced.
     """
     new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
     new_sigs = minhash_signatures(
@@ -398,7 +405,10 @@ def incremental_near_duplicates(
     verified = jaccard_for_pairs(
         cands, new_docs, text_col, id_col, shingle_n, shingles=needed_shingles
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    result = verified.filter(F.col("jaccard") >= threshold).localCheckpoint(eager=True)
+    for handle in (new_shingles, new_bands, cands):
+        handle.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,7 @@ def clicks_with_recent_purchase(
 
 
 def enrich_with_dimension(
-    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left", broadcast: bool = True
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (bounded) dimension. No watermark and no streaming state — the static
@@ -60,5 +60,10 @@ def enrich_with_dimension(
     refreshed dim table is picked up on the next micro-batch without a
     restart. This is the streaming twin of the reference's broadcast
     product-details join (ApplaudoETL.scala:43-44): same plan shape, the
-    fact side just happens to be unbounded."""
-    return stream.join(F.broadcast(dim), on=on, how=how)
+    fact side just happens to be unbounded.
+
+    ``broadcast=False`` drops the hint for dimensions too large to build a
+    broadcast table (the unconditional hint would override
+    ``autoBroadcastJoinThreshold`` and fail the build instead of falling
+    back to a shuffle join)."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, on=on, how=how)
