@@ -19,11 +19,18 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
+
+try:  # real image codec is optional — not present in the test container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised only where PIL exists
+    _PILImage = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -57,20 +64,26 @@ def attach_payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 def byte_histogram_features(payload: bytes, bins: int = 16) -> list[float]:
     """REAL feature: normalized byte-value histogram (no codec needed).
-    Deterministic, library-free — the stand-in embedding for tests."""
+    Deterministic, library-free — the stand-in embedding for tests.
+
+    Vectorized: ``frombuffer`` + ``bincount`` keep the per-byte work in C
+    (a Python per-byte loop is O(payload) interpreter dispatches — the
+    difference between MB/s and GB/s inside the Arrow batch)."""
     if not payload:
         return [0.0] * bins
-    counts = [0] * bins
-    for b in payload:
-        counts[b * bins // 256] += 1
-    total = len(payload)
-    return [c / total for c in counts]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount((arr.astype(np.int32) * bins) >> 8, minlength=bins)
+    return (counts / arr.size).tolist()
 
 
 def decode_media(payload: bytes, modality: str, mime: str) -> dict:
-    """The REAL decode path — intentionally stubbed: image/audio codecs are
-    not available in this container. Slot PIL/torchaudio/pyav in here.
-    """
+    """The REAL decode path. The image branch is live when PIL is importable
+    (not in the test container — gated, with the deterministic fake as the
+    documented fallback); audio/video codecs (torchaudio/pyav) remain
+    marked stubs."""
+    if modality == "image" and _PILImage is not None:
+        img = _PILImage.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, "n_frames": getattr(img, "n_frames", 1)}
     raise NotImplementedError(
         "media codecs unavailable in this environment; "
         "use fake_decode (deterministic) for pipeline testing"
@@ -96,22 +109,25 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar, no iterrows: one pass per column, the per-byte histogram
+        # work vectorized in numpy (byte_histogram_features)
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                if use_real_codec:
-                    decode_media(payload, r["modality"], r["mime"])  # raises: marked stub
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "modality": r["modality"],
-                        "byte_len": len(payload),
-                        "payload_md5": hashlib.md5(payload).hexdigest(),
-                        "features": byte_histogram_features(payload),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            if use_real_codec:
+                for payload, modality, mime in zip(payloads, pdf["modality"], pdf["mime"]):
+                    decode_media(payload, modality, mime)  # PIL-gated; raises without codecs
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "byte_len": np.fromiter(
+                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    ),
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "features": [byte_histogram_features(p) for p in payloads],
+                },
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(run, DECODED_SCHEMA)
 
@@ -149,23 +165,23 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                if use_real_codec:
-                    decode_media(payload, r["modality"], r["mime"])  # raises: marked stub
-                out = fake_resize(payload, width, height)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "modality": r["modality"],
-                        "payload": out,
-                        "out_width": width,
-                        "out_height": height,
-                        "resized_md5": hashlib.md5(out).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            if use_real_codec:
+                for payload, modality, mime in zip(payloads, pdf["modality"], pdf["mime"]):
+                    decode_media(payload, modality, mime)  # PIL-gated; raises without codecs
+            outs = [fake_resize(p, width, height) for p in payloads]
+            n = len(payloads)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "payload": outs,
+                    "out_width": np.full(n, width, dtype=np.int32),
+                    "out_height": np.full(n, height, dtype=np.int32),
+                    "resized_md5": [hashlib.md5(o).hexdigest() for o in outs],
+                },
+                columns=[f.name for f in RESIZED_SCHEMA.fields],
+            )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
