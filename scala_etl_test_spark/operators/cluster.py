@@ -8,10 +8,10 @@ each round every node takes the min of its own and its neighbors' labels
 which for near-dup graphs (overwhelmingly tiny cliques, diameter ≤ 2-3) is
 a handful of shuffles. No driver adjacency, no ``collect``; the only
 driver-side value per round is the 1-row convergence check, which is also
-what terminates the loop. (The O(log n)-round large-star/small-star scheme
-of Kiveris et al., SoCC'14, is the upgrade path if cluster diameters ever
-grow — for dedup cliques the simpler propagation does strictly fewer
-shuffles per round.)
+what terminates the loop. The O(log n)-round large-star/small-star scheme
+of Kiveris et al., SoCC'14 (:func:`connected_components_alternating`) is
+the diameter-independent variant for deep chains/super-hubs — for dedup
+cliques the simpler propagation does strictly fewer shuffles per round.
 
 Scale notes:
 - State per round is the (node, label) edge list — linear in |V|+|E|. A
@@ -82,6 +82,80 @@ def connected_components(
         if changed == 0:
             return labels
     raise ValueError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14): every node connects its
+    strictly-larger neighbors to the minimum of its neighborhood (incl.
+    itself). Cuts long chains toward the component minimum in O(log n)
+    alternations instead of the O(diameter) rounds of plain propagation."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node repoints its
+    smaller neighbors (and itself) at the minimum of that set."""
+    oriented = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # all v < u ⇒ min incl. self
+    joined = oriented.join(mins, on="u")
+    return (
+        joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_alternating(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_rounds: int = 30
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    documented upgrade path of :func:`connected_components` for graphs whose
+    diameter outgrows plain min-label propagation (deep chains, super-hubs).
+
+    Converges in O(log n) alternations independent of diameter: each
+    alternation at least halves the distance of every node to its component
+    minimum. Same output contract as :func:`connected_components`
+    (equivalence is test-pinned); per alternation it shuffles twice
+    (one groupBy per star phase) vs propagation's once, so for shallow
+    near-dup cliques the simpler propagation remains the default.
+    """
+    edges = _canonical_edges(pairs, src, dst).localCheckpoint()
+    for _ in range(max_rounds):
+        after = _small_star(_large_star(edges)).localCheckpoint()
+        # fixpoint of the composition ⇔ converged star forest (both checks
+        # are 1-row actions, not data collects)
+        grew = after.exceptAll(edges).limit(1).count()
+        shrank = edges.exceptAll(after).limit(1).count()
+        edges = after
+        if grew == 0 and shrank == 0:
+            roots = (
+                edges.select(F.col("v").alias("node"))
+                .distinct()
+                .withColumn("component", F.col("node"))
+            )
+            return (
+                edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+                .union(roots)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+    raise ValueError(
+        f"connected_components_alternating did not converge in {max_rounds} rounds"
+    )
 
 
 def dedup_keep_representative(
