@@ -32,6 +32,31 @@ def show_console(df: DataFrame, n: int = 10) -> None:
     df.show(n, truncate=False)
 
 
+def write_table(
+    df: DataFrame,
+    fmt: str,
+    path: str | None = None,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Generic ``DataFrameWriter`` passthrough — the S9 parity surface.
+
+    The reference's notebook-only BigQuery sink (ApplaudoETL.ipynb cell 24)
+    is exactly this shape with ``fmt="bigquery"`` and options like
+    ``{"table": "dataset.table", "temporaryGcsBucket": "bucket"}`` once the
+    spark-bigquery connector jar is on the classpath — no engine change
+    needed, which is why the sink surface is a thin passthrough rather than
+    a per-vendor module. Connector formats take their destination from
+    ``options`` (leave ``path=None``); file formats (parquet/csv/json/orc)
+    take ``path``.
+    """
+    writer = df.write.format(fmt).mode(mode).options(**(options or {}))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path) if path is not None else writer.save()
+
+
 def write_compacted(
     df: DataFrame,
     path: str,

@@ -8,7 +8,7 @@ import glob
 from pyspark.sql import functions as F
 
 from scala_etl_test_spark.sources.parquet_source import read_table
-from scala_etl_test_spark.sources.sinks import write_compacted
+from scala_etl_test_spark.sources.sinks import write_compacted, write_table
 
 
 def test_compacted_write_few_files_roundtrip(spark, sf_dir, tmp_path):
@@ -31,6 +31,27 @@ def test_compacted_sorted_write_clusters_rows(spark, sf_dir, tmp_path):
     # rows within the (single) file are non-decreasing on the sort key
     ts = [r["l_shipdate"] for r in back.select("l_shipdate").collect()]
     assert ts == sorted(ts)
+
+
+def test_write_table_passthrough_roundtrip(spark, sf_dir, tmp_path):
+    """The generic format/options passthrough (S9 parity surface) must honor
+    format, writer options, mode, and partitionBy for a file format — the
+    same call shape a connector format (e.g. bigquery) takes via options."""
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "generic")
+    write_table(
+        nation,
+        fmt="json",
+        path=out,
+        options={"compression": "gzip"},
+        partition_by=["n_regionkey"],
+    )
+    assert glob.glob(f"{out}/n_regionkey=*/*.json.gz")
+    back = spark.read.json(out)
+    assert back.count() == nation.count()
+    # append mode doubles the rows through the same passthrough
+    write_table(nation, fmt="json", path=out, mode="append", partition_by=["n_regionkey"])
+    assert spark.read.json(out).count() == 2 * nation.count()
 
 
 def test_zorder_key_interleaves_and_clusters(spark):
