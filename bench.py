@@ -78,6 +78,40 @@ def main() -> None:
             spark.catalog.clearCache()  # no cross-query cache carryover
         timings[name] = round(min(runs), 3)
 
+    # Scale replica: re-time the same plans on 10× less data (sf/10) and
+    # report the wall ratio — machine-checkable evidence that the plans
+    # scale sub-linearly (shuffle/scan bound, not fixed-overhead bound).
+    # Embedded in the SAME single JSON line (the driver parses the last
+    # line of stdout); disable with SPARK_GRAFT_NO_SCALE_REPLICA=1.
+    scaling = None
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(small_dir) and small_dir != sf_dir and not os.environ.get(
+        "SPARK_GRAFT_NO_SCALE_REPLICA"
+    ):
+        small_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None or name not in timings:
+                continue
+            runs = []
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, small_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - start)
+                spark.catalog.clearCache()
+            small_timings[name] = round(min(runs), 3)
+        small_total = sum(small_timings.values())
+        scaling = {
+            "small_sf": 0.01,
+            "small_total": round(small_total, 3),
+            "wall_ratio_10x_data": round(sum(timings.values()) / small_total, 2),
+            "per_query_ratio": {
+                n: round(timings[n] / small_timings[n], 2)
+                for n in small_timings
+                if small_timings[n] > 0
+            },
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -91,6 +125,8 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(cpus),
     }
+    if scaling is not None:
+        result["scaling_10x"] = scaling
     print(json.dumps(result))
 
 
