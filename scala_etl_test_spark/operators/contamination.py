@@ -1,0 +1,64 @@
+"""Benchmark decontamination (beyond-reference; training-data hygiene).
+
+Flags training documents that share word n-grams with an evaluation/
+benchmark set — the standard contamination check (GPT-3 appendix C /
+Gopher-style 13-gram overlap, here with a configurable ``n``) that must run
+before any corpus ships to a trainer.
+
+Scale shape: both sides explode to DISTINCT (doc, shingle) pairs and meet
+in an equi-join on the shingle string. The benchmark side is tiny relative
+to the corpus (eval sets are thousands of docs, the corpus is billions) —
+it broadcasts, so the corpus side never shuffles: one scan + one broadcast
+probe + one partial-aggregated groupBy on the corpus doc id. No similarity
+scoring here on purpose: contamination is a containment question, not a
+near-dup question (MinHash answers "roughly same doc", this answers "has
+verbatim eval material inside").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from scala_etl_test_spark.operators.dedup import shingles_from_words, words
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs, one row per n-gram per doc; ``distinct=True``
+    dedupes repeats within a doc (worth a shuffle only on the small side)."""
+    out = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), n)).alias("shingle")
+    )
+    return out.distinct() if distinct else out
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(corpus id, n_shared_ngrams, n_benchmark_docs) for every corpus doc
+    sharing ≥ ``min_shared`` distinct word ``n``-grams with any benchmark
+    doc. ``n_shared_ngrams`` counts distinct contaminated shingles;
+    ``n_benchmark_docs`` counts how many benchmark docs are implicated."""
+    # corpus side stays NON-distinct: the final count_distinct dedupes
+    # within-doc repeats anyway, and a pre-join distinct would shuffle every
+    # corpus shingle — the one plan shape that cannot survive 100 TB. The
+    # broadcast probe filters to hits first; only hits reach an exchange.
+    corp = _doc_shingles(corpus, text_col, id_col, n, distinct=False)
+    bench = _doc_shingles(benchmark, text_col, id_col, n).withColumnRenamed(
+        id_col, "_bench_id"
+    )
+    hits = corp.join(F.broadcast(bench), on="shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_ngrams"),
+            F.count_distinct("_bench_id").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )

@@ -174,6 +174,71 @@ def build_vocab(
     return vocab.select("word", "n_docs", "n_occurrences", "vocab_id")
 
 
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per document,
+    the fraction of mass held by the most frequent unigram and bigram plus
+    the distinct-word fraction, and a ``repetitive`` gate (top unigram >20%
+    or top bigram >18% of the doc). Boilerplate, keyword-stuffed, and
+    looping-generation documents are exactly the ones these thresholds cut.
+
+    Scale: two shuffles, both keyed by (doc, gram) — uniform keys (a doc's
+    grams spread over the hash space), partial aggregation combines
+    map-side, and the per-doc rollup is a second small aggregate. No
+    windows, no sort.
+    """
+    base = df.select(F.col(id_col), words(text_col).alias("_w"))
+    uni = base.select(F.col(id_col), F.explode("_w").alias("word")).filter(
+        F.col("word") != ""
+    )
+    uni_stats = (
+        uni.groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_top_uni"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.sum("_c").alias("_n_words"),
+        )
+    )
+    # bigrams over the UNfiltered word array (positions matter); docs with
+    # <2 words contribute none and surface as NULL top_bigram_frac
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bi_stats = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top_bi"), F.sum("_c").alias("_n_bigrams"))
+    )
+    top_uni_frac = F.round(F.col("_top_uni") / F.col("_n_words"), 6)
+    top_bi_frac = F.round(F.col("_top_bi") / F.col("_n_bigrams"), 6)
+    return (
+        uni_stats.join(bi_stats, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("_n_words").cast("long").alias("n_words"),
+            F.round(F.col("_n_distinct") / F.col("_n_words"), 6).alias("distinct_word_frac"),
+            top_uni_frac.alias("top_unigram_frac"),
+            top_bi_frac.alias("top_bigram_frac"),
+            (
+                (top_uni_frac > 0.2) | (F.coalesce(top_bi_frac, F.lit(0.0)) > 0.18)
+            ).alias("repetitive"),
+        )
+    )
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
 ) -> DataFrame:

@@ -1815,6 +1815,11 @@ _GATE_PRIORITY: list[str] = [
     # iterative / composed pipelines (heaviest, still seconds-scale)
     "dedup_clusters",
     "corpus_clean",
+    # round-2 additions (no prior correctness row by construction)
+    "repetition_metrics",
+    "pii_scan",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

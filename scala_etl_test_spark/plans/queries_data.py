@@ -881,6 +881,224 @@ SQL_CORPUS_CLEAN = (
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# repetition quality (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-unigram/bigram mass + distinct-word fraction with the
+    Gopher repetition gate (operators/text.py:repetition_metrics)."""
+    return X.repetition_metrics(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_REPETITION_METRICS = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+), uni AS (
+  SELECT doc_id, unnest(w) AS word FROM base
+), uc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM uni WHERE word <> '' GROUP BY doc_id, word
+), us AS (
+  SELECT doc_id, MAX(c) AS top_uni, COUNT(*) AS n_distinct, SUM(c) AS n_words
+  FROM uc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM base
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bs AS (
+  SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bigrams FROM bc GROUP BY doc_id
+)
+SELECT us.doc_id,
+       CAST(us.n_words AS BIGINT) AS n_words,
+       round(CAST(us.n_distinct AS DOUBLE) / us.n_words, 6) AS distinct_word_frac,
+       round(CAST(us.top_uni AS DOUBLE) / us.n_words, 6) AS top_unigram_frac,
+       round(CAST(bs.top_bi AS DOUBLE) / bs.n_bigrams, 6) AS top_bigram_frac,
+       (round(CAST(us.top_uni AS DOUBLE) / us.n_words, 6) > 0.2
+        OR COALESCE(round(CAST(bs.top_bi AS DOUBLE) / bs.n_bigrams, 6), 0.0) > 0.18)
+         AS repetitive
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scan + redaction audit
+# --------------------------------------------------------------------------
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII profile over documents with deterministically injected
+    identifiers (the synthetic corpus contains none, so the query seeds
+    emails/phones/IPs keyed on doc_id — both engines inject identically),
+    plus a redaction audit: ``leak_after_redact`` re-runs detection on the
+    redacted text and must be 0 (operators/pii.py)."""
+    from scala_etl_test_spark.operators import pii as P
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            did % 10 == 3,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567 soon")),
+        )
+        .when(
+            did % 10 == 6,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (did % 250).cast("string"),
+                F.lit(".1 and user"),
+                did.cast("string"),
+                F.lit("@test.org"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    seeded = docs.select("doc_id", "source", injected.alias("text"))
+    profiled = P.detect_pii(seeded, "text", "doc_id").join(
+        seeded.select("doc_id", "source"), on="doc_id"
+    )
+    leak = None
+    for kind in P.PII_PATTERNS:
+        c = P.pii_count("redacted", kind)
+        leak = c if leak is None else leak + c
+    return profiled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"),
+        F.sum("n_email").alias("n_emails"),
+        F.sum("n_phone").alias("n_phones"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum(leak).alias("leak_after_redact"),
+    )
+
+
+def _sql_pii() -> str:
+    from scala_etl_test_spark.operators.pii import PII_PATTERNS
+
+    em, ph, ip = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    redact = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{em}', '<EMAIL>', 'g'),"
+        f" '{ph}', '<PHONE>', 'g'), '{ip}', '<IPV4>', 'g')"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN doc_id % 10 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 10 = 3 THEN text || ' call 555-123-4567 soon'
+           WHEN doc_id % 10 = 6 THEN text || ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.1 and user' || CAST(doc_id AS VARCHAR) || '@test.org'
+           ELSE text
+         END AS t
+  FROM documents
+), profiled AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{em}')) AS n_email,
+         len(regexp_extract_all(t, '{ph}')) AS n_phone,
+         len(regexp_extract_all(t, '{ip}')) AS n_ipv4,
+         len(regexp_extract_all({redact}, '{em}'))
+           + len(regexp_extract_all({redact}, '{ph}'))
+           + len(regexp_extract_all({redact}, '{ip}')) AS leak
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(leak) AS BIGINT) AS leak_after_redact
+FROM profiled GROUP BY source
+"""
+
+
+SQL_PII_SCAN = _sql_pii()
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram overlap of the corpus against a held-out benchmark slice
+    (doc_id % 97 == 0 stands in for the eval set — deterministic in both
+    engines). Returns every contaminated corpus doc with distinct shared
+    n-grams and implicated benchmark docs (operators/contamination.py)."""
+    from scala_etl_test_spark.operators.contamination import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
+SQL_DECONTAMINATE = f"""
+WITH shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(5)} AS sh) AS s
+), bench AS (
+  SELECT doc_id AS bench_id, shingle FROM shingled WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, shingle FROM shingled WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.shingle) >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk packing of documents into 256-token packs per
+    source shard, reported as per-pack fill statistics
+    (operators/packing.py)."""
+    from scala_etl_test_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+    )
+    packed = pack_sequences(tok, "ws_tokens", "doc_id", "source", budget=_PACK_BUDGET)
+    return pack_stats(packed, "source", budget=_PACK_BUDGET)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens) // {_PACK_BUDGET}
+           AS pack_id
+  FROM tok
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill_ratio
+FROM packed GROUP BY source, pack_id
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -908,6 +1126,10 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": q_corpus_clean,
     "dataset_split": q_dataset_split,
     "profile_documents": q_profile_documents,
+    "repetition_metrics": q_repetition_metrics,
+    "pii_scan": q_pii_scan,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -937,4 +1159,8 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dataset_split": SQL_DATASET_SPLIT,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
+    "repetition_metrics": SQL_REPETITION_METRICS,
+    "pii_scan": SQL_PII_SCAN,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -1,0 +1,44 @@
+"""Decontamination: verbatim n-gram overlap with the benchmark set is
+flagged with exact shared-gram and implicated-doc counts; clean docs pass."""
+
+from __future__ import annotations
+
+from scala_etl_test_spark.operators.contamination import ngram_contamination
+
+
+def test_overlap_counts_and_clean_docs(spark):
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains bench 100's first 5-gram verbatim (1 shared shingle)
+            (1, "intro words the quick brown fox jumps and more trailing text"),
+            # verbatim copy of bench 101 → all 4 of its 5-grams shared
+            (2, "pack my box with five dozen liquor jugs"),
+            # no 5-gram overlap
+            (3, "completely unrelated content with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_benchmark_docs"])
+        for r in ngram_contamination(corpus, bench, "text", "doc_id", n=5).collect()
+    }
+    assert got == {1: (1, 1), 2: (4, 1)}
+
+
+def test_min_shared_threshold(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "zzz one two three four five yyy")], "doc_id long, text string"
+    )
+    # doc 1 shares exactly 1 distinct 5-gram; min_shared=2 filters it out
+    assert ngram_contamination(corpus, bench, "text", "doc_id", n=5, min_shared=2).count() == 0
+    assert ngram_contamination(corpus, bench, "text", "doc_id", n=5).count() == 1

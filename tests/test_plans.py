@@ -151,6 +151,28 @@ def test_tpch2_dimension_broadcasts(q):
         assert "BroadcastHashJoin" in p, f"{name} lost its dim broadcast:\n{p}"
 
 
+def test_decontaminate_broadcasts_bench_and_never_shuffles_raw_corpus(q):
+    """Contamination check: the benchmark side must broadcast and the raw
+    corpus shingle stream must reach the join WITHOUT a pre-join exchange —
+    only join hits (a tiny fraction) may shuffle. A distinct/exchange on
+    the full corpus shingle stream is the plan that dies at 100 TB."""
+    p = plan(q("decontaminate"), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # exchanges: bench-side distinct + the two-phase count_distinct agg of
+    # the (hits-only) join output; the corpus branch contributes none
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_pack_sequences_single_window_single_scan(q):
+    """Packing must be ONE window over ONE scan — each shard's packing is an
+    independent ordered stream; any extra exchange or join is structural
+    overhead that multiplies at corpus scale."""
+    p = plan(q("pack_sequences"), mode="simple")
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Window [") == 1, p
+
+
 def test_q20_single_fact_scan_via_window(q):
     """Q20's per-part rollup must be a window SUM over the per-(part,supp)
     aggregate — ONE lineitem scan, one lineage, and no persist() (the

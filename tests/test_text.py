@@ -55,3 +55,28 @@ def test_fingerprint_stable_under_case_punct(spark):
     out = X.document_fingerprints(df, "text", "doc_id").collect()
     assert out[0]["fingerprint"] == out[1]["fingerprint"]
     assert out[0]["min_shingle_hash"] == out[1]["min_shingle_hash"]
+
+
+def test_repetition_metrics_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a b"),  # top uni 4/5, bigrams: 'a a'x3 + 'a b' -> 3/4
+            # 10 distinct words: top uni 1/10, top bigram 1/9 — both under gate
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "solo"),  # single word: no bigrams -> NULL frac, not repetitive
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.repetition_metrics(df, "text", "doc_id").collect()}
+    assert got[1]["n_words"] == 5
+    assert got[1]["top_unigram_frac"] == 0.8
+    assert got[1]["top_bigram_frac"] == 0.75
+    assert got[1]["distinct_word_frac"] == 0.4
+    assert got[1]["repetitive"]
+    assert got[2]["top_unigram_frac"] == 0.1
+    assert got[2]["distinct_word_frac"] == 1.0
+    assert not got[2]["repetitive"]
+    assert got[3]["top_bigram_frac"] is None
+    # a single-word doc is 100% its own top unigram — degenerate docs are
+    # the length gate's job (text_stats length_ok), not this metric's
+    assert got[3]["repetitive"]
