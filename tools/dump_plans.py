@@ -50,6 +50,18 @@ SHOWCASE = [
         "tpch_q21",
         "ONE lineitem scan: the three per-order rollups (max ship date, supplier count, count-at-max) are same-spec Window nodes sharing a single Exchange — the naive multi-CTE formulation rescans the aggregate subtree three times.",
     ),
+    (
+        "tpch_q20",
+        "Per-part total as a window SUM over the per-(part,supplier) aggregate: one fact scan, one lineage, no persist — the cached-table variant leaked storage into long-lived sessions.",
+    ),
+    (
+        "decontaminate",
+        "Benchmark side broadcasts; the raw corpus shingle stream reaches the join with NO pre-join exchange — only join hits (a tiny fraction of the corpus) are shuffled into the count-distinct aggregate.",
+    ),
+    (
+        "pack_sequences",
+        "ONE window over ONE scan: per-shard cumulative token offsets assign packs; every shard packs independently, so the plan parallelizes by shard count.",
+    ),
 ]
 
 
