@@ -19,6 +19,7 @@ from scala_etl_test_spark.streaming.sessionize import (
 )
 from scala_etl_test_spark.streaming.sources import (
     run_available_now,
+    stream_documents_parquet,
     stream_events_parquet,
     stream_orders_csv,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "run_available_now",
     "session_windows",
     "stateful_user_sessions",
+    "stream_documents_parquet",
     "stream_events_parquet",
     "stream_orders_csv",
 ]

@@ -69,6 +69,26 @@ def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of the documents corpus (directory of parquet files) —
+    the ingest side of a continuously-fed training-data pipeline. Row-local
+    curation operators (PII scan/redaction, quality stats, token counts,
+    fingerprints) apply to this stream unchanged in append mode; aggregating
+    operators need a watermark or the batch path."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+
+
 def run_available_now(
     sdf: DataFrame,
     checkpoint: str,

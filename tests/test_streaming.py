@@ -182,3 +182,31 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir, tmp_p
         for r in enrich_with_dimension(bev.select("event_id", "user_id"), dim, on="user_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_pii_and_text_stats_match_batch(spark, sf_dir, tmp_path):
+    """Row-local curation ops (PII scan/redaction, quality stats) apply to a
+    document stream unchanged in append mode and match the batch answer —
+    continuous-ingest curation needs no separate code path."""
+    from scala_etl_test_spark.operators.pii import detect_pii
+    from scala_etl_test_spark.operators.text import text_stats
+    from scala_etl_test_spark.streaming import stream_documents_parquet
+
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir / "part-000.parquet")
+
+    sdf = stream_documents_parquet(spark, str(docs_dir))
+    run_available_now(
+        detect_pii(sdf, "text", "doc_id"), str(tmp_path / "ckpt_pii"), query_name="pii_stream"
+    )
+    batch_docs = read_table(spark, sf_dir, "documents")
+    assert _rows(spark, "pii_stream") == {
+        tuple(r) for r in detect_pii(batch_docs, "text", "doc_id").collect()
+    }
+
+    run_available_now(
+        text_stats(sdf, "text", "doc_id"), str(tmp_path / "ckpt_stats"), query_name="stats_stream"
+    )
+    want = {tuple(r) for r in text_stats(batch_docs, "text", "doc_id").collect()}
+    assert _rows(spark, "stats_stream") == want and len(want) > 0
