@@ -41,12 +41,18 @@ def redact_pii(col: Column | str) -> Column:
     return t
 
 
-def detect_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def detect_pii(
+    df: DataFrame, text_col: str, id_col: str, passthrough: list[str] | None = None
+) -> DataFrame:
     """Per-document PII profile: one count column per class plus the
-    redacted text and a ``has_pii`` flag. Row-local; no shuffle."""
+    redacted text and a ``has_pii`` flag. Row-local; no shuffle.
+    ``passthrough`` keeps extra columns (e.g. the shard/source key) in the
+    output so downstream rollups never need to join back to the input —
+    a row-local operator must stay a single scan."""
     counts = {kind: pii_count(text_col, kind) for kind in PII_PATTERNS}
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
         *[c.alias(f"n_{kind}") for kind, c in counts.items()],
         redact_pii(text_col).alias("redacted"),
     )

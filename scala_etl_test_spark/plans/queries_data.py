@@ -961,9 +961,7 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
     )
     seeded = docs.select("doc_id", "source", injected.alias("text"))
-    profiled = P.detect_pii(seeded, "text", "doc_id").join(
-        seeded.select("doc_id", "source"), on="doc_id"
-    )
+    profiled = P.detect_pii(seeded, "text", "doc_id", passthrough=["source"])
     leak = None
     for kind in P.PII_PATTERNS:
         c = P.pii_count("redacted", kind)

@@ -164,6 +164,16 @@ def test_decontaminate_broadcasts_bench_and_never_shuffles_raw_corpus(q):
     assert p.count("Exchange hashpartitioning") <= 3, p
 
 
+def test_pii_scan_single_scan_no_joins(q):
+    """A row-local operator with a rollup must be scan → project → one
+    aggregate exchange. A join back to the input to re-attach the shard key
+    would double the corpus scan."""
+    p = plan(q("pii_scan"), mode="simple")
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
 def test_pack_sequences_single_window_single_scan(q):
     """Packing must be ONE window over ONE scan — each shard's packing is an
     independent ordered stream; any extra exchange or join is structural
