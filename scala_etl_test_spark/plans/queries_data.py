@@ -379,14 +379,45 @@ SQL_ANN_LSH_TOPK = _lsh_sql()
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe path — rows-only check (the centroid-argmax assignment is
-    awkward as one SQL statement); recall vs brute force is pinned in
-    tests/test_similarity.py."""
+    """IVF probe path, fully oracle-checked: stride-seeded centroids,
+    argmax-cosine assignment (ties → smallest centroid id), nprobe=4 probe,
+    brute-force top-k within probed cells. Every step is deterministic, so
+    the DuckDB oracle replays assignment + probe + ranking exactly; recall
+    vs brute force is additionally pinned in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     centroids = S.stride_centroids(emb, 16)
     assigned = S.ivf_assign(emb, centroids)
     return S.ivf_topk(assigned, centroids, [float(v) for v in query], k=20, nprobe=4)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id AS cluster_id FROM cent, q
+  ORDER BY {_COS_SQL.format(a='cvec', b='q.qv')} DESC, centroid_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id, round({_COS_SQL.format(a='a.embedding', b='q.qv')}, 6) AS cosine
+FROM assign a, probe p, q
+WHERE a.cluster_id = p.cluster_id
+ORDER BY cosine DESC, a.vec_id
+LIMIT 20
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1140,7 +1171,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
-    # ann_ivf_topk: rows-only (non-SQL-expressible assignment), see docstring
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
