@@ -1820,6 +1820,7 @@ _GATE_PRIORITY: list[str] = [
     "pii_scan",
     "decontaminate",
     "pack_sequences",
+    "multimodal_features_long",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

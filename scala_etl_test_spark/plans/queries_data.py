@@ -889,14 +889,54 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (mapInPandas byte-histogram).
-    Rows-only driver check: the per-byte histogram is not reasonably
-    SQL-expressible; determinism/shape are pinned in tests/test_multimodal.py
-    and the md5/byte_len columns are oracle-checked via
-    multimodal_payload_stats."""
+    Rows-only driver check for THIS form only (the ``array<double>``
+    column's cross-engine serialization is not hash-stable); the same UDF
+    output is fully value-checked in long form by
+    ``multimodal_features_long``, and the md5/byte_len columns are
+    oracle-checked via multimodal_payload_stats."""
     from scala_etl_test_spark.operators.multimodal import extract_features
 
     media = _media_table(spark, sf_dir)
     return extract_features(media)
+
+
+def q_multimodal_features_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas byte-histogram, exploded to (media_id, bin, value)
+    rows — this makes the Python-UDF output itself oracle-checkable: the
+    payload is UTF-8 text, so each 16-bin histogram count equals the number
+    of bytes with that high nibble, which DuckDB reproduces by counting hex
+    digits at odd positions of ``hex(encode(text))``."""
+    from scala_etl_test_spark.operators.multimodal import extract_features
+
+    media = _media_table(spark, sf_dir)
+    return extract_features(media).select(
+        "media_id",
+        "modality",
+        F.posexplode("features").alias("bin", "value"),
+    ).select(
+        "media_id",
+        "modality",
+        F.col("bin").cast("long").alias("bin"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES_LONG = f"""
+WITH h AS (
+  SELECT doc_id, {_MODALITY_SQL} AS modality,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), bins AS (SELECT unnest(range(0, 16)) AS bin)
+SELECT h.doc_id AS media_id, h.modality, CAST(b.bin AS BIGINT) AS bin,
+       CASE WHEN h.n = 0 THEN 0.0 ELSE
+         round(CAST(len(list_filter(range(1, h.n + 1),
+                    i -> substr(h.hx, 2 * i - 1, 1)
+                         = substr('0123456789ABCDEF', CAST(b.bin AS INT) + 1, 1)))
+               AS DOUBLE) / h.n, 6)
+       END AS value
+FROM h CROSS JOIN bins b
+"""
 
 
 # corpus_clean oracle references the text-metric SQL defined above; resolve
@@ -1159,6 +1199,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan": q_pii_scan,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "multimodal_features_long": q_multimodal_features_long,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1192,4 +1233,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "pii_scan": SQL_PII_SCAN,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "multimodal_features_long": SQL_MULTIMODAL_FEATURES_LONG,
 }
