@@ -179,6 +179,54 @@ def ivf_topk(
     )
 
 
+def centroid_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group element-wise centroid accumulators in long form:
+    (group, dim, sum_q, n_vecs), where ``sum_q`` is the exact integer sum of
+    each component quantized to ``scale`` fixed-point.
+
+    Why fixed-point: a distributed float sum is order-dependent (grouping
+    and combining order vary run to run), so a double-summed centroid is
+    not reproducible bit-for-bit across runs or engines. Quantize-then-sum
+    makes the reduction associative and exact — the standard determinism
+    trick for distributed reductions — at a bounded quantization error of
+    ``0.5/scale`` per component per vector. Consumers divide
+    ``sum_q / (scale * n_vecs)`` for the mean centroid
+    (:func:`centroids_from_sums`).
+
+    Scale shape: one posexplode (rows × dim, narrow) into one groupBy on
+    (group, dim) — uniform keys, map-side partial aggregation.
+    """
+    pos_val = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "_v"),
+    )
+    return pos_val.groupBy(group_col, F.col("dim").cast("long").alias("dim")).agg(
+        F.sum(F.round(F.col("_v") * scale, 0).cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def centroids_from_sums(
+    sums: DataFrame, group_col: str = "label", scale: int = 1_000_000
+) -> DataFrame:
+    """(group, centroid array<double>) from :func:`centroid_sums` output —
+    the convenience head for IVF seeding / per-class near-dup blocking."""
+    return (
+        sums.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", (F.col("sum_q") / (F.lit(scale) * F.col("n_vecs"))).alias("v")))
+            ).alias("_pairs")
+        )
+        .select(F.col(group_col), F.transform("_pairs", lambda p: p["v"]).alias("centroid"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

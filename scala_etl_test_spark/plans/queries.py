@@ -1821,6 +1821,7 @@ _GATE_PRIORITY: list[str] = [
     "decontaminate",
     "pack_sequences",
     "multimodal_features_long",
+    "embedding_centroids",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

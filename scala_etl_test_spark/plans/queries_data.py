@@ -420,6 +420,30 @@ LIMIT 20
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators in exact fixed-point long form —
+    the deterministic reduction for class centroids (IVF seeding, per-class
+    blocking): quantize-then-sum is associative, so the result is identical
+    for any partitioning/combine order and any engine
+    (operators/similarity.py:centroid_sums)."""
+    return S.centroid_sums(_t(spark, sf_dir, "embeddings"), "embedding", "label")
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH expanded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM expanded GROUP BY label, dim
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -1200,6 +1224,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "multimodal_features_long": q_multimodal_features_long,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1234,4 +1259,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "multimodal_features_long": SQL_MULTIMODAL_FEATURES_LONG,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
 }

@@ -72,3 +72,31 @@ def test_near_dup_blocking_only_same_label(emb):
         .join(labels.withColumnRenamed("vec_id", "id_b").withColumnRenamed("label", "lb"), on="id_b")
     )
     assert joined.filter(F.col("la") != F.col("lb")).count() == 0
+
+
+def test_centroid_sums_exact_and_reconstruction(spark):
+    """Fixed-point centroid accumulation must be exact regardless of
+    partitioning, and the reconstructed mean must match a direct average
+    within quantization error (0.5/scale per component per vector)."""
+    from scala_etl_test_spark.operators.similarity import centroid_sums, centroids_from_sums
+
+    rows = [
+        (1, "a", [0.5, -0.25, 0.125]),
+        (2, "a", [0.5, 0.75, 0.125]),
+        (3, "b", [1.0, 2.0, -3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    sums = centroid_sums(df, "embedding", "label")
+    got = {(r["label"], r["dim"]): (r["sum_q"], r["n_vecs"]) for r in sums.collect()}
+    assert got[("a", 0)] == (1_000_000, 2)  # 0.5 + 0.5
+    assert got[("a", 1)] == (500_000, 2)  # -0.25 + 0.75
+    assert got[("b", 2)] == (-3_000_000, 1)
+    # repartitioned input yields the identical accumulator (associativity)
+    got_rep = {
+        (r["label"], r["dim"]): (r["sum_q"], r["n_vecs"])
+        for r in centroid_sums(df.repartition(7), "embedding", "label").collect()
+    }
+    assert got_rep == got
+    cents = {r["label"]: r["centroid"] for r in centroids_from_sums(sums, "label").collect()}
+    assert cents["a"] == [0.5, 0.25, 0.125]
+    assert cents["b"] == [1.0, 2.0, -3.0]
