@@ -26,3 +26,16 @@ def test_counts_redaction_and_flag(spark):
         detect_pii(df, "text", "doc_id").select("doc_id", "redacted"), "redacted", "doc_id"
     ).collect()
     assert all(not r["has_pii"] for r in clean)
+
+
+def test_null_text_propagates_null_profile(spark):
+    """NULL text → NULL counts/flag/redaction (Spark's NULL-propagating
+    regexp/size semantics, matching the oracle SQL's len(NULL) = NULL).
+    Curation pipelines filter NULL text upstream; this pins that the
+    operator neither crashes nor invents zeros."""
+    df = spark.createDataFrame([(1, None), (2, "a@b.io")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in detect_pii(df, "text", "doc_id").collect()}
+    assert rows[1]["n_email"] is None
+    assert rows[1]["redacted"] is None
+    assert rows[1]["has_pii"] is None
+    assert rows[2]["n_email"] == 1 and rows[2]["has_pii"]

@@ -80,3 +80,15 @@ def test_repetition_metrics_hand_computed(spark):
     # a single-word doc is 100% its own top unigram — degenerate docs are
     # the length gate's job (text_stats length_ok), not this metric's
     assert got[3]["repetitive"]
+
+
+def test_null_and_empty_text_drop_out_of_repetition_metrics(spark):
+    """NULL text explodes to no rows (split(NULL) → NULL → explode drops);
+    empty text normalizes to [''] which the word filter removes. Both
+    vanish from the output — identical to the oracle's unnest(NULL)/filter
+    semantics — rather than crashing or producing zero-division rows."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in X.repetition_metrics(df, "text", "doc_id").collect()}
+    assert got == {3}
