@@ -39,7 +39,7 @@ def test_contract_shapes(contract):
     assert set(oracles) <= set(qs)
     missing = set(qs) - set(oracles)
     # every omission is a documented rows-only check
-    assert missing == {"ann_ivf_topk", "multimodal_features", "approx_distinct_users"}
+    assert missing == {"multimodal_features", "approx_distinct_users"}
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
