@@ -84,8 +84,14 @@ def main() -> None:
     # Embedded in the SAME single JSON line (the driver parses the last
     # line of stdout); disable with SPARK_GRAFT_NO_SCALE_REPLICA=1.
     scaling = None
-    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    if os.path.isdir(small_dir) and small_dir != sf_dir and not os.environ.get(
+    small_dir = None
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        small_sf = float(sf_name.removeprefix("sf")) / 10
+        small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{small_sf:g}")
+    except ValueError:
+        pass  # unparseable dir name → no replica (never mislabel the ratio)
+    if small_dir and os.path.isdir(small_dir) and small_dir != sf_dir and not os.environ.get(
         "SPARK_GRAFT_NO_SCALE_REPLICA"
     ):
         small_timings: dict[str, float] = {}
@@ -101,16 +107,17 @@ def main() -> None:
                 spark.catalog.clearCache()
             small_timings[name] = round(min(runs), 3)
         small_total = sum(small_timings.values())
-        scaling = {
-            "small_sf": 0.01,
-            "small_total": round(small_total, 3),
-            "wall_ratio_10x_data": round(sum(timings.values()) / small_total, 2),
-            "per_query_ratio": {
-                n: round(timings[n] / small_timings[n], 2)
-                for n in small_timings
-                if small_timings[n] > 0
-            },
-        }
+        if small_total > 0:
+            scaling = {
+                "small_sf": small_sf,
+                "small_total": round(small_total, 3),
+                "wall_ratio_10x_data": round(sum(timings.values()) / small_total, 2),
+                "per_query_ratio": {
+                    n: round(timings[n] / small_timings[n], 2)
+                    for n in small_timings
+                    if small_timings[n] > 0
+                },
+            }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -136,12 +136,14 @@ def connected_components_alternating(
     edges = _canonical_edges(pairs, src, dst).localCheckpoint()
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint()
-        # fixpoint of the composition ⇔ converged star forest (both checks
-        # are 1-row actions, not data collects)
-        grew = after.exceptAll(edges).limit(1).count()
-        shrank = edges.exceptAll(after).limit(1).count()
+        # fixpoint of the composition ⇔ converged star forest (1-row
+        # actions, not data collects; the second check only runs when the
+        # first passes — one saved full-shuffle job per non-converged round)
+        changed = after.exceptAll(edges).limit(1).count() > 0 or (
+            edges.exceptAll(after).limit(1).count() > 0
+        )
         edges = after
-        if grew == 0 and shrank == 0:
+        if not changed:
             roots = (
                 edges.select(F.col("v").alias("node"))
                 .distinct()

@@ -200,20 +200,19 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.sum("_c").alias("_n_words"),
         )
     )
-    # bigrams over the UNfiltered word array (positions matter); docs with
-    # <2 words contribute none and surface as NULL top_bigram_frac
+    # bigrams over the UNfiltered word array (positions matter), built by the
+    # same shingle helper the dedup/contamination family uses (one gram
+    # format to keep in sync with the oracle SQL); docs with <2 words
+    # contribute none — overriding the helper's whole-text fallback — and
+    # surface as NULL top_bigram_frac
+    from scala_etl_test_spark.operators.dedup import shingles_from_words
+
     bigrams = base.select(
         F.col(id_col),
         F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("_w", i), F.element_at("_w", i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(F.size("_w") >= 2, shingles_from_words(F.col("_w"), 2)).otherwise(
+                F.array().cast("array<string>")
+            )
         ).alias("bigram"),
     )
     bi_stats = (

@@ -54,7 +54,7 @@ def write_table(
     writer = df.write.format(fmt).mode(mode).options(**(options or {}))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(path) if path is not None else writer.save()
+    writer.save(path)  # save(None) = connector destination from options
 
 
 def write_compacted(
