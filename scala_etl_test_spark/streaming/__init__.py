@@ -10,8 +10,12 @@ its incremental-ingestion and analytics capabilities:
 - :mod:`sessionize` — native ``session_window`` + a custom
   ``applyInPandasWithState`` stateful operator (streaming twin of the batch
   lag/cumsum sessionization).
+- :mod:`dedup` — continuous incremental LSH dedup: each micro-batch dedups
+  against the persisted index and is absorbed into it; the emitted pairs
+  equal one full-corpus run exactly (test-pinned).
 """
 
+from scala_etl_test_spark.streaming.dedup import init_index, stream_incremental_dedup
 from scala_etl_test_spark.streaming.rollup import hourly_rollup
 from scala_etl_test_spark.streaming.sessionize import (
     session_windows,
@@ -26,7 +30,9 @@ from scala_etl_test_spark.streaming.sources import (
 
 __all__ = [
     "hourly_rollup",
+    "init_index",
     "run_available_now",
+    "stream_incremental_dedup",
     "session_windows",
     "stateful_user_sessions",
     "stream_documents_parquet",

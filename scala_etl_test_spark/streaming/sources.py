@@ -80,13 +80,19 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
+def stream_documents_parquet(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming read of the documents corpus (directory of parquet files) —
     the ingest side of a continuously-fed training-data pipeline. Row-local
     curation operators (PII scan/redaction, quality stats, token counts,
     fingerprints) apply to this stream unchanged in append mode; aggregating
-    operators need a watermark or the batch path."""
-    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+    operators need a watermark or the batch path (incremental dedup runs
+    per micro-batch via :mod:`streaming.dedup`)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def run_available_now(

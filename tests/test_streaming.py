@@ -210,3 +210,43 @@ def test_stream_pii_and_text_stats_match_batch(spark, sf_dir, tmp_path):
     )
     want = {tuple(r) for r in text_stats(batch_docs, "text", "doc_id").collect()}
     assert _rows(spark, "stats_stream") == want and len(want) > 0
+
+
+def test_stream_incremental_dedup_matches_full_run(spark, sf_dir, tmp_path):
+    """Streaming dedup with per-batch index absorption == one full-corpus
+    run: the union of (seed-corpus pairs) and (streamed pairs across all
+    micro-batches) must be EXACTLY the full-run pair set, with every
+    cross-batch pair found by the later batch probing the absorbed index."""
+    from scala_etl_test_spark.operators.dedup import minhash_near_duplicates
+    from scala_etl_test_spark.streaming import stream_documents_parquet
+    from scala_etl_test_spark.streaming.dedup import init_index, stream_incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=16, bands=4, rows=4, shingle_n=3)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_dir = str(tmp_path / "index")
+    init_index(spark, index_dir, seed, "text", "doc_id", **kw)
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    b1.coalesce(1).write.parquet(str(stream_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(stream_dir / "f2"))
+
+    sdf = stream_documents_parquet(spark, f"{stream_dir}/*", max_files_per_trigger=1)
+    q = stream_incremental_dedup(
+        sdf, index_dir, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+        threshold=0.2, **kw,
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(str(tmp_path / "pairs"))
+    assert streamed.select("batch_id").distinct().count() == 2  # two micro-batches
+    seed_pairs = minhash_near_duplicates(seed, "text", "doc_id", threshold=0.2, **kw)
+    got = {(r["id_a"], r["id_b"]) for r in streamed.collect()} | {
+        (r["id_a"], r["id_b"]) for r in seed_pairs.collect()
+    }
+    full = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.2, **kw)
+    want = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert got == want and len(want) > 0
