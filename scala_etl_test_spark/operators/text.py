@@ -145,10 +145,16 @@ def build_vocab(
     contiguous from 0 in (occurrences DESC, word ASC) order, so the same
     corpus always yields the same table on any engine or cluster layout.
 
-    Scale: one explode + one groupBy on the word (uniform key); the id
-    assignment is a single unpartitioned ``row_number`` over the
-    *aggregated* vocab (vocab size ≪ corpus size — for web-scale text a few
-    million rows, fine on one task; shard by frequency band if ever not).
+    Scale: one explode + one groupBy on the word (uniform key). Id
+    assignment is SHARD-PARALLEL, not a global ``row_number``: the vocab's
+    total order (occurrences DESC, word ASC) is equivalently (occurrences
+    DESC, prefix ASC, word ASC) for any prefix of the word, so ids are
+    ``band_offset + rank_within_band`` where a band is (occurrences,
+    2-char prefix). Per-band ranks are an ordinary partitioned window
+    (parallel — critically, the huge hapax tail splits by prefix instead
+    of landing on one task), and band offsets are a running sum over the
+    band-count table, whose size is bounded by distinct-frequency-values ×
+    prefixes, not vocab size.
     """
     from pyspark.sql import Window
 
@@ -166,9 +172,28 @@ def build_vocab(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") >= min_count)
+        .withColumn("_band", F.substring("word", 1, 2))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
-    vocab = vocab.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("long"))
+    band_counts = vocab.groupBy("n_occurrences", "_band").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    offset_win = (
+        Window.orderBy(F.col("n_occurrences").desc(), F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = band_counts.select(
+        "n_occurrences",
+        "_band",
+        (F.sum("_n").over(offset_win) - F.col("_n")).alias("_offset"),
+    )
+    rank_win = Window.partitionBy("n_occurrences", "_band").orderBy(F.col("word").asc())
+    vocab = (
+        vocab.join(F.broadcast(offsets), on=["n_occurrences", "_band"])
+        .withColumn(
+            "vocab_id",
+            (F.col("_offset") + F.row_number().over(rank_win) - 1).cast("long"),
+        )
+    )
     if max_size is not None:
         vocab = vocab.filter(F.col("vocab_id") < max_size)
     return vocab.select("word", "n_docs", "n_occurrences", "vocab_id")
