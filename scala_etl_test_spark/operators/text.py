@@ -263,6 +263,36 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tokenize_long(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Apply a built vocabulary (:func:`build_vocab`) to documents:
+    (doc, position, word, token_id) rows, OOV words mapped to ``unk_id`` —
+    the text → token-id step that feeds sequence packing and training.
+
+    Long form on purpose: position-indexed rows are the shuffle-friendly
+    representation (re-assembling per-doc arrays is one groupBy away when a
+    writer needs them, see pack_sequences for the budget step).
+
+    Scale: posexplode (narrow) + one equi-join on the word. A tokenizer
+    vocab is ≤ a few million rows ⇒ broadcast (Catalyst chooses it
+    automatically under the threshold; hint if the statistics are stale) —
+    the corpus side never shuffles."""
+    w = docs.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    return w.join(vocab.select("word", "vocab_id"), on="word", how="left").select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        "word",
+        F.coalesce("vocab_id", F.lit(unk_id)).cast("long").alias("token_id"),
+    )
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
 ) -> DataFrame:

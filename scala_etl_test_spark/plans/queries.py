@@ -1822,6 +1822,7 @@ _GATE_PRIORITY: list[str] = [
     "pack_sequences",
     "multimodal_features_long",
     "embedding_centroids",
+    "tokenize_docs",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

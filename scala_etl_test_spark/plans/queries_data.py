@@ -654,6 +654,31 @@ QUALIFY vocab_id < 500
 """
 
 
+def q_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application: every document tokenized to (pos, word,
+    token_id) rows against the corpus vocab (min_count=2, top-500), OOV →
+    -1 (operators/text.py:tokenize_long)."""
+    from scala_etl_test_spark.operators.text import build_vocab, tokenize_long
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_count=2, max_size=500, id_col="doc_id")
+    return tokenize_long(docs, vocab, "text", "doc_id")
+
+
+SQL_TOKENIZE_DOCS = f"""
+WITH pos_tok AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+)
+SELECT p.doc_id,
+       CAST(p.pos AS BIGINT) AS pos,
+       p.word,
+       CAST(COALESCE(v.vocab_id, -1) AS BIGINT) AS token_id
+FROM pos_tok p LEFT JOIN ({SQL_VOCAB_BUILD}) v ON p.word = v.word
+WHERE p.word <> ''
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return X.document_fingerprints(docs, "text", "doc_id", shingle_n=5)
@@ -1225,6 +1250,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "multimodal_features_long": q_multimodal_features_long,
     "embedding_centroids": q_embedding_centroids,
+    "tokenize_docs": q_tokenize_docs,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1260,4 +1286,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "multimodal_features_long": SQL_MULTIMODAL_FEATURES_LONG,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "tokenize_docs": SQL_TOKENIZE_DOCS,
 }

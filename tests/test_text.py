@@ -92,3 +92,20 @@ def test_null_and_empty_text_drop_out_of_repetition_metrics(spark):
     )
     got = {r["doc_id"] for r in X.repetition_metrics(df, "text", "doc_id").collect()}
     assert got == {3}
+
+
+def test_tokenize_long_positions_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat the hat"), (2, "unknownword the")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("the", 0), ("cat", 1), ("hat", 2)], "word string, vocab_id long"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): (r["word"], r["token_id"])
+        for r in X.tokenize_long(docs, vocab, "text", "doc_id").collect()
+    }
+    assert got == {
+        (1, 0): ("the", 0), (1, 1): ("cat", 1), (1, 2): ("the", 0), (1, 3): ("hat", 2),
+        (2, 0): ("unknownword", -1), (2, 1): ("the", 0),
+    }
