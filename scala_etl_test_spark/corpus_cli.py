@@ -5,10 +5,14 @@ Runs the corpus-curation pipeline over a directory of parquet tables
 one parquet table per artifact:
 
     python -m scala_etl_test_spark.corpus_cli --data <dir> --out <dir> \
-        [--split train=0.8,val=0.1,test=0.1] [--min-quality 0.5]
+        [--split train=0.8,val=0.1,test=0.1] [--min-quality 0.5] \
+        [--redact-pii] [--max-top-ngram-frac 0.3]
 
 Artifacts:
-- ``corpus_clean/``   — deduplicated + quality-gated docs with lang/quality/tokens
+- ``corpus_clean/``   — deduplicated + quality-gated docs with lang/quality/
+                        tokens (+ PII-redacted text and counts with
+                        ``--redact-pii``; repetition-gated with
+                        ``--max-top-ngram-frac``)
 - ``dedup_clusters/`` — (node, component) near-duplicate cluster map
 - ``splits/``         — leakage-safe train/val/test assignment (clusters
                         never straddle a split)
@@ -37,6 +41,18 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--out", required=True, help="output dir (one subdir per artifact)")
     parser.add_argument("--split", default="train=0.8,val=0.1,test=0.1")
     parser.add_argument("--min-quality", type=float, default=0.5)
+    parser.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="add redacted_text + per-class PII counts to corpus_clean",
+    )
+    parser.add_argument(
+        "--max-top-ngram-frac",
+        type=float,
+        default=None,
+        help="drop docs whose top unigram (or bigram) holds more than this "
+        "fraction of the doc (Gopher-style repetition gate)",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -60,12 +76,26 @@ def main(argv: list[str] | None = None) -> None:
         F.col("node").alias("doc_id")
     )
     kept = docs.join(losers, on="doc_id", how="left_anti")
-    clean = kept.select(
-        "doc_id",
+    if args.max_top_ngram_frac is not None:
+        rep = X.repetition_metrics(kept, "text", "doc_id")
+        repetitive = rep.filter(
+            (F.col("top_unigram_frac") > args.max_top_ngram_frac)
+            | (F.coalesce("top_bigram_frac", F.lit(0.0)) > args.max_top_ngram_frac)
+        ).select("doc_id")
+        kept = kept.join(repetitive, on="doc_id", how="left_anti")
+    cols = [
+        F.col("doc_id"),
         X.lang_id("text").alias("predicted_lang"),
         X.quality_score("text").alias("quality_score"),
         X.re_token_count("text").alias("re_tokens"),
-    ).filter(F.col("quality_score") >= args.min_quality)
+    ]
+    if args.redact_pii:
+        from scala_etl_test_spark.operators import pii as P
+
+        cols += [P.redact_pii("text").alias("redacted_text")] + [
+            P.pii_count("text", kind).alias(f"n_{kind}") for kind in P.PII_PATTERNS
+        ]
+    clean = kept.select(*cols).filter(F.col("quality_score") >= args.min_quality)
     clean.write.mode("overwrite").parquet(f"{args.out}/corpus_clean")
 
     splits = leakage_safe_split(docs, pairs, "doc_id", weights).select("doc_id", "split")

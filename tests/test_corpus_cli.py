@@ -41,3 +41,21 @@ def test_corpus_cli_artifacts(spark, sf_dir, tmp_path, capsys):
     )
     assert mixture.count() == n_sources
     assert abs(sum(r["weight"] for r in mixture.collect()) - 1.0) < 1e-6
+
+
+def test_corpus_cli_pii_and_repetition_flags(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "corpus2")
+    main([
+        "--data", sf_dir, "--out", out,
+        "--redact-pii", "--max-top-ngram-frac", "0.25",
+    ])
+    clean = spark.read.parquet(f"{out}/corpus_clean")
+    assert {"redacted_text", "n_email", "n_phone", "n_ipv4"} <= set(clean.columns)
+    # the synthetic corpus carries no PII: counts all zero, text unchanged
+    assert clean.filter(F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0).count() == 0
+    # the repetition gate is strictly more restrictive than the default run
+    base = str(tmp_path / "corpus_base")
+    main(["--data", sf_dir, "--out", base])
+    assert clean.count() <= spark.read.parquet(f"{base}/corpus_clean").count()
