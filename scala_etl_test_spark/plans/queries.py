@@ -1823,6 +1823,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features_long",
     "embedding_centroids",
     "tokenize_docs",
+    "model_scores",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

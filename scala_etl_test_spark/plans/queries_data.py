@@ -444,6 +444,23 @@ FROM expanded GROUP BY label, dim
 """
 
 
+def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model scoring (operators/scoring.py) with the
+    deterministic hash pseudo-model — the mapInPandas path itself is
+    oracle-checked, since the fake score is md5-reproducible in SQL."""
+    from scala_etl_test_spark.operators.scoring import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_MODEL_SCORES = f"""
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 8)) AS BIGINT) % 1000000
+            AS DOUBLE) / 1000000 AS model_score
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -1251,6 +1268,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features_long": q_multimodal_features_long,
     "embedding_centroids": q_embedding_centroids,
     "tokenize_docs": q_tokenize_docs,
+    "model_scores": q_model_scores,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1287,4 +1305,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "multimodal_features_long": SQL_MULTIMODAL_FEATURES_LONG,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tokenize_docs": SQL_TOKENIZE_DOCS,
+    "model_scores": SQL_MODEL_SCORES,
 }

@@ -81,7 +81,7 @@ def test_exact_dedup_single_shuffle(q):
 def test_hot_paths_stay_jvm_side(q):
     """No row-at-a-time Python anywhere; Arrow-batched Python only in the
     explicitly-Python multimodal feature extractor."""
-    python_ok = {"multimodal_features", "multimodal_features_long"}
+    python_ok = {"multimodal_features", "multimodal_features_long", "model_scores"}
     for name in QUERIES:
         p = plan(q(name), mode="simple")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python UDF:\n{p}"

@@ -1,0 +1,45 @@
+"""Model scoring hook: deterministic fake scores, gated real model, and the
+Python normalization twin staying byte-identical to the engine contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_etl_test_spark.operators.scoring import (
+    _normalize,
+    fake_model_score,
+    score_documents,
+)
+
+
+def test_fake_scores_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "Some Text, with Punct!"), (2, "some text with punct"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["model_score"] for r in score_documents(df, "text", "doc_id").collect()}
+    # normalization-invariant: docs 1 and 2 normalize identically
+    assert got[1] == got[2] == fake_model_score("Some Text, with Punct!")
+    assert got[1] != got[3]
+    assert all(0.0 <= s < 1.0 for s in got.values())
+
+
+def test_python_normalization_matches_engine_contract(spark):
+    """The pandas-side normalizer must be byte-identical to normalize_text
+    (the _NORM_SQL contract) — a drifting third implementation would break
+    the oracle silently."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.dedup import normalize_text
+
+    rows = ["  MiXeD   CaSe \t 123!@#abc ", "", "déjà vu", "a-b_c.d", "ALL CAPS 42"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)], "i long, text string")
+    engine = {r["i"]: r["n"] for r in df.select("i", normalize_text("text").alias("n")).collect()}
+    for i, t in enumerate(rows):
+        assert _normalize(t) == engine[i], (t, _normalize(t), engine[i])
+
+
+def test_real_model_gated(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError, match="fasttext unavailable"):
+        score_documents(df, "text", "doc_id", model="fasttext", model_path="/nope.bin")
