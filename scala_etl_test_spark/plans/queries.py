@@ -1824,6 +1824,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_centroids",
     "tokenize_docs",
     "model_scores",
+    "corpus_prepare",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

@@ -26,6 +26,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_PACK_BUDGET = 256  # tokens per packed sequence (pack_sequences / corpus_prepare)
 
 
 def _shingles_sql(n: int) -> str:
@@ -786,6 +787,55 @@ WHERE d.doc_id NOT IN (SELECT node FROM losers)
 """
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end prepare: near-dup cluster → keep representatives →
+    quality gate → pack the survivors into token-budget sequences per
+    source shard, reported as per-pack fill stats. The whole
+    dedup→curate→assemble path as ONE declarative plan, oracle-checked —
+    what actually ships batches to a trainer."""
+    from scala_etl_test_spark.operators.cluster import dedup_keep_representative
+    from scala_etl_test_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    kept = dedup_keep_representative(docs, pairs, "doc_id")
+    clean = kept.select(
+        "doc_id",
+        "source",
+        X.quality_score("text").alias("quality_score"),
+        X.re_token_count("text").alias("re_tokens"),
+    ).filter(F.col("quality_score") >= 0.5)
+    packed = pack_sequences(clean, "re_tokens", "doc_id", "source", budget=_PACK_BUDGET)
+    return pack_stats(packed, "source", budget=_PACK_BUDGET)
+
+
+SQL_CORPUS_PREPARE = f"""
+WITH RECURSIVE {_cc_ctes()},
+losers AS (SELECT node FROM comp WHERE node <> component),
+tq AS (SELECT * FROM ({{quality_sql}})),
+tok AS (SELECT * FROM ({{token_sql}})),
+clean AS (
+  SELECT d.doc_id, d.source, tok.re_tokens
+  FROM documents d
+  JOIN tq ON tq.doc_id = d.doc_id
+  JOIN tok ON tok.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    AND tq.quality_score >= 0.5
+), packed AS (
+  SELECT source, re_tokens,
+         (SUM(re_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - re_tokens)
+           // {_PACK_BUDGET} AS pack_id
+  FROM clean
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(re_tokens) AS BIGINT) AS pack_tokens,
+       round(CAST(SUM(re_tokens) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill_ratio
+FROM packed GROUP BY source, pack_id
+"""
+
+
 # --------------------------------------------------------------------------
 # table profiling (operators/profile.py)
 # --------------------------------------------------------------------------
@@ -1005,12 +1055,16 @@ FROM h CROSS JOIN bins b
 """
 
 
-# corpus_clean oracle references the text-metric SQL defined above; resolve
-# the placeholders via replace (the token regex contains format-hostile braces)
+# corpus_clean/prepare oracles reference the text-metric SQL defined above;
+# resolve the placeholders via replace (the token regex contains
+# format-hostile braces)
 SQL_CORPUS_CLEAN = (
     SQL_CORPUS_CLEAN.replace("{lang_sql}", SQL_LANG_ID)
     .replace("{quality_sql}", SQL_TEXT_QUALITY)
     .replace("{token_sql}", SQL_TOKEN_COUNT)
+)
+SQL_CORPUS_PREPARE = SQL_CORPUS_PREPARE.replace("{quality_sql}", SQL_TEXT_QUALITY).replace(
+    "{token_sql}", SQL_TOKEN_COUNT
 )
 
 
@@ -1195,9 +1249,6 @@ HAVING COUNT(DISTINCT c.shingle) >= 1
 # sequence packing
 # --------------------------------------------------------------------------
 
-_PACK_BUDGET = 256
-
-
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy concat-and-chunk packing of documents into 256-token packs per
     source shard, reported as per-pack fill statistics
@@ -1269,6 +1320,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "tokenize_docs": q_tokenize_docs,
     "model_scores": q_model_scores,
+    "corpus_prepare": q_corpus_prepare,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1306,4 +1358,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "tokenize_docs": SQL_TOKENIZE_DOCS,
     "model_scores": SQL_MODEL_SCORES,
+    "corpus_prepare": SQL_CORPUS_PREPARE,
 }
