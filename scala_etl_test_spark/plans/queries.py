@@ -685,6 +685,80 @@ GROUP BY 1, 2
 """
 
 
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection per event type: each hour's count
+    z-scored against the previous 24 hourly buckets; |z| > 3 flags a spike
+    or outage. One rollup shuffle + one window per type — the monitoring
+    query every event pipeline runs.
+
+    Determinism: counts are exact integers, so the trailing mean/variance
+    (computed from SUM and SUM of squares in double) and ``sqrt`` are
+    bit-identical across engines; the z-score is rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(win)
+    s = F.sum("n_events").over(win)
+    sq = F.sum(F.col("n_events") * F.col("n_events")).over(win)
+    # try_divide everywhere: window projections evaluate before the CASE
+    # gate, so with ANSI on a plain `/` throws on the history-less first
+    # rows (n = 0). double-first products match the oracle's
+    # CAST(s AS DOUBLE) * s — an exact-long product would round
+    # differently once it passes 2^53.
+    mean = F.try_divide(s.cast("double"), n)
+    var = F.try_divide(sq - F.try_divide(s.cast("double") * s, n), n - 1)
+    z = F.round(F.try_divide(F.col("n_events") - mean, F.sqrt(var)), 6)
+    return (
+        hourly.select(
+            "hour_bucket",
+            "event_type",
+            "n_events",
+            # need history to judge; constant-count windows (var = 0) give
+            # no scale for a z-score
+            F.when((n >= 12) & (var > 0), z).alias("zscore"),
+        )
+        .withColumn("is_anomaly", F.coalesce(F.abs("zscore") > 3, F.lit(False)))
+    )
+
+
+SQL_EVENTS_HOURLY_ANOMALY = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT hour_bucket, event_type, n_events,
+         COUNT(*) OVER w AS n,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_bucket, event_type, n_events, zscore,
+       COALESCE(abs(zscore) > 3, FALSE) AS is_anomaly
+FROM (
+  SELECT hour_bucket, event_type, n_events,
+         CASE WHEN n >= 12 AND (sq - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+              THEN round((n_events - CAST(s AS DOUBLE) / n)
+                         / sqrt((sq - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+         END AS zscore
+  FROM stats
+)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user, in batch:
     lag → new-session flag → cumulative sum → per-user session stats.
@@ -1690,6 +1764,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "events_hourly_rollup": q_events_hourly_rollup,
+    "events_hourly_anomaly": q_events_hourly_anomaly,
     "events_sessionize": q_events_sessionize,
     "tpch_q6": q_tpch_q6,
     "semi_join_exists": q_semi_join_exists,
@@ -1739,6 +1814,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "events_hourly_rollup": SQL_EVENTS_HOURLY_ROLLUP,
+    "events_hourly_anomaly": SQL_EVENTS_HOURLY_ANOMALY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "tpch_q6": SQL_TPCH_Q6,
     "semi_join_exists": SQL_SEMI_JOIN_EXISTS,
@@ -1825,6 +1901,7 @@ _GATE_PRIORITY: list[str] = [
     "tokenize_docs",
     "model_scores",
     "corpus_prepare",
+    "events_hourly_anomaly",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))
