@@ -164,6 +164,16 @@ def test_decontaminate_broadcasts_bench_and_never_shuffles_raw_corpus(q):
     assert p.count("Exchange hashpartitioning") <= 3, p
 
 
+def test_tokenize_vocab_broadcasts(q):
+    """The tokenizer's word→id lookup must broadcast the vocab — a
+    sort-merge join would shuffle every exploded corpus token on a skewed
+    key ('the' is a hot word); a few-million-row vocab is broadcast
+    material."""
+    p = plan(q("tokenize_docs"), mode="simple")
+    assert "BroadcastHashJoin [word" in p, p
+    assert "SortMergeJoin [word" not in p, p
+
+
 def test_pii_scan_single_scan_no_joins(q):
     """A row-local operator with a rollup must be scan → project → one
     aggregate exchange. A join back to the input to re-attach the shard key

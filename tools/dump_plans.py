@@ -62,6 +62,14 @@ SHOWCASE = [
         "pack_sequences",
         "ONE window over ONE scan: per-shard cumulative token offsets assign packs; every shard packs independently, so the plan parallelizes by shard count.",
     ),
+    (
+        "tokenize_docs",
+        "The vocab (an aggregate with no source statistics) still broadcasts — AQE converts the join at runtime, so the exploded corpus side never shuffles for the id lookup.",
+    ),
+    (
+        "corpus_prepare",
+        "The whole dedup → quality-gate → packing pipeline as one composed plan: LSH candidate generation, keep-representative anti-join, row-local metrics, and the per-shard packing window share lineage — no intermediate materialization.",
+    ),
 ]
 
 
