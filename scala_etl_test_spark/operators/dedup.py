@@ -343,6 +343,8 @@ def incremental_near_duplicates(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    new_shingles: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new × corpus ∪ new × new) for an ingest batch against
     a pre-built index (:func:`build_minhash_index`), with exact-Jaccard
@@ -361,12 +363,23 @@ def incremental_near_duplicates(
     per batch must not accumulate cached blocks until storage eviction. The
     returned DataFrame is small (verified near-dup pairs for one batch) and
     its blocks are reclaimed by the ContextCleaner once unreferenced.
+
+    Callers that ALSO need the batch's shingle/band tables (index
+    absorption — :mod:`streaming.dedup`) pass them pre-built via
+    ``new_shingles``/``new_bands`` so the batch is shingled and hashed
+    once, not twice; pre-built inputs are assumed already materialized
+    (persisted or checkpointed) and are not unpersisted here.
     """
-    new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_n, shingles=new_shingles
-    )
-    new_bands = lsh_bands(new_sigs, id_col, bands, rows).persist()
+    own_handles: list[DataFrame] = []
+    if new_shingles is None:
+        new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
+        own_handles.append(new_shingles)
+    if new_bands is None:
+        new_sigs = minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_n, shingles=new_shingles
+        )
+        new_bands = lsh_bands(new_sigs, id_col, bands, rows).persist()
+        own_handles.append(new_bands)
 
     # restrict to buckets the batch actually touches BEFORE counting sizes:
     # the semi-join keeps whole buckets, so bucket_size (and thus the skew
@@ -406,7 +419,7 @@ def incremental_near_duplicates(
         cands, new_docs, text_col, id_col, shingle_n, shingles=needed_shingles
     )
     result = verified.filter(F.col("jaccard") >= threshold).localCheckpoint(eager=True)
-    for handle in (new_shingles, new_bands, cands):
+    for handle in [*own_handles, cands]:
         handle.unpersist()
     return result
 

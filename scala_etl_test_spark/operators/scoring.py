@@ -15,9 +15,11 @@ pluggable:
 - ``model="fasttext"``: gated on an importable ``fasttext`` package +
   ``model_path`` (not present in this container) — the production slot.
 
-Scale: one scan, Arrow batches; normalization runs inside the batch in
-pandas (vectorized ``str`` ops). Batch size bounded by
-``spark.sql.execution.arrow.maxRecordsPerBatch``.
+Scale: one scan, Arrow batches. The per-document work (normalize + hash
+for the fake; ``model.predict`` for the real) is a per-row Python loop by
+nature — that is the cost profile of ANY model-scoring stage, and the
+Arrow batching amortizes the transfer, not the inference. Batch size
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 """
 
 from __future__ import annotations
@@ -37,12 +39,14 @@ except ImportError:  # pragma: no cover - exercised only where fasttext exists
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
-SCORED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("model_score", T.DoubleType()),
-    ]
-)
+
+def _scored_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("model_score", T.DoubleType()),
+        ]
+    )
 
 
 def _normalize(text: str) -> str:
@@ -65,8 +69,10 @@ def score_documents(
     model: str = "fake",
     model_path: str | None = None,
 ) -> DataFrame:
-    """(id, model_score) via Arrow-batched ``mapInPandas``. The iterator
-    form loads the model once per task, not per batch or row."""
+    """(``id_col``, model_score) via Arrow-batched ``mapInPandas``. The
+    iterator form loads the model once per task, not per batch or row.
+    NULL text propagates a NULL score (the NULL-in → NULL-out contract the
+    oracle's ``md5(NULL)`` follows; curation filters NULLs upstream)."""
     if model == "fasttext" and _fasttext is None:
         raise NotImplementedError(
             "fasttext unavailable in this environment; use model='fake' "
@@ -78,14 +84,18 @@ def score_documents(
         if model == "fasttext":  # pragma: no cover - needs the real package
             clf = _fasttext.load_model(model_path)
         for pdf in batches:
-            texts = pdf[text_col].fillna("")
+            texts = pdf[text_col]
             if clf is not None:  # pragma: no cover
-                labels, probs = clf.predict(
-                    [t.replace("\n", " ") for t in texts], k=1
-                )
-                scores = [float(p[0]) for p in probs]
+                scores = [
+                    None
+                    if t is None
+                    else float(clf.predict(t.replace("\n", " "), k=1)[1][0])
+                    for t in texts
+                ]
             else:
-                scores = [fake_model_score(t) for t in texts]
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "model_score": scores})
+                scores = [None if t is None else fake_model_score(t) for t in texts]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "model_score": scores}
+            )
 
-    return df.mapInPandas(run, SCORED_SCHEMA)
+    return df.mapInPandas(run, _scored_schema(id_col))

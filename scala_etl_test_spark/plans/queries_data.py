@@ -1045,7 +1045,9 @@ WITH h AS (
   FROM documents
 ), bins AS (SELECT unnest(range(0, 16)) AS bin)
 SELECT h.doc_id AS media_id, h.modality, CAST(b.bin AS BIGINT) AS bin,
-       CASE WHEN h.n = 0 THEN 0.0 ELSE
+       -- COALESCE: a NULL payload reaches the UDF as b'' (0.0 features),
+       -- so NULL octet_length must take the zero branch, not yield NULL
+       CASE WHEN COALESCE(h.n, 0) = 0 THEN 0.0 ELSE
          round(CAST(len(list_filter(range(1, h.n + 1),
                     i -> substr(h.hx, 2 * i - 1, 1)
                          = substr('0123456789ABCDEF', CAST(b.bin AS INT) + 1, 1)))

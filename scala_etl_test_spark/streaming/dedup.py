@@ -11,15 +11,26 @@ equivalence, test-pinned.
 ``foreachBatch`` is the right streaming primitive here (not a stateful
 operator): the LSH index is far too large for stream state and already
 lives as partitioned parquet; each trigger is a bounded batch job against
-it. The per-batch sequence — emit pairs, then append the batch's
-shingles/bands — is checkpoint-replay-safe in the at-least-once sense:
-replaying a batch re-emits the same deterministic pairs (downstream
-dedup on (id_a, id_b) makes it exactly-once).
+it.
 
-Scale note: index absorption is an append of two small parquet deltas;
-compact them periodically (``write_compacted``) so the band table's file
-count stays bounded — the probe is an equi-join on (band_idx, band_hash),
-which partition-prunes when the index is bucketed on those keys.
+Replay safety (foreachBatch is at-least-once): both writes are
+batch-scoped and idempotent under re-run —
+
+- pair output: ``batch_id=N`` partition, dynamic partition overwrite, so
+  a replayed batch REPLACES its own pairs instead of appending duplicates;
+- index absorption: the batch's shingle/band deltas land in their own
+  ``batch_id=N`` partition the same way. A plain append here would be a
+  real corruption bug: duplicated shingle rows inflate set sizes in the
+  Jaccard verification of every later batch.
+
+The batch is shingled/hashed ONCE: the delta tables are built first,
+localCheckpoint'ed, passed into the dedup (which otherwise recomputes
+them), and then written as the absorption delta.
+
+Scale note: per-batch deltas mean many small files over time; compact
+periodically (``write_compacted``) so the band table's file count stays
+bounded — the probe is an equi-join on (band_idx, band_hash), which
+partition-prunes when the compacted index is bucketed on those keys.
 """
 
 from __future__ import annotations
@@ -30,6 +41,19 @@ from scala_etl_test_spark.operators.dedup import (
     build_minhash_index,
     incremental_near_duplicates,
 )
+
+
+def _write_delta(df: DataFrame, path: str, batch_id: int, single_file: bool = False) -> None:
+    """Idempotent batch-scoped write: each batch owns the
+    ``batch_id=<n>`` subdirectory and a replay overwrites exactly that
+    directory (partition discovery exposes ``batch_id`` as a prunable
+    column on read). ``single_file`` forces one task so an EMPTY frame
+    still writes a schema-bearing parquet file — ``partitionBy`` on an
+    empty frame writes nothing at all, which would leave the seed index
+    unreadable."""
+    out = df.repartition(1) if single_file else df
+    out.write.mode("overwrite").parquet(f"{path}/batch_id={int(batch_id)}")
+
 
 def init_index(
     spark: SparkSession,
@@ -43,18 +67,20 @@ def init_index(
     shingle_n: int = 3,
 ) -> None:
     """Materialize the persistent LSH index at ``index_dir`` (shingles/ +
-    bands/), from a seed corpus or empty."""
-    if seed_docs is not None:
-        shingles, band_t = build_minhash_index(
-            seed_docs, text_col, id_col, num_hashes, bands, rows, shingle_n
-        )
-    else:
-        shingles = spark.createDataFrame([], f"{id_col} BIGINT, shingle STRING")
-        band_t = spark.createDataFrame(
-            [], f"{id_col} BIGINT, band_idx INT, band_hash STRING"
-        )
-    shingles.write.mode("overwrite").parquet(f"{index_dir}/shingles")
-    band_t.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    bands/), from a seed corpus or empty. The empty form derives its
+    schemas from :func:`build_minhash_index` over an empty frame — a
+    hand-written schema that drifts from the real shingle table would make
+    the first absorption produce a mixed-schema parquet directory."""
+    empty_seed = seed_docs is None
+    if empty_seed:
+        seed_docs = spark.createDataFrame([], f"{id_col} BIGINT, {text_col} STRING")
+    shingles, band_t = build_minhash_index(
+        seed_docs, text_col, id_col, num_hashes, bands, rows, shingle_n
+    )
+    # single_file only for the empty seed: it guarantees a schema-bearing
+    # file; a real seed corpus keeps its parallel write
+    _write_delta(shingles, f"{index_dir}/shingles", -1, single_file=empty_seed)
+    _write_delta(band_t, f"{index_dir}/bands", -1, single_file=empty_seed)
 
 
 def stream_incremental_dedup(
@@ -70,8 +96,8 @@ def stream_incremental_dedup(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ):
-    """Start (AvailableNow) the streaming dedup: near-dup pairs append to
-    ``out_dir`` tagged with their batch id; each batch is absorbed into the
+    """Start (AvailableNow) the streaming dedup: near-dup pairs land in
+    ``out_dir`` partitioned by batch id; each batch is absorbed into the
     index after it is deduped against the prior state."""
     spark = stream_docs.sparkSession
     kw = dict(num_hashes=num_hashes, bands=bands, rows=rows, shingle_n=shingle_n)
@@ -79,16 +105,39 @@ def stream_incremental_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
-        idx_bands = spark.read.parquet(f"{index_dir}/bands")
-        pairs = incremental_near_duplicates(
-            batch, idx_shingles, idx_bands, text_col, id_col, threshold=threshold, **kw
+        # probe the index AS OF before this batch: on replay the index may
+        # already contain this batch's own absorbed delta, and probing it
+        # would double the batch's shingles in the Jaccard set sizes. The
+        # batch_id predicate partition-prunes, it does not scan.
+        idx_shingles = (
+            spark.read.parquet(f"{index_dir}/shingles")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
-        # absorb AFTER emitting: the batch deduped against the-corpus-before-it
-        new_shingles, new_bands = build_minhash_index(batch, text_col, id_col, **kw)
-        new_shingles.write.mode("append").parquet(f"{index_dir}/shingles")
-        new_bands.write.mode("append").parquet(f"{index_dir}/bands")
+        idx_bands = (
+            spark.read.parquet(f"{index_dir}/bands")
+            .filter(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+        # build the batch's delta ONCE (materialized), reuse it for both
+        # the dedup probe and the index absorption
+        delta_shingles, delta_bands = build_minhash_index(batch, text_col, id_col, **kw)
+        delta_shingles = delta_shingles.localCheckpoint(eager=True)
+        delta_bands = delta_bands.localCheckpoint(eager=True)
+        pairs = incremental_near_duplicates(
+            batch,
+            idx_shingles,
+            idx_bands,
+            text_col,
+            id_col,
+            threshold=threshold,
+            new_shingles=delta_shingles,
+            new_bands=delta_bands,
+            **kw,
+        )
+        _write_delta(pairs, out_dir, batch_id)
+        _write_delta(delta_shingles, f"{index_dir}/shingles", batch_id)
+        _write_delta(delta_bands, f"{index_dir}/bands", batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

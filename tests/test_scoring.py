@@ -39,6 +39,21 @@ def test_python_normalization_matches_engine_contract(spark):
         assert _normalize(t) == engine[i], (t, _normalize(t), engine[i])
 
 
+def test_null_text_propagates_null_score(spark):
+    """NULL in → NULL out, matching the oracle's md5(NULL) = NULL — the
+    operator must not invent a score for missing text."""
+    df = spark.createDataFrame([(1, None), (2, "real")], "doc_id long, text string")
+    got = {r["doc_id"]: r["model_score"] for r in score_documents(df, "text", "doc_id").collect()}
+    assert got[1] is None and got[2] is not None
+
+
+def test_id_col_name_is_preserved(spark):
+    df = spark.createDataFrame([(7, "x")], "media_id long, text string")
+    out = score_documents(df, "text", id_col="media_id")
+    assert out.columns == ["media_id", "model_score"]
+    assert out.collect()[0]["media_id"] == 7
+
+
 def test_real_model_gated(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError, match="fasttext unavailable"):

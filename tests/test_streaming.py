@@ -250,3 +250,34 @@ def test_stream_incremental_dedup_matches_full_run(spark, sf_dir, tmp_path):
     full = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.2, **kw)
     want = {(r["id_a"], r["id_b"]) for r in full.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_replay_idempotent_and_empty_seed(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch must REPLACE its own
+    index delta and pair partition, not append duplicates (duplicated
+    shingle rows would corrupt Jaccard set sizes for every later batch).
+    Also pins the empty-seed path: the schema derives from the real
+    shingle/band builders, so absorption never mixes schemas."""
+    from scala_etl_test_spark.streaming import stream_documents_parquet
+    from scala_etl_test_spark.streaming.dedup import init_index, stream_incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    kw = dict(num_hashes=16, bands=4, rows=4, shingle_n=3)
+    index_dir = str(tmp_path / "index")
+    init_index(spark, index_dir, None, "text", "doc_id", **kw)  # EMPTY seed
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(stream_dir / "f1"))
+    run = lambda ckpt: stream_incremental_dedup(  # noqa: E731
+        stream_documents_parquet(spark, f"{stream_dir}/*", max_files_per_trigger=1),
+        index_dir, str(tmp_path / "pairs"), str(tmp_path / ckpt), threshold=0.2, **kw,
+    ).awaitTermination()
+    run("ckpt1")
+    shingles_once = spark.read.parquet(f"{index_dir}/shingles").count()
+    pairs_once = spark.read.parquet(str(tmp_path / "pairs")).count()
+    # fresh checkpoint → the same batch replays from scratch (worst-case
+    # at-least-once); every batch-scoped write must replace, not append
+    run("ckpt2")
+    assert spark.read.parquet(f"{index_dir}/shingles").count() == shingles_once
+    assert spark.read.parquet(str(tmp_path / "pairs")).count() == pairs_once
