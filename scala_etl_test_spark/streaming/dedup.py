@@ -83,6 +83,26 @@ def init_index(
     _write_delta(band_t, f"{index_dir}/bands", -1, single_file=empty_seed)
 
 
+def dedup_events_within_watermark(
+    stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once EVENT dedup on an unbounded stream:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so duplicate deliveries (at-least-once sources,
+    producer retries) are dropped with BOUNDED state — a plain
+    ``dropDuplicates`` on a stream would grow its state forever.
+
+    This is the streaming twin of the batch first-row-wins dedup
+    (operators/segmentation.py, SURVEY §2.4 A3): same keys, the stream
+    form just bounds memory by event-time instead of seeing all history.
+    """
+    keys = id_cols or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_incremental_dedup(
     stream_docs: DataFrame,
     index_dir: str,

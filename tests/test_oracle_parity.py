@@ -46,3 +46,14 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert result["value_match"], {k: v for k, v in result.items() if k != "first_diffs"} | {
         "first_diffs": result.get("first_diffs")
     }
+
+
+def test_every_oracle_sql_parses(con):
+    """EXPLAIN every registered oracle — catches SQL syntax/binding errors
+    in seconds without executing the queries (the full parity run catches
+    them too, but only after minutes of Spark work)."""
+    for name, sql in sorted(ORACLE_SQL.items()):
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - failure path
+            raise AssertionError(f"oracle SQL for {name!r} failed to bind: {exc}") from exc

@@ -281,3 +281,25 @@ def test_stream_dedup_replay_idempotent_and_empty_seed(spark, sf_dir, tmp_path):
     run("ckpt2")
     assert spark.read.parquet(f"{index_dir}/shingles").count() == shingles_once
     assert spark.read.parquet(str(tmp_path / "pairs")).count() == pairs_once
+
+
+def test_dedup_events_within_watermark_drops_redeliveries(spark, sf_dir, tmp_path):
+    """At-least-once delivery: the same event file lands twice (two copies
+    in the source dir) — dropDuplicatesWithinWatermark must emit each
+    event_id once, with state bounded by the watermark horizon."""
+    from scala_etl_test_spark.streaming import stream_events_parquet
+    from scala_etl_test_spark.streaming.dedup import dedup_events_within_watermark
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "delivery2.parquet")  # redelivery
+
+    sdf = dedup_events_within_watermark(
+        stream_events_parquet(spark, str(d)).select("event_id", "ts", "user_id")
+    )
+    run_available_now(sdf, str(tmp_path / "ckpt"), query_name="dedup_events")
+    got = spark.sql("SELECT event_id FROM dedup_events")
+    n_unique = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_unique  # every duplicate delivery dropped
+    assert got.distinct().count() == n_unique
