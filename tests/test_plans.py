@@ -151,6 +151,23 @@ def test_tpch2_dimension_broadcasts(q):
         assert "BroadcastHashJoin" in p, f"{name} lost its dim broadcast:\n{p}"
 
 
+def test_fact_fact_joins_not_hint_forced(q, spark):
+    """Broadcast discipline cuts BOTH ways: Q7/Q8's orders⋈customer join is
+    fact⋈fact — both sides scale with SF, so it must NOT carry a forced
+    broadcast hint (a hint there passes every small-SF test and then OOMs
+    the driver at orders' real scale). With the auto-threshold disabled,
+    only explicitly hinted dims may broadcast; the fact join must fall
+    back to sort-merge. At real SF the auto-threshold/AQE still broadcasts
+    genuinely small sides — that freedom is the point."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("tpch_q7", "tpch_q8"):
+            p = plan(q(name), mode="simple")
+            assert "SortMergeJoin [o_custkey" in p, f"{name} fact join hint-forced:\n{p}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_decontaminate_broadcasts_bench_and_never_shuffles_raw_corpus(q):
     """Contamination check: the benchmark side must broadcast and the raw
     corpus shingle stream must reach the join WITHOUT a pre-join exchange —
