@@ -83,6 +83,27 @@ def init_index(
     _write_delta(band_t, f"{index_dir}/bands", -1, single_file=empty_seed)
 
 
+def compact_index(
+    spark: SparkSession, index_dir: str, out_dir: str, target_mb: int = 128
+) -> None:
+    """Fold an index's accumulated per-batch deltas into one size-targeted
+    baseline at ``out_dir`` (written as the ``batch_id=-1`` seed, so the
+    read path is unchanged and the caller swaps directories when ready —
+    side-effect-free on the live index, safe under concurrent readers).
+
+    Run periodically: every micro-batch adds a delta directory, and a
+    year of 5-minute batches is ~100k directories whose listing alone
+    throttles an object store. Compaction also sorts rows by the band
+    bucket key so parquet row-group stats prune probe reads."""
+    from scala_etl_test_spark.sources.sinks import write_compacted
+
+    for table, sort_by in (("shingles", None), ("bands", ["band_idx", "band_hash"])):
+        merged = spark.read.parquet(f"{index_dir}/{table}").drop("batch_id")
+        write_compacted(
+            merged, f"{out_dir}/{table}/batch_id=-1", target_mb=target_mb, sort_by=sort_by
+        )
+
+
 def dedup_events_within_watermark(
     stream: DataFrame,
     id_cols: list[str] | None = None,

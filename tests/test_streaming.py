@@ -303,3 +303,51 @@ def test_dedup_events_within_watermark_drops_redeliveries(spark, sf_dir, tmp_pat
     n_unique = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got.count() == n_unique  # every duplicate delivery dropped
     assert got.distinct().count() == n_unique
+
+
+def test_compact_index_preserves_dedup_answers(spark, sf_dir, tmp_path):
+    """Folding all per-batch deltas into one baseline must not change any
+    future batch's dedup result — compaction is a layout change only."""
+    from scala_etl_test_spark.operators.dedup import incremental_near_duplicates
+    from scala_etl_test_spark.streaming import stream_documents_parquet
+    from scala_etl_test_spark.streaming.dedup import (
+        compact_index,
+        init_index,
+        stream_incremental_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=16, bands=4, rows=4, shingle_n=3)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    streamed_docs = docs.filter(F.col("doc_id") % 3 == 1)
+    probe_batch = docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_dir = str(tmp_path / "index")
+    init_index(spark, index_dir, seed, "text", "doc_id", **kw)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    streamed_docs.coalesce(1).write.parquet(str(stream_dir / "f1"))
+    stream_incremental_dedup(
+        stream_documents_parquet(spark, f"{stream_dir}/*"),
+        index_dir, str(tmp_path / "pairs"), str(tmp_path / "ckpt"), threshold=0.2, **kw,
+    ).awaitTermination()
+
+    compacted_dir = str(tmp_path / "index_compacted")
+    compact_index(spark, index_dir, compacted_dir)
+
+    def probe(idx_dir):
+        sh = spark.read.parquet(f"{idx_dir}/shingles").drop("batch_id")
+        bd = spark.read.parquet(f"{idx_dir}/bands").drop("batch_id")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in incremental_near_duplicates(
+                probe_batch, sh, bd, "text", "doc_id", threshold=0.2, **kw
+            ).collect()
+        }
+
+    assert probe(compacted_dir) == probe(index_dir)
+    # compaction actually reduced the file count
+    import glob
+    n_before = len(glob.glob(f"{index_dir}/bands/**/*.parquet", recursive=True))
+    n_after = len(glob.glob(f"{compacted_dir}/bands/**/*.parquet", recursive=True))
+    assert n_after < n_before
