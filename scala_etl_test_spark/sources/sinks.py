@@ -63,6 +63,7 @@ def write_compacted(
     target_mb: int = 128,
     mode: str = "overwrite",
     sort_by: list[str] | None = None,
+    range_partition: bool = False,
 ) -> int:
     """Write parquet compacted to ~``target_mb`` files — the small-files
     mitigation (a 100 TB table written from thousands of tasks otherwise
@@ -72,11 +73,18 @@ def write_compacted(
     File count comes from the optimizer's size estimate of the plan (driver
     metadata only, no extra pass). ``sort_by`` additionally orders rows
     within each output file so parquet row-group min/max stats prune reads
-    on those columns (poor man's clustering). Returns the partition count.
+    on those columns (poor man's clustering). ``range_partition``
+    additionally RANGE-partitions on ``sort_by`` before writing, so each
+    key lands in one file and equality probes prune at FILE level — plain
+    ``repartition`` is round-robin and scatters every key across every
+    file, limiting pruning to row groups. Returns the partition count.
     """
     size_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(1, int(int(size_bytes) // (target_mb * 1024 * 1024)) + 1)
-    out = df.repartition(n_files)
+    if range_partition and sort_by:
+        out = df.repartitionByRange(n_files, *sort_by)
+    else:
+        out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     out.write.mode(mode).parquet(path)

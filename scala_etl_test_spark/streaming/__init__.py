@@ -15,7 +15,12 @@ its incremental-ingestion and analytics capabilities:
   equal one full-corpus run exactly (test-pinned).
 """
 
-from scala_etl_test_spark.streaming.dedup import init_index, stream_incremental_dedup
+from scala_etl_test_spark.streaming.dedup import (
+    compact_index,
+    dedup_events_within_watermark,
+    init_index,
+    stream_incremental_dedup,
+)
 from scala_etl_test_spark.streaming.rollup import hourly_rollup
 from scala_etl_test_spark.streaming.sessionize import (
     session_windows,
@@ -29,6 +34,8 @@ from scala_etl_test_spark.streaming.sources import (
 )
 
 __all__ = [
+    "compact_index",
+    "dedup_events_within_watermark",
     "hourly_rollup",
     "init_index",
     "run_available_now",

@@ -84,24 +84,54 @@ def init_index(
 
 
 def compact_index(
-    spark: SparkSession, index_dir: str, out_dir: str, target_mb: int = 128
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    through_batch_id: int,
+    target_mb: int = 128,
 ) -> None:
-    """Fold an index's accumulated per-batch deltas into one size-targeted
-    baseline at ``out_dir`` (written as the ``batch_id=-1`` seed, so the
-    read path is unchanged and the caller swaps directories when ready —
-    side-effect-free on the live index, safe under concurrent readers).
+    """Fold the index's per-batch deltas UP TO ``through_batch_id``
+    (inclusive — pass the last batch the checkpoint has COMMITTED) into one
+    size-targeted baseline at ``out_dir``; newer deltas are carried over
+    verbatim, keeping their own ``batch_id=N`` directories. Written to a
+    fresh directory the caller swaps when ready — side-effect-free on the
+    live index.
 
-    Run periodically: every micro-batch adds a delta directory, and a
-    year of 5-minute batches is ~100k directories whose listing alone
-    throttles an object store. Compaction also sorts rows by the band
-    bucket key so parquet row-group stats prune probe reads."""
+    ``through_batch_id`` is the replay-safety boundary, not a convenience:
+    folding a not-yet-committed batch into the ``batch_id=-1`` baseline
+    would put it out of reach of the probe's ``batch_id < N`` replay guard
+    (stream_incremental_dedup), so a post-crash replay of that batch would
+    see its own shingles in the index and double-count set sizes.
+
+    Run periodically: every micro-batch adds a delta directory, and a year
+    of 5-minute batches is ~100k directories whose listing alone throttles
+    an object store. The band table is RANGE-partitioned on its bucket key
+    before writing (each (band_idx, band_hash) lands in one file), so a
+    probe prunes at file level via parquet min/max stats — a round-robin
+    layout would scatter every key across every file."""
     from scala_etl_test_spark.sources.sinks import write_compacted
 
     for table, sort_by in (("shingles", None), ("bands", ["band_idx", "band_hash"])):
-        merged = spark.read.parquet(f"{index_dir}/{table}").drop("batch_id")
+        full = spark.read.parquet(f"{index_dir}/{table}")
+        committed = full.filter(F.col("batch_id") <= through_batch_id).drop("batch_id")
         write_compacted(
-            merged, f"{out_dir}/{table}/batch_id=-1", target_mb=target_mb, sort_by=sort_by
+            committed,
+            f"{out_dir}/{table}/batch_id=-1",
+            target_mb=target_mb,
+            sort_by=sort_by,
+            range_partition=sort_by is not None,
         )
+        newer = [
+            r["batch_id"]
+            for r in full.select("batch_id").distinct().collect()
+            if r["batch_id"] > through_batch_id
+        ]
+        for bid in newer:
+            _write_delta(
+                full.filter(F.col("batch_id") == bid).drop("batch_id"),
+                f"{out_dir}/{table}",
+                bid,
+            )
 
 
 def dedup_events_within_watermark(
@@ -110,11 +140,18 @@ def dedup_events_within_watermark(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once EVENT dedup on an unbounded stream:
+    """Event dedup on an unbounded stream, WITHIN the watermark horizon:
     ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
-    watermark horizon, so duplicate deliveries (at-least-once sources,
-    producer retries) are dropped with BOUNDED state — a plain
-    ``dropDuplicates`` on a stream would grow its state forever.
+    watermark window, so duplicate deliveries (at-least-once sources,
+    producer retries) arriving inside that window are dropped with BOUNDED
+    state — a plain ``dropDuplicates`` on a stream would grow its state
+    forever.
+
+    The guarantee is explicitly bounded, not exactly-once: a redelivery
+    whose event time lands AFTER the original's state was evicted (more
+    than ``watermark`` later) is emitted again. That is the inherent
+    trade: unbounded-horizon dedup needs unbounded state — push it to a
+    downstream MERGE (operators/merge.py) or widen the watermark.
 
     This is the streaming twin of the batch first-row-wins dedup
     (operators/segmentation.py, SURVEY §2.4 A3): same keys, the stream

@@ -49,11 +49,17 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
 
 
 def test_every_oracle_sql_parses(con):
-    """EXPLAIN every registered oracle — catches SQL syntax/binding errors
-    in seconds without executing the queries (the full parity run catches
-    them too, but only after minutes of Spark work)."""
-    for name, sql in sorted(ORACLE_SQL.items()):
+    """EXPLAIN every registered oracle — including the BOUNDED_ORACLE
+    exact-count SQLs — catching syntax/binding errors in seconds without
+    executing the queries (the full parity run catches them too, but only
+    after minutes of Spark work). Collects ALL failures per run."""
+    all_sql = dict(ORACLE_SQL) | {
+        f"{name} (bounded exact)": spec[0] for name, spec in BOUNDED_ORACLE.items()
+    }
+    failures = []
+    for name, sql in sorted(all_sql.items()):
         try:
             con.execute(f"EXPLAIN {sql}")
         except Exception as exc:  # pragma: no cover - failure path
-            raise AssertionError(f"oracle SQL for {name!r} failed to bind: {exc}") from exc
+            failures.append(f"{name}: {exc}")
+    assert not failures, "\n".join(failures)

@@ -164,6 +164,7 @@ def test_fact_fact_joins_not_hint_forced(q, spark):
         for name in ("tpch_q7", "tpch_q8"):
             p = plan(q(name), mode="simple")
             assert "SortMergeJoin [o_custkey" in p, f"{name} fact join hint-forced:\n{p}"
+            assert "SortMergeJoin [l_orderkey" in p, f"{name} lineitem join hint-forced:\n{p}"
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 

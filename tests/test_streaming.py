@@ -332,8 +332,25 @@ def test_compact_index_preserves_dedup_answers(spark, sf_dir, tmp_path):
         index_dir, str(tmp_path / "pairs"), str(tmp_path / "ckpt"), threshold=0.2, **kw,
     ).awaitTermination()
 
+    # a delta the checkpoint has NOT committed yet must survive compaction
+    # as its own batch_id partition (folding it into the -1 baseline would
+    # defeat the probe's batch_id < N replay guard)
+    uncommitted = probe_batch.limit(5)
+    from scala_etl_test_spark.operators.dedup import build_minhash_index
+    from scala_etl_test_spark.streaming.dedup import _write_delta
+
+    u_sh, u_bd = build_minhash_index(uncommitted, "text", "doc_id", **kw)
+    _write_delta(u_sh, f"{index_dir}/shingles", 7)
+    _write_delta(u_bd, f"{index_dir}/bands", 7)
+
     compacted_dir = str(tmp_path / "index_compacted")
-    compact_index(spark, index_dir, compacted_dir)
+    compact_index(spark, index_dir, compacted_dir, through_batch_id=0)
+    import os
+    assert sorted(os.listdir(f"{compacted_dir}/bands")) == ["batch_id=-1", "batch_id=7"]
+    # fold-boundary content check: baseline excludes the uncommitted delta
+    base = spark.read.parquet(f"{compacted_dir}/bands").filter("batch_id = -1")
+    live = spark.read.parquet(f"{index_dir}/bands").filter("batch_id < 7")
+    assert base.count() == live.count()
 
     def probe(idx_dir):
         sh = spark.read.parquet(f"{idx_dir}/shingles").drop("batch_id")
