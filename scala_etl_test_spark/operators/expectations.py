@@ -1,0 +1,81 @@
+"""Declarative data-quality expectations (beyond-reference).
+
+The contract layer every production pipeline runs before trusting a table:
+a rule set is declared once and evaluated in ONE pass — each row-local rule
+compiles to a conditional count inside a single aggregate, so checking 50
+rules on a 100 TB table costs one scan, not 50. Uniqueness rules are the
+exception (they are group-by questions, not row questions) and run as one
+additional aggregate per declared key.
+
+This generalizes the reference's hand-rolled validation
+(``ApplaudoETL.scala:199-205``: drop malformed rows, ``number_of_products``
+invariant) into a reusable report: instead of silently filtering, emit
+(rule, n_violations, n_rows, pass) so a gate can fail loudly and the
+violation counts land in monitoring.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One named expectation: ``condition`` must hold for every row."""
+
+    name: str
+    condition: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"{col}_in_range", F.col(col).between(lo, hi))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"{col}_matches", F.col(col).rlike(pattern))
+
+
+def non_negative(col: str) -> Rule:
+    return Rule(f"{col}_non_negative", F.col(col) >= 0)
+
+
+def check_rules(
+    df: DataFrame, rules: list[Rule], unique_keys: list[str] | None = None
+) -> DataFrame:
+    """(rule, n_rows, n_violations, pass) — row-local rules in ONE scan/
+    aggregate; each ``unique_keys`` entry adds one groupBy aggregate
+    counting rows beyond the first per key value.
+
+    NULL semantics: a NULL condition counts as a violation (an unknown is
+    not a pass) — except for explicit ``not_null`` rules where NULL is the
+    thing being counted anyway.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for r in rules:
+        aggs.append(
+            F.sum(F.when(r.condition, 0).otherwise(1)).alias(f"_viol_{r.name}")
+        )
+    wide = df.agg(*aggs)
+    per_rule = None
+    for r in rules:
+        row = wide.select(
+            F.lit(r.name).alias("rule"),
+            F.col("_n_rows").cast("long").alias("n_rows"),
+            F.col(f"_viol_{r.name}").cast("long").alias("n_violations"),
+        )
+        per_rule = row if per_rule is None else per_rule.unionByName(row)
+    for key in unique_keys or []:
+        dup = df.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
+        row = dup.agg(
+            F.lit(f"{key}_unique").alias("rule"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            (F.sum("_c") - F.count(F.lit(1))).cast("long").alias("n_violations"),
+        )
+        per_rule = row if per_rule is None else per_rule.unionByName(row)
+    return per_rule.withColumn("pass", F.col("n_violations") == 0)

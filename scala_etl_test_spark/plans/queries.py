@@ -759,6 +759,50 @@ FROM (
 """
 
 
+def q_expect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over ``orders``: four row-local
+    rules in ONE scan/aggregate plus a key-uniqueness check
+    (operators/expectations.py) — the contract gate a pipeline runs before
+    trusting a table."""
+    from scala_etl_test_spark.operators.expectations import (
+        check_rules,
+        in_range,
+        non_negative,
+        not_null,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        not_null("o_custkey"),
+        non_negative("o_totalprice"),
+        in_range("o_orderpriority", "1-URGENT", "5-LOW"),
+        not_null("o_orderdate"),
+    ]
+    return check_rules(orders, rules, unique_keys=["o_orderkey"])
+
+
+SQL_EXPECT_ORDERS = """
+WITH wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN o_orderpriority BETWEEN '1-URGENT' AND '5-LOW' THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+         CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  FROM orders
+), uniq AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(SUM(c) - COUNT(*) AS BIGINT) AS v
+  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+  SELECT 'o_custkey_not_null' AS rule, n_rows, v1 AS n_violations FROM wide
+  UNION ALL SELECT 'o_totalprice_non_negative', n_rows, v2 FROM wide
+  UNION ALL SELECT 'o_orderpriority_in_range', n_rows, v3 FROM wide
+  UNION ALL SELECT 'o_orderdate_not_null', n_rows, v4 FROM wide
+  UNION ALL SELECT 'o_orderkey_unique', n_rows, v FROM uniq
+)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user, in batch:
     lag → new-session flag → cumulative sum → per-user session stats.
@@ -1765,6 +1809,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_hourly_anomaly": q_events_hourly_anomaly,
+    "expect_orders": q_expect_orders,
     "events_sessionize": q_events_sessionize,
     "tpch_q6": q_tpch_q6,
     "semi_join_exists": q_semi_join_exists,
@@ -1815,6 +1860,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "events_hourly_rollup": SQL_EVENTS_HOURLY_ROLLUP,
     "events_hourly_anomaly": SQL_EVENTS_HOURLY_ANOMALY,
+    "expect_orders": SQL_EXPECT_ORDERS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "tpch_q6": SQL_TPCH_Q6,
     "semi_join_exists": SQL_SEMI_JOIN_EXISTS,
@@ -1902,6 +1948,7 @@ _GATE_PRIORITY: list[str] = [
     "model_scores",
     "corpus_prepare",
     "events_hourly_anomaly",
+    "expect_orders",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))
