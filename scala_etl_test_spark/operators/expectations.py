@@ -63,13 +63,19 @@ def check_rules(
         )
     wide = df.agg(*aggs)
     per_rule = None
-    for r in rules:
-        row = wide.select(
-            F.lit(r.name).alias("rule"),
+    if rules:
+        # melt the 1-row wide aggregate with stack — ONE consumption of the
+        # aggregate subtree. A per-rule union of selects over `wide` would
+        # re-execute the aggregate (and rescan the table) once per rule:
+        # Catalyst does not dedupe self-referencing subplans
+        stack_args = ", ".join(f"'{r.name}', _viol_{r.name}" for r in rules)
+        per_rule = wide.selectExpr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, _viol)", "_n_rows"
+        ).select(
+            "rule",
             F.col("_n_rows").cast("long").alias("n_rows"),
-            F.col(f"_viol_{r.name}").cast("long").alias("n_violations"),
+            F.col("_viol").cast("long").alias("n_violations"),
         )
-        per_rule = row if per_rule is None else per_rule.unionByName(row)
     for key in unique_keys or []:
         dup = df.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
         row = dup.agg(

@@ -45,11 +45,10 @@ def test_unique_key_and_all_pass(spark):
 
 def test_single_pass_plan(spark):
     """All row-local rules must evaluate in ONE aggregate over ONE scan —
-    the report over N rules cannot cost N scans."""
+    the report over N rules cannot cost N scans (stack-melt of the wide
+    row, not a per-rule union that re-executes the aggregate)."""
     df = spark.range(100).selectExpr("id", "id * 2 AS v")
     report = check_rules(df, [not_null("id"), non_negative("v"), in_range("v", 0, 1000)])
     p = report._jdf.queryExecution().executedPlan().toString()
-    # three rules → three rows unioned from the SAME one-aggregate subtree;
-    # Spark reuses it, the range source appears once per union branch at
-    # most but no per-rule shuffles exist
+    assert p.count("Range (0, 100") == 1, p  # the source appears exactly once
     assert p.count("Exchange hashpartitioning") == 0, p
