@@ -169,6 +169,16 @@ def test_fact_fact_joins_not_hint_forced(q, spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_funnel_single_scan_single_user_shuffle(q):
+    """The ordered funnel must be ONE events scan + per-user aggregate +
+    stage rollup — the per-stage join formulation scans events once per
+    funnel step (6 scans + 3 join exchanges for 3 steps)."""
+    p = plan(q("events_funnel"), mode="simple")
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
 def test_decontaminate_broadcasts_bench_and_never_shuffles_raw_corpus(q):
     """Contamination check: the benchmark side must broadcast and the raw
     corpus shingle stream must reach the join WITHOUT a pre-join exchange —
