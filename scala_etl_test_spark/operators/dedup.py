@@ -549,6 +549,11 @@ def ngram_jaccard_pairs(
     if length_col:
         cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_band)
     pairs = a.join(b, cond).select("id_a", "id_b")
-    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n).filter(
+    # persist the shingle table: the verification consumes it three times
+    # (both pair sides + set sizes) — without this the scan→normalize→
+    # explode→distinct subtree executes per consumer (same policy and
+    # ownership note as minhash_near_duplicates)
+    shingles = shingle_table(df, text_col, id_col, shingle_n).persist()
+    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )

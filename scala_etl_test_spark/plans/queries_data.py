@@ -609,7 +609,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_a") == F.col("lang_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= 60),
     ).select("id_a", "id_b")
-    pairs = D.containment_for_pairs(blocked, docs, "text", "doc_id", shingle_n=2)
+    # persisted shingle table — consumed three times by the containment
+    # verification (same policy as minhash_near_duplicates)
+    shingles = D.shingle_table(docs, "text", "doc_id", shingle_n=2).persist()
+    pairs = D.containment_for_pairs(
+        blocked, docs, "text", "doc_id", shingle_n=2, shingles=shingles
+    )
     return pairs.filter(
         (F.col("containment_a") >= 0.6) | (F.col("containment_b") >= 0.6)
     )
