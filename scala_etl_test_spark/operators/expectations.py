@@ -54,12 +54,22 @@ def check_rules(
 
     NULL semantics: a NULL condition counts as a violation (an unknown is
     not a pass) — except for explicit ``not_null`` rules where NULL is the
-    thing being counted anyway.
+    thing being counted anyway. An EMPTY table passes vacuously (counts
+    coalesce to 0 — a NULL ``pass`` would spuriously fail an empty
+    partition-day gate and silently vanish from a ``pass = false`` alert
+    filter). Duplicate rule names are rejected up front; arbitrary rule/
+    column names (spaces, quotes) are supported.
     """
+    names = [r.name for r in rules]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(f"duplicate rule names: {dupes} — name rules uniquely")
     aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for r in rules:
         aggs.append(
-            F.sum(F.when(r.condition, 0).otherwise(1)).alias(f"_viol_{r.name}")
+            F.coalesce(F.sum(F.when(r.condition, 0).otherwise(1)), F.lit(0)).alias(
+                f"_viol_{r.name}"
+            )
         )
     wide = df.agg(*aggs)
     per_rule = None
@@ -68,7 +78,13 @@ def check_rules(
         # aggregate subtree. A per-rule union of selects over `wide` would
         # re-execute the aggregate (and rescan the table) once per rule:
         # Catalyst does not dedupe self-referencing subplans
-        stack_args = ", ".join(f"'{r.name}', _viol_{r.name}" for r in rules)
+        def _lit(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        def _ident(s: str) -> str:
+            return "`" + s.replace("`", "``") + "`"
+
+        stack_args = ", ".join(f"{_lit(r.name)}, {_ident(f'_viol_{r.name}')}" for r in rules)
         per_rule = wide.selectExpr(
             f"stack({len(rules)}, {stack_args}) AS (rule, _viol)", "_n_rows"
         ).select(
@@ -80,8 +96,14 @@ def check_rules(
         dup = df.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
         row = dup.agg(
             F.lit(f"{key}_unique").alias("rule"),
-            F.sum("_c").cast("long").alias("n_rows"),
-            (F.sum("_c") - F.count(F.lit(1))).cast("long").alias("n_violations"),
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("_c") - F.count(F.lit(1)), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
         )
         per_rule = row if per_rule is None else per_rule.unionByName(row)
+    if per_rule is None:  # no rules, no keys: empty report, correct schema
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows long, n_violations long, pass boolean"
+        )
     return per_rule.withColumn("pass", F.col("n_violations") == 0)

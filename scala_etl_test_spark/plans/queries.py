@@ -1446,6 +1446,9 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 
+_FUNNEL_EVENT_CAP = 100_000  # per-user per-type horizon (bot-user guard)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel stage per user: stage 1 = signed up, 2 = clicked
     after signup, 3 = purchased after that click.
@@ -1456,11 +1459,30 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is array arithmetic on the grouped row — the join formulation rescans
     events once per stage and shuffles at every join (measured 6 scans +
     3 join exchanges for 3 stages; each added funnel step would add
-    another scan). State per user is its own click/purchase timestamps —
-    the information any ordered-funnel evaluator needs; cap with
-    ``slice`` after sort if bot users are unbounded."""
+    another scan).
+
+    Bot-user safety: events are CAPPED at each user's earliest
+    ``_FUNNEL_EVENT_CAP`` per type BEFORE the collect, via a windowed
+    row_number — the sort-based window spills to disk, so no aggregation
+    row ever holds an unbounded array (a post-collect slice would bound
+    only the output, not the peak state). Below the cap the result is
+    exactly the uncapped answer (the oracle SQL assumes it; the synthetic
+    corpus is orders of magnitude under); above it, the funnel considers
+    each user's earliest CAP events — a documented horizon, not silent
+    truncation.
+    """
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    # capping signups too is harmless: min over a user's earliest CAP
+    # signups IS the true min
+    capped = ev.select("user_id", "event_type", "ts", rn.alias("_rn")).filter(
+        F.col("_rn") <= _FUNNEL_EVENT_CAP
+    )
+    per_user = capped.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
         F.sort_array(
             F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))

@@ -52,3 +52,36 @@ def test_single_pass_plan(spark):
     p = report._jdf.queryExecution().executedPlan().toString()
     assert p.count("Range (0, 100") == 1, p  # the source appears exactly once
     assert p.count("Exchange hashpartitioning") == 0, p
+
+
+def test_empty_table_passes_vacuously(spark):
+    """An empty partition-day table must report 0 violations and pass=True
+    — a NULL pass would spuriously fail a gate and vanish from a
+    `pass = false` alert filter."""
+    df = spark.createDataFrame([], "id long, v long")
+    got = _report(check_rules(df, [not_null("id")], unique_keys=["id"]))
+    assert got["id_not_null"] == (0, 0, True)
+    assert got["id_unique"] == (0, 0, True)
+
+
+def test_odd_column_names_and_duplicate_rules(spark):
+    import pytest as _pytest
+
+    from scala_etl_test_spark.operators.expectations import Rule
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], ["order date"])
+    got = _report(check_rules(df, [not_null("order date")]))
+    assert got["order date_not_null"] == (1, 0, True)
+    # quote in a rule name must not inject into the stack expression
+    got2 = _report(check_rules(df, [Rule("it's fine", F.col("order date") > 0)]))
+    assert got2["it's fine"] == (1, 0, True)
+    with _pytest.raises(ValueError, match="duplicate rule names"):
+        check_rules(df, [in_range("order date", 0, 1), in_range("order date", 5, 9)])
+
+
+def test_no_rules_no_keys_empty_report(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    report = check_rules(df, [])
+    assert report.columns == ["rule", "n_rows", "n_violations", "pass"]
+    assert report.count() == 0

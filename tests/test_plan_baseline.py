@@ -31,6 +31,10 @@ def test_baseline_covers_every_query():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_shape_matches_baseline(spark, sf_dir, name):
+    # clear BEFORE planning too: persisted frames leaked by earlier test
+    # modules (session-scoped spark) would otherwise substitute
+    # InMemoryTableScans into this plan and drift it from baseline
+    spark.catalog.clearCache()
     got = shape(QUERIES[name](spark, sf_dir)._jdf.queryExecution())
     spark.catalog.clearCache()
     assert got == BASELINE[name], (
