@@ -646,6 +646,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("_val"))
+        # lazy lineage cut: the per-part aggregate feeds BOTH the 1-row
+        # grand total and the HAVING filter, and Catalyst does not dedupe
+        # the self-referencing subtree — without this the lineitem scan +
+        # broadcast join + aggregate would execute twice
+        .localCheckpoint(eager=False)
     )
     total = val.agg(F.sum("_val").alias("_total"))
     return (
