@@ -19,15 +19,27 @@ TPCH_TABLES = [
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table. ``events.ts`` is TIMESTAMP(NANOS) parquet,
-    which Spark only reads as long nanos (``nanosAsLong`` — set by
-    ``session.build_session``); convert to a micro-precision timestamp, the
-    same truncation DuckDB applies, so oracles agree."""
+    """Read one testdata table, normalizing ``events.ts`` to a session-tz
+    TIMESTAMP regardless of how the generator wrote it:
+
+    - TIMESTAMP(NANOS) parquet surfaces as long nanos (``nanosAsLong`` —
+      set by ``session.build_session``) → truncate to micros, the same
+      truncation DuckDB applies, so oracles agree;
+    - timestamp[us] without timezone surfaces as TIMESTAMP_NTZ → cast to
+      TIMESTAMP (the session timezone is pinned to UTC, so the cast is
+      instant-preserving and matches DuckDB's epoch interpretation).
+
+    Downstream operators can then rely on ``unix_micros``/window functions,
+    which require TIMESTAMP, whatever the physical encoding was."""
     from pyspark.sql import functions as F, types as T
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

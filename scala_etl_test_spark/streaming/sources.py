@@ -62,11 +62,26 @@ def stream_orders_csv(
 def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Streaming read of the events table (directory of parquet files).
 
-    Mirrors ``parquet_source.read_table``'s nanos handling: TIMESTAMP(NANOS)
-    is read as long nanos and truncated to micro-precision timestamps so
-    streaming and batch plans see identical event times."""
-    df = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    Streaming sources need a declared schema, but the generator's physical
+    encoding of ``ts`` has varied (TIMESTAMP(NANOS) → long nanos under
+    ``nanosAsLong``; timestamp[us] without tz → TIMESTAMP_NTZ), so probe the
+    footer once with a batch read (driver-side metadata only, no data scan)
+    and normalize exactly like ``parquet_source.read_table`` — streaming and
+    batch plans then see identical session-tz TIMESTAMP event times."""
+    probed = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(probed, T.LongType):
+        df = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(probed, T.TimestampNTZType):
+        ntz_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        df = spark.readStream.schema(ntz_schema).parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
 DOCUMENTS_SCHEMA = T.StructType(
