@@ -76,6 +76,59 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 pattern):
+    cluster embeddings, then drop vectors that have a near-identical
+    neighbor *within their cluster* — the cluster assignment bounds pair
+    generation to Σ c_i², never the corpus n².
+
+    Keep rule (deterministic, single-pass): a vector is a semantic
+    duplicate iff some vector with a smaller id in the same cluster has
+    cosine ≥ threshold with it. This is the greedy keep-first-by-id sweep
+    flattened to one relational pass — unlike the paper's
+    keep-farthest-from-centroid it is engine-reproducible (no float
+    argmax ties) and SQL-expressible for the cross-engine oracle.
+
+    Scale shape: one broadcast-join centroid assignment (centroid count is
+    small by construction), one shuffle on ``cluster_id`` for the
+    intra-cluster self-join. At 100 TB, cluster_id is a write-time
+    partition key, the self-join is co-partitioned, and oversized clusters
+    (boilerplate-heavy regions of embedding space) should be re-split with
+    a finer centroid set — same skew argument as the LSH bucket cap in
+    operators/dedup.py.
+
+    Returns (id, cluster_id, is_semantic_dup).
+    """
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    a = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    dup_ids = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity("vec_a", "vec_b"), round_digits) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cluster_id").join(
+        dup_ids.withColumn("_dup", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cluster_id",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF — inverted file index
 # ---------------------------------------------------------------------------
