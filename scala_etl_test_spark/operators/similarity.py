@@ -90,11 +90,18 @@ def semantic_dedup(
     generation to Σ c_i², never the corpus n².
 
     Keep rule (deterministic, single-pass): a vector is a semantic
-    duplicate iff some vector with a smaller id in the same cluster has
-    cosine ≥ threshold with it. This is the greedy keep-first-by-id sweep
-    flattened to one relational pass — unlike the paper's
-    keep-farthest-from-centroid it is engine-reproducible (no float
-    argmax ties) and SQL-expressible for the cross-engine oracle.
+    duplicate iff ANY vector with a smaller id in the same cluster has
+    cosine ≥ threshold with it. Note this is a stricter,
+    transitivity-blind approximation of a greedy keep-first-by-id sweep
+    (and of SemDeDup's keep-farthest-from-centroid): in a greedy sweep a
+    vector whose only ≥-threshold neighbor was itself already removed is
+    KEPT, while this rule still drops it (sim(1,2) ≥ t, sim(2,3) ≥ t,
+    sim(1,3) < t → greedy keeps {1,3}; this keeps only {1}). The relational
+    form over-deletes near chain structures but is engine-reproducible (no
+    float argmax ties), needs no iteration, and is SQL-expressible for the
+    cross-engine oracle; if exact greedy-sweep semantics are required,
+    iterate the sweep per cluster (an ``applyInPandas`` over cluster_id —
+    cluster sizes are bounded by construction).
 
     Scale shape: one broadcast-join centroid assignment (centroid count is
     small by construction), one shuffle on ``cluster_id`` for the

@@ -1009,16 +1009,62 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (mapInPandas byte-histogram).
-    Rows-only driver check for THIS form only (the ``array<double>``
-    column's cross-engine serialization is not hash-stable); the same UDF
-    output is fully value-checked in long form by
-    ``multimodal_features_long``, and the md5/byte_len columns are
-    oracle-checked via multimodal_payload_stats."""
+    """Arrow-batched feature extraction (mapInPandas byte-histogram), one row
+    per media item with the 16-bin histogram rendered as integer counts.
+
+    The raw operator output carries ``features: array<double>`` (normalized
+    counts); the driver's canonicalizer sorts result columns with pandas,
+    which cannot order list-typed cells (round-2 gate error: "unhashable
+    type: 'list'"), so the REGISTERED form projects scalars only.  Each
+    count is recovered exactly as round(share * byte_len) — the share was
+    computed as count/byte_len in float64, whose error is far below 0.5 —
+    and comma-joined in bin order, making the Python-UDF output itself
+    fully hash-checkable (the exploded twin ``multimodal_features_long``
+    stays as the per-bin float check)."""
     from scala_etl_test_spark.operators.multimodal import extract_features
 
     media = _media_table(spark, sf_dir)
-    return extract_features(media)
+    feats = extract_features(media)
+    counts = F.transform(
+        "features",
+        lambda x: F.round(x * F.col("byte_len")).cast("long").cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        "byte_len",
+        "payload_md5",
+        F.concat_ws(",", counts).alias("hist_counts"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH h AS (
+  SELECT doc_id, {_MODALITY_SQL} AS modality,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         md5(text) AS payload_md5
+  FROM documents
+), bins AS (SELECT unnest(range(0, 16)) AS bin), c AS (
+  SELECT h.doc_id, h.modality, h.n, h.payload_md5, b.bin,
+         -- count of payload bytes whose high nibble = bin (hex digit at the
+         -- odd position of each byte pair); NULL payload reaches the UDF as
+         -- b'' so the empty branch yields 0, not NULL
+         CASE WHEN COALESCE(h.n, 0) = 0 THEN 0 ELSE
+           len(list_filter(range(1, h.n + 1),
+               i -> substr(h.hx, 2 * i - 1, 1)
+                    = substr('0123456789ABCDEF', CAST(b.bin AS INT) + 1, 1)))
+         END AS cnt
+  FROM h CROSS JOIN bins b
+)
+SELECT doc_id AS media_id,
+       ANY_VALUE(modality) AS modality,
+       CAST(COALESCE(ANY_VALUE(n), 0) AS BIGINT) AS byte_len,
+       ANY_VALUE(payload_md5) AS payload_md5,
+       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist_counts
+FROM c
+GROUP BY doc_id
+"""
 
 
 def q_multimodal_features_long(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1398,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_payload_stats": SQL_MULTIMODAL_PAYLOAD_STATS,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
-    # multimodal_features: rows-only (byte-histogram not SQL-expressible)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_clean": SQL_CORPUS_CLEAN,
     "dataset_split": SQL_DATASET_SPLIT,

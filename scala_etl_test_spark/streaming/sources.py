@@ -67,8 +67,17 @@ def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     ``nanosAsLong``; timestamp[us] without tz → TIMESTAMP_NTZ), so probe the
     footer once with a batch read (driver-side metadata only, no data scan)
     and normalize exactly like ``parquet_source.read_table`` — streaming and
-    batch plans then see identical session-tz TIMESTAMP event times."""
-    probed = spark.read.parquet(path).schema["ts"].dataType
+    batch plans then see identical session-tz TIMESTAMP event times.
+
+    An empty / not-yet-populated source directory (a normal streaming
+    startup state) has no footer to probe — ``spark.read.parquet`` raises
+    AnalysisException ("Unable to infer schema") — so fall back to the
+    generator's current encoding (long nanos) rather than dying before the
+    first file lands."""
+    try:
+        probed = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:  # AnalysisException: empty dir / no readable footer
+        probed = T.LongType()
     if isinstance(probed, T.LongType):
         df = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

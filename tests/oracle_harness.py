@@ -5,6 +5,7 @@ oracle SQL result over the same parquet tables."""
 from __future__ import annotations
 
 import math
+import time
 
 import duckdb
 
@@ -50,11 +51,14 @@ def _normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
+    t_oracle = time.perf_counter()
     rel = con.sql(sql)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
+    oracle_s = time.perf_counter() - t_oracle
 
     result = {
+        "oracle_s": oracle_s,
         "rows_spark": len(spark_rows),
         "rows_duck": len(duck_rows),
         "cols_spark": sorted(spark_cols),

@@ -37,9 +37,8 @@ def test_contract_shapes(contract):
     qs, oracles = contract.queries(), contract.oracle_sql()
     assert len(qs) >= 57
     assert set(oracles) <= set(qs)
-    missing = set(qs) - set(oracles)
-    # every omission is a documented rows-only check
-    assert missing == {"multimodal_features", "approx_distinct_users"}
+    # round 3: every registered query has a full oracle — no rows-only checks
+    assert set(qs) == set(oracles)
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():

@@ -107,9 +107,13 @@ def test_approx_distinct_within_error_bound(q, spark, sf_dir):
     """HLL++ estimate (rsd=0.01) must sit within 5% of the exact distinct
     count per group — the sketch's documented accuracy with slack."""
     from pyspark.sql import functions as F
+    from scala_etl_test_spark.plans.queries import q_approx_distinct_users_raw
     from scala_etl_test_spark.sources.parquet_source import read_table
 
-    approx = {r["event_type"]: r["approx_users"] for r in q("approx_distinct_users").collect()}
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct_users_raw(spark, sf_dir).collect()
+    }
     exact = {
         r["event_type"]: r["n"]
         for r in read_table(spark, sf_dir, "events")

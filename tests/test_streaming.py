@@ -85,6 +85,20 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path)
     assert got == want
 
 
+def test_stream_events_empty_dir_startup(spark, tmp_path):
+    """A not-yet-populated source directory is a normal streaming startup
+    state: the footer probe has nothing to read, so the source must fall
+    back to the declared schema instead of raising AnalysisException."""
+    empty = tmp_path / "events_empty"
+    empty.mkdir()
+    sdf = stream_events_parquet(spark, str(empty))
+    assert sdf.isStreaming
+    assert dict((f.name, f.dataType.simpleString()) for f in sdf.schema.fields)["ts"] in (
+        "timestamp",
+        "timestamp_ntz",
+    )
+
+
 def test_stream_rollup_restart_picks_up_new_files(spark, sf_dir, events_dir, tmp_path):
     """Checkpointed aggregation across restarts: a second availableNow run
     over the same checkpoint folds ONLY the new file into the running state
