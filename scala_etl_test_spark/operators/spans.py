@@ -1,0 +1,214 @@
+"""Substring-level deduplication operators (beyond-reference).
+
+Two corpus-curation primitives that work BELOW document granularity —
+document-level dedup (operators/dedup.py) keeps one copy of a near-dup
+cluster, but says nothing about boilerplate or long verbatim repeats
+*inside* otherwise-distinct documents:
+
+- :func:`duplicate_spans` — find maximal word spans that occur verbatim
+  elsewhere in the corpus (the ExactSubstr signal of Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"). Their
+  suffix-array construction is a single-machine algorithm; the Spark-first
+  re-expression is k-gram seeds + a gaps-and-islands merge — every
+  duplicated substring of length ≥ k is exactly covered by a run of
+  duplicated k-gram seeds, so merging consecutive duplicated seed
+  positions recovers the maximal duplicated spans with no pairwise text
+  comparison and no driver-side state.
+
+- :func:`chunk_dedup` — CCNet-style shared-segment removal (Wenzek et al.
+  2020 drop duplicated *paragraphs* before language modeling). The
+  segmenter here is a fixed-width word chunk because the synthetic corpus
+  has no newline structure; with real documents, swap ``_chunks`` for a
+  split on ``\\n`` — the distributed shape (hash segments, count distinct
+  documents per segment, drop shared segments, reassemble in order) is
+  identical.
+
+Scale shape (both): narrow posexplode, ONE shuffle keyed on the segment
+hash to establish global frequency, one shuffle back on doc_id to merge or
+reassemble. No pair generation anywhere — a segment shared by a million
+documents costs a million rows in one partition-sized count, never a
+million² join. A pathologically hot hash partition is bounded by total
+corpus tokens, and the frequency side can be pre-aggregated (map-side
+combine fires on the groupBy) so the skew ceiling is the count row, not
+the occurrence list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from scala_etl_test_spark.operators.dedup import words
+
+
+def _kgram_seeds(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, gram_h) — md5 of each k-word window; docs shorter than k
+    words emit nothing (no k-gram exists). The transform over an index
+    sequence stays JVM-side; pos is the 0-based start word index."""
+    w = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
+    )
+    return (
+        docs.select(F.col(id_col), words(text_col).alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_h"))
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated word spans per document.
+
+    A word position starts a *duplicated seed* when its k-gram occurs
+    ``min_count``-or-more times corpus-wide (counting every occurrence,
+    so in-document repeats count — same convention as ExactSubstr).
+    Consecutive seed positions merge into islands; an island of seed
+    positions [s..e] certifies the maximal duplicated span of words
+    [s .. e+k-1].
+
+    Returns (id, span_start, span_end, span_len) with word indices,
+    one row per maximal span.
+
+    Plan: scan → posexplode (narrow) → window count over gram_h (shuffle 1)
+    → filter → window row_number over (id, pos) + groupBy island (shuffle 2,
+    both keyed on id so AQE coalesces them). The gram frequency uses a
+    window aggregate instead of groupBy+self-join: one shuffle, and the
+    filter drops unique grams (the overwhelming majority) immediately after.
+    """
+    seeds = _kgram_seeds(docs, text_col, id_col, k)
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("gram_h"))
+    dup_seeds = seeds.withColumn("_n", n_occ).filter(F.col("_n") >= min_count)
+    # gaps-and-islands: consecutive positions share (pos - row_number)
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        dup_seeds.withColumn("_grp", F.col("pos") - rn)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document rollup of :func:`duplicate_spans`: how much of each
+    document is verbatim-duplicated elsewhere — the gate signal (drop or
+    trim documents whose duplicated fraction exceeds a threshold).
+
+    Returns (id, n_words, n_spans, dup_words, dup_frac); documents with no
+    duplicated span report zeros (left join back to the corpus)."""
+    spans = duplicate_spans(docs, text_col, id_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_words"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.filter(words(text_col), lambda t: t != "")).cast("long").alias("n_words"),
+    )
+    return base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce("dup_words", F.lit(0)) / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def _chunks(w, chunk_words: int):
+    """Fixed-width word chunks of an already-materialized words array:
+    chunk i covers words [i*chunk_words, (i+1)*chunk_words). The last chunk
+    may be short. Empty docs yield no chunks."""
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * chunk_words + 1, chunk_words)),
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Shared-segment (boilerplate) removal: drop every chunk whose exact
+    text appears in ``min_docs``-or-more DISTINCT documents, and reassemble
+    each document from its surviving chunks in order.
+
+    Distinct-document counting (not occurrence counting) is what makes
+    this boilerplate removal rather than self-repetition trimming: a chunk
+    repeated inside one document survives; a header shared across many
+    documents is removed from all of them.
+
+    Returns (id, clean_text, n_chunks, n_kept); a fully-boilerplate
+    document keeps an empty clean_text rather than disappearing.
+
+    Plan: posexplode chunks (narrow) → groupBy chunk hash with
+    count_distinct(doc) (shuffle 1, map-side partial aggregation) →
+    broadcast-free semi-structure join back on the hash (shuffle 2) →
+    groupBy doc with an order-preserving sort_array(collect_list(struct))
+    reassembly (shuffle 3, keyed on id). The boilerplate side after the
+    frequency filter is tiny (shared chunks only) — Catalyst/AQE broadcasts
+    it when statistics allow, collapsing shuffle 2.
+    """
+    ex = (
+        docs.select(F.col(id_col), words(text_col).alias("_w"))
+        .filter(F.size(F.filter("_w", lambda t: t != "")) > 0)
+        .select(F.col(id_col), F.posexplode(_chunks(F.col("_w"), chunk_words)).alias("cidx", "chunk"))
+        .withColumn("chunk_h", F.md5("chunk"))
+    )
+    boiler = (
+        ex.groupBy("chunk_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_h")
+    )
+    kept = ex.join(boiler, on="chunk_h", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cidx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.ceil(F.size(F.filter(words(text_col), lambda t: t != "")) / F.lit(chunk_words))
+        .cast("long")
+        .alias("n_chunks"),
+    ).filter(F.col("n_chunks") > 0)
+    return base.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -298,6 +298,43 @@ def tokenize_long(
     )
 
 
+def unigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus unigram language model —
+    the cheap stand-in for a KenLM pass (CCNet's quality signal): documents
+    whose words are corpus-typical score low, rare-word soup scores high.
+
+    Two aggregations over one tokenized lineage: (1) corpus word
+    frequencies (the "model"), (2) per-document mean of −log2 p(word) under
+    it, where p(word) = count(word) / total_words. OOV cannot occur (the
+    model is fit on the same corpus; every scored word has count ≥ 1).
+
+    Scale: the frequency table is vocab-sized (≪ corpus) → Catalyst
+    broadcasts the join; the per-doc mean is one groupBy on id. Fitting on
+    a held-out sample instead (to score *against* a reference corpus) is
+    the same plan with a different frequency input.
+
+    Returns (id, n_words, avg_neg_log2_p) — avg rounded to 6 (double
+    summation order differs across engines; see the determinism note on
+    events_hourly_anomaly).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "word", (-F.log2(F.col("c") / F.col("total"))).alias("neg_log2_p")
+    )
+    return (
+        tok.join(F.broadcast(model), on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(F.avg("neg_log2_p"), 6).alias("avg_neg_log2_p"),
+        )
+    )
+
+
 def document_fingerprints(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 5
 ) -> DataFrame:

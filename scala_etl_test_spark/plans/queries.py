@@ -1310,6 +1310,78 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles with the error bound carried IN the result (the
+    same in-band pattern as q_approx_distinct_users): percentile_approx
+    (accuracy 10000 → rank error ≤ n/10000) must land between the EXACT
+    interpolated percentiles at q ± 0.01 — a 100× slack over the sketch's
+    guarantee, so a false failure requires a genuinely broken sketch. The
+    approx values themselves are engine-specific (DuckDB has no GK sketch);
+    the booleans and counts hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("_ap"),
+        F.expr("percentile(value, array(0.49, 0.51, 0.94, 0.96))").alias("_ex"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ap, ex = F.col("_ap"), F.col("_ex")
+    return agg.select(
+        "event_type",
+        "n_events",
+        ((ap[0] >= ex[0]) & (ap[0] <= ex[1])).alias("p50_within_bound"),
+        ((ap[1] >= ex[2]) & (ap[1] <= ex[3])).alias("p95_within_bound"),
+    )
+
+
+SQL_APPROX_QUANTILES_EVENTS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window, 15 min slide) per event type —
+    the overlapping-window shape Structured Streaming uses for trailing
+    rates, expressed in batch. Spark's ``window()`` replicates each row
+    into its 4 covering windows JVM-side (no explode in user code); the
+    oracle reproduces the same windows by unnesting slide offsets 0..3
+    from each row's 15-min bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH x AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - k * (INTERVAL '15 minutes') AS win_start
+  FROM (
+    SELECT event_type, value, ts, unnest([0, 1, 2, 3]) AS k FROM events
+  )
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Window frame spec: per-user moving average over the last 4 events
 # --------------------------------------------------------------------------
@@ -1864,6 +1936,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_quantiles_events": q_approx_quantiles_events,
+    "events_sliding_window": q_events_sliding_window,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
     "set_ops_customers": q_set_ops_customers,
@@ -1915,6 +1989,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_pivot": SQL_EVENTS_PIVOT,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "json_props_extract": SQL_JSON_PROPS_EXTRACT,
     "window_moving_avg": SQL_WINDOW_MOVING_AVG,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
@@ -1943,7 +2019,13 @@ _GATE_PRIORITY: list[str] = [
     # changed-this-round
     "multimodal_features",
     "approx_distinct_users",
-    # new round-3 queries (no driver row yet) — inserted as they land
+    # new round-3 queries (no driver row yet)
+    "duplicate_spans",
+    "duplicate_span_stats",
+    "chunk_dedup",
+    "unigram_lm_score",
+    "approx_quantiles_events",
+    "events_sliding_window",
     # stale since round 1
     "inner_join_using",
     "window_sum",

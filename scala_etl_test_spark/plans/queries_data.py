@@ -1338,6 +1338,145 @@ FROM packed GROUP BY source, pack_id
 """
 
 
+# --------------------------------------------------------------------------
+# substring-level dedup (operators/spans.py): ExactSubstr spans, per-doc
+# duplicated fraction, CCNet-style shared-chunk removal
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8  # seed width (words) for duplicate-span detection
+_CHUNK_W = 8  # fixed-width segmenter for chunk_dedup (no newlines in corpus)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim-duplicated word spans (k-gram seeds merged by
+    gaps-and-islands; operators/spans.py:duplicate_spans)."""
+    from scala_etl_test_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), "text", "doc_id", k=_SPAN_K)
+
+
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-fraction rollup of duplicate_spans — the
+    trim/drop gate signal."""
+    from scala_etl_test_spark.operators.spans import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), "text", "doc_id", k=_SPAN_K)
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-segment (boilerplate) removal with in-order reassembly
+    (operators/spans.py:chunk_dedup)."""
+    from scala_etl_test_spark.operators.spans import chunk_dedup
+
+    return chunk_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", chunk_words=_CHUNK_W, min_docs=2
+    )
+
+
+_SPAN_SEEDS_SQL = f"""
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(w, pos + 1, pos + {_SPAN_K}), ' ')) AS gram_h
+  FROM (
+    SELECT doc_id, w, unnest(range(0, len(w) - {_SPAN_K} + 1)) AS pos
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    WHERE len(w) >= {_SPAN_K}
+  )
+"""
+
+SQL_DUPLICATE_SPANS = f"""
+WITH seeds AS ({_SPAN_SEEDS_SQL}),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram_h) AS n FROM seeds
+  ) WHERE n >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, grp
+"""
+
+SQL_DUPLICATE_SPAN_STATS = f"""
+WITH spans AS ({SQL_DUPLICATE_SPANS}),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_words
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT b.doc_id, b.n_words,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+       round(CASE WHEN b.n_words > 0
+                  THEN CAST(COALESCE(p.dup_words, 0) AS DOUBLE) / b.n_words
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+SQL_CHUNK_DEDUP = f"""
+WITH wt AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+ex AS (
+  SELECT doc_id, cidx,
+         array_to_string(list_slice(w, cidx * {_CHUNK_W} + 1, (cidx + 1) * {_CHUNK_W}), ' ') AS chunk
+  FROM (
+    SELECT doc_id, w,
+           unnest(range(0, CAST(ceil(len(w) / {_CHUNK_W}.0) AS INT))) AS cidx
+    FROM wt WHERE len(list_filter(w, x -> x <> '')) > 0
+  )
+),
+boiler AS (
+  SELECT md5(chunk) AS h FROM ex GROUP BY md5(chunk)
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM ex WHERE md5(chunk) NOT IN (SELECT h FROM boiler)),
+re AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(ceil(len(list_filter(w, x -> x <> '')) / {_CHUNK_W}.0) AS BIGINT) AS n_chunks
+  FROM wt WHERE len(list_filter(w, x -> x <> '')) > 0
+)
+SELECT b.doc_id, COALESCE(re.clean_text, '') AS clean_text,
+       b.n_chunks, CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN re USING (doc_id)
+"""
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring under a corpus-fit unigram LM
+    (operators/text.py:unigram_lm_scores)."""
+    return X.unigram_lm_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_UNIGRAM_LM_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE word <> ''),
+freq AS (SELECT word, COUNT(*) AS c FROM t2 GROUP BY word),
+tot AS (SELECT SUM(c) AS total FROM freq)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       round(AVG(-log2(CAST(c AS DOUBLE) / total)), 6) AS avg_neg_log2_p
+FROM t2 JOIN freq USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1374,6 +1513,10 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_docs": q_tokenize_docs,
     "model_scores": q_model_scores,
     "corpus_prepare": q_corpus_prepare,
+    "duplicate_spans": q_duplicate_spans,
+    "duplicate_span_stats": q_duplicate_span_stats,
+    "chunk_dedup": q_chunk_dedup,
+    "unigram_lm_score": q_unigram_lm_score,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1412,4 +1555,8 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "tokenize_docs": SQL_TOKENIZE_DOCS,
     "model_scores": SQL_MODEL_SCORES,
     "corpus_prepare": SQL_CORPUS_PREPARE,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "duplicate_span_stats": SQL_DUPLICATE_SPAN_STATS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "unigram_lm_score": SQL_UNIGRAM_LM_SCORE,
 }

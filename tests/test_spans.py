@@ -1,0 +1,140 @@
+"""Unit tests for substring-level dedup (operators/spans.py): duplicate-span
+detection via k-gram islands, per-doc duplicated-fraction rollup, and
+CCNet-style shared-chunk removal."""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_etl_test_spark.operators.spans import (
+    chunk_dedup,
+    duplicate_span_stats,
+    duplicate_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_run_merges_into_one_maximal_span(spark):
+    # docs 1 and 2 share the 6-word run "a b c d e f"; with k=4 that is
+    # seeds at positions {0,1,2} in doc 1 (offset 2 in doc 2) — one island
+    # each, covering the full 6-word span.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f x y z w"),
+            (2, "p q a b c d e f m n"),
+            (3, "completely different words here indeed truly"),
+        ],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    assert spans == {(1, 0, 5, 6), (2, 2, 7, 6)}
+
+
+def test_in_document_repetition_counts_as_duplicate(spark):
+    # ExactSubstr convention: every occurrence counts, including repeats
+    # within one document.
+    docs = _docs(spark, [(1, "a b c d x x a b c d"), (2, "unrelated text entirely here")])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=4).collect()
+    }
+    assert spans == {(1, 0, 3), (1, 6, 9)}
+
+
+def test_docs_shorter_than_k_emit_nothing(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert duplicate_spans(docs, k=4).count() == 0
+    # but at k <= doc length the identical docs are fully duplicated
+    spans = {(r["doc_id"], r["span_start"], r["span_end"]) for r in duplicate_spans(docs, k=3).collect()}
+    assert spans == {(1, 0, 2), (2, 0, 2)}
+
+
+def test_two_separate_islands_stay_separate(spark):
+    # shared prefix and shared suffix with a unique middle → two spans
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d UNIQ1 only here w x y z"),
+            (2, "a b c d OTHER2 middle text w x y z"),
+        ],
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=4).collect()
+    )
+    assert (1, 0, 3) in got and (2, 0, 3) in got  # shared prefix
+    assert (1, 7, 10) in got and (2, 7, 10) in got  # shared suffix
+    assert len(got) == 4
+
+
+def test_span_stats_zero_for_clean_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "totally unique words that appear nowhere else at all"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in duplicate_span_stats(docs, k=4).collect()}
+    assert rows[3]["n_spans"] == 0 and rows[3]["dup_words"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[1]["dup_words"] == 8 and rows[1]["dup_frac"] == 1.0
+    assert set(rows) == {1, 2, 3}  # every doc reports, spans or not
+
+
+def test_chunk_dedup_removes_cross_doc_boilerplate_only(spark):
+    # chunk width 2: "FOO BAR" is shared across docs 1 and 2 → removed from
+    # both; "x x" repeated within doc 3 only → kept (distinct-doc count 1).
+    docs = _docs(
+        spark,
+        [
+            (1, "FOO BAR alpha beta"),
+            (2, "FOO BAR gamma delta"),
+            (3, "x x x x"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert rows[1]["clean_text"] == "alpha beta" and rows[1]["n_kept"] == 1
+    assert rows[2]["clean_text"] == "gamma delta" and rows[2]["n_chunks"] == 2
+    assert rows[3]["clean_text"] == "x x x x" and rows[3]["n_kept"] == 2
+
+
+def test_chunk_dedup_fully_boilerplate_doc_survives_empty(spark):
+    docs = _docs(spark, [(1, "FOO BAR"), (2, "FOO BAR"), (3, "other words")])
+    rows = {r["doc_id"]: r.asDict() for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert rows[1]["clean_text"] == "" and rows[1]["n_kept"] == 0 and rows[1]["n_chunks"] == 1
+    assert rows[3]["clean_text"] == "other words"
+
+
+def test_chunk_dedup_reassembles_in_order(spark):
+    # doc 1: four chunks, second and fourth shared with doc 2 → surviving
+    # chunks must re-join in original order
+    docs = _docs(
+        spark,
+        [
+            (1, "k1 k1 SH1 SH1 k2 k2 SH2 SH2"),
+            (2, "SH1 SH1 zz zz SH2 SH2"),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in chunk_dedup(docs, chunk_words=2).collect()}
+    assert rows[1]["clean_text"] == "k1 k1 k2 k2"
+    assert rows[2]["clean_text"] == "zz zz"
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+
+    from scala_etl_test_spark.operators.text import unigram_lm_scores
+
+    # corpus: a×3, b×1 → p(a)=3/4, p(b)=1/4
+    docs = _docs(spark, [(1, "a a a"), (2, "b")])
+    rows = {r["doc_id"]: r.asDict() for r in unigram_lm_scores(docs, "text", "doc_id").collect()}
+    assert rows[1]["n_words"] == 3
+    assert rows[1]["avg_neg_log2_p"] == pytest.approx(-math.log2(3 / 4), abs=1e-6)
+    assert rows[2]["avg_neg_log2_p"] == pytest.approx(2.0, abs=1e-9)  # -log2(1/4)
