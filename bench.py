@@ -37,6 +37,9 @@ HEADLINE = [
     "corpus_clean",
     "tpch_q13",
     "tpch_q21",
+    # round-3 additions: substring-level dedup + boilerplate removal
+    "duplicate_spans",
+    "chunk_dedup",
 ]
 
 

@@ -55,8 +55,15 @@ def connected_components(
     # symmetric adjacency (u→v and v→u) so min flows both directions
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # Round 0 specialized: labels start as the identity, so the generic
+    # round's join-with-labels degenerates to min over the adjacency — ONE
+    # groupBy instead of distinct + join + groupBy (two shuffles saved per
+    # invocation; round 0 is also where every node is enumerated, since the
+    # symmetric adjacency lists each node as u at least once).
+    labels = (
+        adj.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .localCheckpoint()
     )
     for _ in range(max_rounds):
         neighbor_min = (

@@ -140,18 +140,29 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) with a 31-bit base hash per shingle — computed
-    ONCE and shared by signatures and Jaccard verification."""
+    """Distinct (id, sh_h, h31) per shingle — computed ONCE and shared by
+    signatures and Jaccard/containment verification.
+
+    The shingle STRING is hashed to ``sh_h`` (60 bits from the md5 prefix)
+    BEFORE the distinct and never travels further: the distinct, the
+    signature groupBy, and the verification joins all move 8-byte longs
+    instead of ~30-byte shingle strings — at corpus scale that halves the
+    bytes through the three heaviest shuffles of the dedup family. Identity
+    via a 60-bit hash is exact up to md5-prefix collisions (~n²/2⁶¹: under
+    1e-8 even at 10⁹ distinct shingles, far below the near-dup thresholds'
+    sensitivity); ``h31`` (= sh_h mod the Mersenne prime) seeds the affine
+    MinHash family exactly as before."""
+    sh_h = F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10).cast("long")
     return (
         _spread(df, id_col)
         .select(F.col(id_col), words(text_col).alias("_w"))
-        .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"))
-        .distinct()
-        .withColumn(
-            "h31",
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-            % MINHASH_PRIME,
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("_shingle"),
         )
+        .select(F.col(id_col), sh_h.alias("sh_h"))
+        .distinct()
+        .withColumn("h31", F.col("sh_h") % MINHASH_PRIME)
     )
 
 
@@ -218,17 +229,19 @@ def lsh_candidate_pairs(
 
 def _pair_overlap(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFrame:
     """(id_a, id_b, n_common, size_a, size_b) for candidate pairs against a
-    distinct (id, shingle) table — the shared core of Jaccard and
-    containment verification. The equi-join on BOTH (id, shingle) touches
-    only matching shingles per pair (O(|A ∩ B|)), never the per-pair cross
-    product, and set sizes come from one aggregation of the same table."""
-    shingles = shingles.select(F.col(id_col).alias("_id"), "shingle")
+    distinct (id, sh_h) table — the shared core of Jaccard and
+    containment verification. The equi-join on BOTH (id, sh_h) touches
+    only matching shingle hashes per pair (O(|A ∩ B|)), never the per-pair
+    cross product, and set sizes come from one aggregation of the same
+    table. Joining on the 60-bit hash instead of the shingle string keeps
+    the heaviest join narrow (see :func:`shingle_table`)."""
+    shingles = shingles.select(F.col(id_col).alias("_id"), "sh_h")
     sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
-    sh_a = shingles.select(F.col("_id").alias("id_a"), "shingle")
-    sh_b = shingles.select(F.col("_id").alias("id_b"), "shingle")
+    sh_a = shingles.select(F.col("_id").alias("id_a"), "sh_h")
+    sh_b = shingles.select(F.col("_id").alias("id_b"), "sh_h")
     common = (
         pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "shingle"])
+        .join(sh_b, on=["id_b", "sh_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -62,6 +62,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    freq_mode: str = "agg",
 ) -> DataFrame:
     """Maximal duplicated word spans per document.
 
@@ -75,15 +76,46 @@ def duplicate_spans(
     Returns (id, span_start, span_end, span_len) with word indices,
     one row per maximal span.
 
-    Plan: scan → posexplode (narrow) → window count over gram_h (shuffle 1)
-    → filter → window row_number over (id, pos) + groupBy island (shuffle 2,
-    both keyed on id so AQE coalesces them). The gram frequency uses a
-    window aggregate instead of groupBy+self-join: one shuffle, and the
-    filter drops unique grams (the overwhelming majority) immediately after.
+    Plan: scan → posexplode (narrow) → gram frequency (``freq_mode``) →
+    filter → window row_number over (id, pos) + groupBy island (one
+    shuffle keyed on id; the window and groupBy share it).
+
+    ``freq_mode`` picks the frequency-establishing shape (equivalence is
+    test-pinned):
+
+    - ``"agg"`` (default, the 100 TB shape): groupBy(gram_h) count +
+      equi-join of seeds against the ≥min_count gram set. Partial
+      aggregation combines a hot gram map-side (a boilerplate gram shared
+      by 10⁷ documents reaches the shuffle as one row per task, not 10⁷
+      rows in one partition), the post-filter gram set is usually small →
+      broadcast join, and if it isn't, the shuffle join is AQE-skew-split.
+    - ``"window"``: a single count-over-gram_h window — one shuffle total,
+      fewer stages, fine when gram frequencies are near-uniform (no
+      map-side combine, and a hot gram serializes into one sort
+      partition that AQE cannot split; local benches at small SF favor
+      it, a crawl corpus does not).
     """
     seeds = _kgram_seeds(docs, text_col, id_col, k)
-    n_occ = F.count(F.lit(1)).over(Window.partitionBy("gram_h"))
-    dup_seeds = seeds.withColumn("_n", n_occ).filter(F.col("_n") >= min_count)
+    if freq_mode == "agg":
+        # persist: the frequency aggregate and the seed join both consume
+        # the scan→explode→md5 subtree (same policy as the minhash shingle
+        # table — memory-and-disk, caller owns the action, self-evicting).
+        # At extreme corpus scale where persisting the seed table is worse
+        # than re-scanning, drop the persist and accept the double scan, or
+        # use freq_mode="window" where skew permits.
+        seeds = seeds.persist()
+        dup_grams = (
+            seeds.groupBy("gram_h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_count)
+            .select("gram_h")
+        )
+        dup_seeds = seeds.join(dup_grams, on="gram_h")
+    elif freq_mode == "window":
+        n_occ = F.count(F.lit(1)).over(Window.partitionBy("gram_h"))
+        dup_seeds = seeds.withColumn("_n", n_occ).filter(F.col("_n") >= min_count)
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"freq_mode must be 'agg' or 'window', got {freq_mode!r}")
     # gaps-and-islands: consecutive positions share (pos - row_number)
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     return (
@@ -108,6 +140,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    freq_mode: str = "agg",
 ) -> DataFrame:
     """Per-document rollup of :func:`duplicate_spans`: how much of each
     document is verbatim-duplicated elsewhere — the gate signal (drop or
@@ -115,7 +148,7 @@ def duplicate_span_stats(
 
     Returns (id, n_words, n_spans, dup_words, dup_frac); documents with no
     duplicated span report zeros (left join back to the corpus)."""
-    spans = duplicate_spans(docs, text_col, id_col, k=k, min_count=min_count)
+    spans = duplicate_spans(docs, text_col, id_col, k=k, min_count=min_count, freq_mode=freq_mode)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("dup_words"),

@@ -73,6 +73,23 @@ def test_two_separate_islands_stay_separate(spark):
     assert len(got) == 4
 
 
+def test_freq_modes_equivalent(spark, sf_dir):
+    """The skew-robust agg mode and the single-shuffle window mode must
+    produce identical spans — on crafted docs AND the real corpus."""
+    crafted = _docs(
+        spark,
+        [
+            (1, "a b c d e f x y z w"),
+            (2, "p q a b c d e f m n"),
+            (3, "a b c d x x a b c d"),
+        ],
+    )
+    for docs in (crafted, spark.read.parquet(f"{sf_dir}/documents.parquet")):
+        agg = {tuple(r) for r in duplicate_spans(docs, k=4, freq_mode="agg").collect()}
+        win = {tuple(r) for r in duplicate_spans(docs, k=4, freq_mode="window").collect()}
+        assert agg == win
+
+
 def test_span_stats_zero_for_clean_docs(spark):
     docs = _docs(
         spark,

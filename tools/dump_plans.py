@@ -70,6 +70,18 @@ SHOWCASE = [
         "corpus_prepare",
         "The whole dedup → quality-gate → packing pipeline as one composed plan: LSH candidate generation, keep-representative anti-join, row-local metrics, and the per-shard packing window share lineage — no intermediate materialization.",
     ),
+    (
+        "duplicate_spans",
+        "Gram frequency via partial-aggregating groupBy (a hot boilerplate gram combines map-side, never one sort partition); the filtered ≥2-occurrence gram set broadcasts back onto the seed stream; island merge shares one doc_id shuffle — duplicated-substring detection with zero pair generation.",
+    ),
+    (
+        "chunk_dedup",
+        "The shared-segment side shrinks to boilerplate hashes only after the HAVING filter, so both the removal anti-join and the reassembly see it broadcast — the corpus side shuffles once for reassembly.",
+    ),
+    (
+        "unigram_lm_score",
+        "The corpus-fit frequency table is vocab-sized: Catalyst broadcasts both the total and the per-word model, so scoring is broadcast-join + one groupBy on doc_id — the token stream never shuffles for the lookup.",
+    ),
 ]
 
 
