@@ -172,6 +172,82 @@ def duplicate_span_stats(
     )
 
 
+def build_gram_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(gram_h, n_occ) corpus gram-frequency index — the persistent state
+    for :func:`incremental_duplicate_spans`. Write to parquet once (at
+    scale: bucketed/partitioned by a gram_h prefix so batch probes prune);
+    merge per-batch deltas with :func:`merge_gram_index`."""
+    return (
+        _kgram_seeds(docs, text_col, id_col, k)
+        .groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def merge_gram_index(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Absorb a batch delta into the gram index (sum counts per gram)."""
+    return (
+        index.unionByName(delta)
+        .groupBy("gram_h")
+        .agg(F.sum("n_occ").alias("n_occ"))
+    )
+
+
+def incremental_duplicate_spans(
+    new_docs: DataFrame,
+    index_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate spans for an ingest batch against a persisted gram index
+    (:func:`build_gram_index`) — the continuous-ingest twin of
+    :func:`duplicate_spans`, same pattern as the incremental MinHash path.
+
+    A batch gram is duplicated when (batch occurrences + indexed corpus
+    occurrences) ≥ ``min_count`` — exactly the global frequency a full run
+    over corpus ∪ batch would see, so the emitted spans equal the full
+    run's spans restricted to batch ids (test-pinned). Ingest-time gating
+    semantics, same as the incremental MinHash index: a gram that only
+    LATER becomes duplicated does not retroactively re-flag earlier
+    batches — that requires a periodic full re-run.
+
+    Scale: only the batch is seeded; the corpus index is probed by
+    equi-join on gram_h against the batch's (small) gram-count table —
+    Catalyst broadcasts the batch side, so the index is scanned, never
+    shuffled, and a partitioned on-disk index prunes the scan too. Work
+    scales with batch size and gram hit rate, not corpus size."""
+    seeds = _kgram_seeds(new_docs, text_col, id_col, k).persist()
+    batch_counts = seeds.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_n_new"))
+    probed = index_grams.join(
+        F.broadcast(batch_counts.select("gram_h")), on="gram_h", how="left_semi"
+    )
+    dup_grams = (
+        batch_counts.join(probed, on="gram_h", how="left")
+        .filter(F.col("_n_new") + F.coalesce("n_occ", F.lit(0)) >= min_count)
+        .select("gram_h")
+    )
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    return (
+        seeds.join(dup_grams, on="gram_h")
+        .withColumn("_grp", F.col("pos") - rn)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
 def _chunks(w, chunk_words: int):
     """Fixed-width word chunks of an already-materialized words array:
     chunk i covers words [i*chunk_words, (i+1)*chunk_words). The last chunk

@@ -21,7 +21,7 @@ from scala_etl_test_spark.streaming.dedup import (
     init_index,
     stream_incremental_dedup,
 )
-from scala_etl_test_spark.streaming.rollup import hourly_rollup
+from scala_etl_test_spark.streaming.rollup import hourly_rollup, sliding_rollup
 from scala_etl_test_spark.streaming.sessionize import (
     session_windows,
     stateful_user_sessions,
@@ -39,6 +39,7 @@ __all__ = [
     "hourly_rollup",
     "init_index",
     "run_available_now",
+    "sliding_rollup",
     "stream_incremental_dedup",
     "session_windows",
     "stateful_user_sessions",

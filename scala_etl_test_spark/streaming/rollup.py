@@ -41,3 +41,31 @@ def hourly_rollup(
             "sum_value",
         )
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Overlapping-window count + value-sum per (window start, event_type) —
+    the streaming twin of the batch ``events_sliding_window`` query (each
+    event lands in window_size/slide windows; Spark replicates it into its
+    covering windows JVM-side). State ∝ open windows × groups: with a
+    2-hour watermark and 15-minute slide at most ~12 windows per group are
+    live, independent of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

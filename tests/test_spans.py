@@ -144,6 +144,49 @@ def test_chunk_dedup_reassembles_in_order(spark):
     assert rows[2]["clean_text"] == "zz zz"
 
 
+def test_incremental_spans_match_full_run(spark, sf_dir):
+    """Batch spans against the gram index == full-run spans restricted to
+    batch ids — on the real corpus, split at an arbitrary boundary, plus a
+    second absorbed batch."""
+    from scala_etl_test_spark.operators.spans import (
+        build_gram_index,
+        incremental_duplicate_spans,
+        merge_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seed = docs.filter("doc_id % 5 != 0")
+    batch1 = docs.filter("doc_id % 10 == 0")
+    batch2 = docs.filter("doc_id % 10 == 5")
+
+    idx = build_gram_index(seed, k=4).localCheckpoint()
+    got1 = {
+        tuple(r)
+        for r in incremental_duplicate_spans(batch1, idx, k=4).collect()
+    }
+    full1 = {
+        tuple(r)
+        for r in duplicate_spans(seed.unionByName(batch1), k=4)
+        .join(batch1.select("doc_id"), on="doc_id", how="left_semi")
+        .collect()
+    }
+    assert got1 == full1 and got1  # non-vacuous: the corpus has near-dups
+
+    # absorb batch1, then batch2 must see corpus = seed ∪ batch1
+    idx2 = merge_gram_index(idx, build_gram_index(batch1, k=4)).localCheckpoint()
+    got2 = {
+        tuple(r)
+        for r in incremental_duplicate_spans(batch2, idx2, k=4).collect()
+    }
+    full2 = {
+        tuple(r)
+        for r in duplicate_spans(docs, k=4)
+        .join(batch2.select("doc_id"), on="doc_id", how="left_semi")
+        .collect()
+    }
+    assert got2 == full2
+
+
 def test_unigram_lm_scores_hand_computed(spark):
     import math
 

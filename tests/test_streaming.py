@@ -85,6 +85,21 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path)
     assert got == want
 
 
+def test_stream_sliding_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Overlapping windows (1h/15min) in complete mode must reproduce the
+    batch events_sliding_window result exactly."""
+    from scala_etl_test_spark.plans.queries import q_events_sliding_window
+    from scala_etl_test_spark.streaming import sliding_rollup
+
+    sdf = sliding_rollup(stream_events_parquet(spark, events_dir), watermark="2 hours")
+    run_available_now(
+        sdf, str(tmp_path / "ckpt"), output_mode="complete", query_name="sliding_stream"
+    )
+    got = _rows(spark, "sliding_stream")
+    want = {tuple(r) for r in q_events_sliding_window(spark, sf_dir).collect()}
+    assert got == want
+
+
 def test_stream_events_empty_dir_startup(spark, tmp_path):
     """A not-yet-populated source directory is a normal streaming startup
     state: the footer probe has nothing to read, so the source must fall
