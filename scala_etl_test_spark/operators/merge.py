@@ -64,3 +64,50 @@ def upsert(
     updates = latest_per_key(updates, keys, version_col)
     survivors = base.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(updates)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: turn a change log into versioned
+    dimension history — one row per (key, attribute state) interval with
+    ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    Two window passes over one shuffle (both windows share the
+    partitionBy-key ordering):
+
+    1. change detection — a log row opens a new version iff any tracked
+       attribute differs from the key's previous log row (struct
+       inequality; the first row always opens). Consecutive identical
+       states collapse, so redelivered/no-op change events produce no
+       spurious versions.
+    2. interval assembly — ``valid_to`` = the next version's
+       ``valid_from`` (NULL on the open row ⇒ ``is_current``).
+
+    Determinism: ties on (key, ts) are broken by the tracked-state hash, so
+    the same log yields the same history under any partitioning. At scale
+    this is one shuffle on the dimension key — change logs are orders of
+    magnitude smaller than fact tables, and the per-key window state is one
+    struct.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    state = F.struct(*[F.col(c) for c in tracked])
+    order = [F.col(ts_col).asc(), F.xxhash64(*tracked).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    opened = (
+        changes.select(*keys, *tracked, F.col(ts_col))
+        .withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != state))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    return (
+        opened.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )

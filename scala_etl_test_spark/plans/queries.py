@@ -1342,6 +1342,71 @@ FROM events GROUP BY event_type
 """
 
 
+def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a change log
+    (operators/merge.py:scd2_history): each customer's order-status
+    timeline as versioned intervals. The log is pre-collapsed to one state
+    per (customer, day) — min status, making the timeline tie-free so the
+    windowed change detection is engine-exact."""
+    from scala_etl_test_spark.operators.merge import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    chg = orders.groupBy(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("ts")
+    ).agg(F.min("o_orderstatus").alias("status"))
+    return scd2_history(chg, ["custkey"], ["status"], "ts")
+
+
+SQL_SCD2_CUSTOMER_STATUS = """
+WITH chg AS (
+  SELECT o_custkey AS custkey, o_orderdate AS ts, MIN(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+), opened AS (
+  SELECT custkey, status, ts FROM (
+    SELECT custkey, status, ts,
+           LAG(status) OVER (PARTITION BY custkey ORDER BY ts) AS prev
+    FROM chg)
+  WHERE prev IS NULL OR prev <> status
+)
+SELECT custkey, status,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to,
+       (LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) IS NULL) AS is_current
+FROM opened
+"""
+
+
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — which ids exist in the
+    customer dimension, which in the event stream, and which in both (the
+    audit query every CDC pipeline runs after a backfill). Both sides
+    shuffle on the id; presence flags come from null-ness, so no row is
+    widened beyond the two indicator columns."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit(True).alias("in_customer")
+    )
+    ev = _t(spark, sf_dir, "events").groupBy(F.col("user_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return cust.join(ev, on="id", how="full_outer").select(
+        "id",
+        F.coalesce("in_customer", F.lit(False)).alias("in_customer"),
+        F.col("_n").isNotNull().alias("in_events"),
+        F.coalesce("_n", F.lit(0)).alias("n_events"),
+    )
+
+
+SQL_FULL_OUTER_RECONCILE = """
+SELECT COALESCE(c.c_custkey, e.id) AS id,
+       c.c_custkey IS NOT NULL AS in_customer,
+       e.id IS NOT NULL AS in_events,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+FROM customer c
+FULL OUTER JOIN (SELECT user_id AS id, COUNT(*) AS n FROM events GROUP BY 1) e
+  ON c.c_custkey = e.id
+"""
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rollup (1 h window, 15 min slide) per event type —
     the overlapping-window shape Structured Streaming uses for trailing
@@ -1938,6 +2003,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_quantiles_events": q_approx_quantiles_events,
     "events_sliding_window": q_events_sliding_window,
+    "scd2_customer_status": q_scd2_customer_status,
+    "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
     "set_ops_customers": q_set_ops_customers,
@@ -1991,6 +2058,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+    "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
+    "full_outer_reconcile": SQL_FULL_OUTER_RECONCILE,
     "json_props_extract": SQL_JSON_PROPS_EXTRACT,
     "window_moving_avg": SQL_WINDOW_MOVING_AVG,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
@@ -2026,6 +2095,8 @@ _GATE_PRIORITY: list[str] = [
     "unigram_lm_score",
     "approx_quantiles_events",
     "events_sliding_window",
+    "scd2_customer_status",
+    "full_outer_reconcile",
     # stale since round 1
     "inner_join_using",
     "window_sum",

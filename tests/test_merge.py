@@ -42,3 +42,42 @@ def test_upsert_duplicate_key_feed_stays_key_unique(spark):
     # deterministic across repartitionings of the same feed
     again = upsert(base, feed.repartition(7), ["k"]).collect()
     assert rows == again
+
+
+def test_scd2_history_versions_and_collapse(spark):
+    """Change log → versioned intervals: consecutive identical states
+    collapse (redeliveries produce no version), valid_to chains to the next
+    version's valid_from, and only the last version per key is current."""
+    from scala_etl_test_spark.operators.merge import scd2_history
+
+    chg = spark.createDataFrame(
+        [
+            (1, "bronze", 1),
+            (1, "bronze", 2),  # no-op redelivery — must not open a version
+            (1, "silver", 3),
+            (1, "gold", 5),
+            (2, "gold", 4),
+        ],
+        "k int, tier string, ts int",
+    )
+    rows = sorted(
+        (tuple(r) for r in scd2_history(chg, ["k"], ["tier"], "ts").collect())
+    )
+    assert rows == [
+        (1, "bronze", 1, 3, False),
+        (1, "gold", 5, None, True),
+        (1, "silver", 3, 5, False),
+        (2, "gold", 4, None, True),
+    ]
+
+
+def test_scd2_reopened_state_is_a_new_version(spark):
+    """A state that returns after an intermediate change opens a NEW
+    version (A→B→A is three intervals, not a merged one)."""
+    from scala_etl_test_spark.operators.merge import scd2_history
+
+    chg = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "a", 3)], "k int, s string, ts int"
+    )
+    got = sorted(tuple(r) for r in scd2_history(chg, ["k"], ["s"], "ts").collect())
+    assert got == [(1, "a", 1, 2, False), (1, "a", 3, None, True), (1, "b", 2, 3, False)]
