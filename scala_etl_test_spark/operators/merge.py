@@ -104,7 +104,10 @@ def scd2_history(
         .filter(F.col("_prev").isNull() | (F.col("_prev") != state))
         .drop("_prev")
     )
-    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    # same tie-break as the change-detection window: without it, two
+    # versions opened at the same ts would chain valid_from/valid_to
+    # nondeterministically across runs/partitionings
+    w2 = Window.partitionBy(*keys).orderBy(*order)
     return (
         opened.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.lead("valid_from").over(w2))

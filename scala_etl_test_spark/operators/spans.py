@@ -116,7 +116,14 @@ def duplicate_spans(
         dup_seeds = seeds.withColumn("_n", n_occ).filter(F.col("_n") >= min_count)
     else:  # pragma: no cover - guarded misuse
         raise ValueError(f"freq_mode must be 'agg' or 'window', got {freq_mode!r}")
-    # gaps-and-islands: consecutive positions share (pos - row_number)
+    return _merge_islands(dup_seeds, id_col, k)
+
+
+def _merge_islands(dup_seeds: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, span_start, span_end, span_len) from duplicated seed positions:
+    consecutive positions share (pos − row_number) — gaps-and-islands —
+    and an island [s..e] covers words [s .. e+k-1]. Shared by the full and
+    incremental span paths."""
     rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
     return (
         dup_seeds.withColumn("_grp", F.col("pos") - rn)
@@ -147,11 +154,32 @@ def duplicate_span_stats(
     trim documents whose duplicated fraction exceeds a threshold).
 
     Returns (id, n_words, n_spans, dup_words, dup_frac); documents with no
-    duplicated span report zeros (left join back to the corpus)."""
+    duplicated span report zeros (left join back to the corpus).
+
+    ``dup_words`` is the UNION of span word-coverage, not the sum of span
+    lengths: two maximal spans from islands closer than k seed positions
+    overlap (islands {0} and {2} at k=8 cover [0..7] and [2..9] — 10
+    distinct words, not 16), and summing lengths would double-count the
+    overlap and let dup_frac exceed 1. The union is a running-max window
+    over span_end per document: each span contributes only the words past
+    every earlier span's furthest end."""
     spans = duplicate_spans(docs, text_col, id_col, k=k, min_count=min_count, freq_mode=freq_mode)
-    per_doc = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("dup_words"),
+    prev_end = F.max("span_end").over(
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.greatest(
+        F.col("span_end") - F.greatest(F.col("span_start") - 1, F.coalesce(prev_end, F.lit(-1))),
+        F.lit(0),
+    )
+    per_doc = (
+        spans.withColumn("_covered", covered)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("_covered").alias("dup_words"),
+        )
     )
     base = docs.select(
         F.col(id_col),
@@ -219,7 +247,12 @@ def incremental_duplicate_spans(
     equi-join on gram_h against the batch's (small) gram-count table —
     Catalyst broadcasts the batch side, so the index is scanned, never
     shuffled, and a partitioned on-disk index prunes the scan too. Work
-    scales with batch size and gram hit rate, not corpus size."""
+    scales with batch size and gram hit rate, not corpus size.
+
+    The result is materialized eagerly so the batch seed cache can be
+    released before returning — a long-lived ingest session calling this
+    per batch must not accumulate one persisted seed table per batch
+    (same lifecycle contract as ``incremental_near_duplicates``)."""
     seeds = _kgram_seeds(new_docs, text_col, id_col, k).persist()
     batch_counts = seeds.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_n_new"))
     probed = index_grams.join(
@@ -230,22 +263,11 @@ def incremental_duplicate_spans(
         .filter(F.col("_n_new") + F.coalesce("n_occ", F.lit(0)) >= min_count)
         .select("gram_h")
     )
-    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
-    return (
-        seeds.join(dup_grams, on="gram_h")
-        .withColumn("_grp", F.col("pos") - rn)
-        .groupBy(id_col, "_grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + k - 1).cast("long").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
-        )
+    result = _merge_islands(seeds.join(dup_grams, on="gram_h"), id_col, k).localCheckpoint(
+        eager=True
     )
+    seeds.unpersist()
+    return result
 
 
 def _chunks(w, chunk_words: int):

@@ -320,6 +320,10 @@ def unigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(words(text_col)).alias("word")
     ).filter(F.col("word") != "")
+    # persist: the frequency build and the scoring join both consume the
+    # scan→normalize→split→explode subtree (same caller-owns-the-action
+    # policy as the minhash shingle table and the span seed table)
+    tok = tok.persist()
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     model = freq.crossJoin(F.broadcast(total)).select(

@@ -1296,8 +1296,11 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         (
+            # absolute floor of 1: for groups with < 1/(6·rsd) distinct
+            # values the relative bound is tighter than one count, and a
+            # single register collision would flip the flag spuriously
             F.abs(F.col("_approx") - F.col("exact_users"))
-            <= F.lit(6 * _HLL_RSD) * F.col("exact_users")
+            <= F.greatest(F.lit(1.0), F.lit(6 * _HLL_RSD) * F.col("exact_users"))
         ).alias("within_bound"),
     )
 

@@ -1404,9 +1404,21 @@ FROM isl GROUP BY doc_id, grp
 
 SQL_DUPLICATE_SPAN_STATS = f"""
 WITH spans AS ({SQL_DUPLICATE_SPANS}),
+-- dup_words = UNION of span coverage (spans from islands closer than k
+-- overlap): each span contributes only words past every earlier span's
+-- furthest end (running-max window), mirroring the engine exactly
+cov AS (
+  SELECT doc_id,
+         GREATEST(span_end - GREATEST(span_start - 1,
+             COALESCE(MAX(span_end) OVER (
+                 PARTITION BY doc_id ORDER BY span_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)), 0)
+           AS covered
+  FROM spans
+),
 per_doc AS (
-  SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_words
-  FROM spans GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(covered) AS dup_words
+  FROM cov GROUP BY doc_id
 ),
 base AS (
   SELECT doc_id,

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from scala_etl_test_spark.schemas import PRODUCT_SCHEMA
@@ -76,7 +77,7 @@ def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
     first file lands."""
     try:
         probed = spark.read.parquet(path).schema["ts"].dataType
-    except Exception:  # AnalysisException: empty dir / no readable footer
+    except AnalysisException:  # empty dir / no readable footer yet
         probed = T.LongType()
     if isinstance(probed, T.LongType):
         df = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(path)

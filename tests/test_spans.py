@@ -90,6 +90,34 @@ def test_freq_modes_equivalent(spark, sf_dir):
         assert agg == win
 
 
+def test_span_stats_overlapping_spans_union_coverage(spark):
+    """Two maximal spans from islands closer than k overlap; dup_words must
+    count the coverage UNION, never the length sum (dup_frac ≤ 1).
+
+    doc 1 = w0..w9; doc 2 shares w0..w7, doc 3 shares w2..w9, nothing
+    shares the full w0..w9 k-window span — with k=8 doc 1 gets duplicated
+    seeds at pos 0 and 2 (pos 1 is unique), two islands, spans [0..7] and
+    [2..9]: 10 distinct covered words, not 16."""
+    d1 = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = _docs(
+        spark,
+        [
+            (1, d1),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7"),
+            (3, "w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    assert (1, 0, 7) in spans and (1, 2, 9) in spans
+    rows = {r["doc_id"]: r.asDict() for r in duplicate_span_stats(docs, k=8).collect()}
+    assert rows[1]["n_spans"] == 2
+    assert rows[1]["dup_words"] == 10
+    assert rows[1]["dup_frac"] == 1.0
+
+
 def test_span_stats_zero_for_clean_docs(spark):
     docs = _docs(
         spark,
