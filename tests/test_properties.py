@@ -90,3 +90,51 @@ def test_cc_variants_match_union_find_on_random_graphs(spark):
         }
         assert got_prop == want, (edges, got_prop, want)
         assert got_alt == want, (edges, got_alt, want)
+
+
+def _ref_duplicate_spans(docs: dict[int, list[str]], k: int, min_count: int = 2):
+    """Brute-force reference: count every k-gram occurrence corpus-wide,
+    mark duplicated seed positions, merge consecutive positions, emit
+    (doc, start, end) covering [start .. island_end + k - 1]."""
+    from collections import Counter
+
+    grams = Counter()
+    for w in docs.values():
+        for i in range(len(w) - k + 1):
+            grams[tuple(w[i : i + k])] += 1
+    out = set()
+    for doc_id, w in docs.items():
+        dup = [i for i in range(len(w) - k + 1) if grams[tuple(w[i : i + k])] >= min_count]
+        i = 0
+        while i < len(dup):
+            j = i
+            while j + 1 < len(dup) and dup[j + 1] == dup[j] + 1:
+                j += 1
+            out.add((doc_id, dup[i], dup[j] + k - 1))
+            i = j + 1
+    return out
+
+
+def test_duplicate_spans_match_python_reference_on_random_corpora(spark):
+    """Seeded-random cross-check: tiny vocab forces heavy k-gram sharing,
+    so islands, overlaps, and in-doc repeats all occur; the Spark result
+    must equal the brute-force reference exactly."""
+    from scala_etl_test_spark.operators.spans import duplicate_spans
+
+    rng = random.Random(7)
+    for trial in range(4):
+        vocab = [f"t{i}" for i in range(rng.randint(3, 6))]
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            for d in range(rng.randint(2, 12))
+        }
+        k = rng.choice([2, 3, 4])
+        want = _ref_duplicate_spans(docs, k)
+        df = spark.createDataFrame(
+            [(d, " ".join(w)) for d, w in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, k=k).collect()
+        }
+        assert got == want, (trial, k, sorted(got) != sorted(want))
