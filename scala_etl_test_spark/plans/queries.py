@@ -1379,6 +1379,48 @@ FROM opened
 """
 
 
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (AS-OF) enrichment of a fact table against versioned
+    dimension history — the standard warehouse pattern over SCD2 output:
+    each order joins the status interval active at its order date
+    (``valid_from ≤ ts < valid_to``, open interval for the current
+    version). Equi-join on the dimension key carries the plan (the range
+    predicates are residual filters on the matched key group, never a
+    cross product); history is orders-of-magnitude smaller than facts and
+    broadcast-eligible."""
+    hist = q_scd2_customer_status(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderdate"
+    )
+    return orders.join(
+        hist,
+        on=(
+            (orders.custkey == hist.custkey)
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+        ),
+    ).select(
+        "o_orderkey",
+        orders.custkey.alias("custkey"),
+        "o_orderdate",
+        F.col("status").alias("status_asof"),
+    )
+
+
+SQL_SCD2_ASOF_ENRICH = f"""
+WITH hist AS ({SQL_SCD2_CUSTOMER_STATUS})
+SELECT o.o_orderkey,
+       o.o_custkey AS custkey,
+       o.o_orderdate,
+       h.status AS status_asof
+FROM orders o
+JOIN hist h
+  ON o.o_custkey = h.custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+"""
+
+
 def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation via FULL OUTER join — which ids exist in the
     customer dimension, which in the event stream, and which in both (the
@@ -2007,6 +2049,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_events": q_approx_quantiles_events,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
+    "scd2_asof_enrich": q_scd2_asof_enrich,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2062,6 +2105,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
+    "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
     "full_outer_reconcile": SQL_FULL_OUTER_RECONCILE,
     "json_props_extract": SQL_JSON_PROPS_EXTRACT,
     "window_moving_avg": SQL_WINDOW_MOVING_AVG,
@@ -2099,6 +2143,7 @@ _GATE_PRIORITY: list[str] = [
     "approx_quantiles_events",
     "events_sliding_window",
     "scd2_customer_status",
+    "scd2_asof_enrich",
     "full_outer_reconcile",
     # stale since round 1
     "inner_join_using",
