@@ -308,11 +308,15 @@ def chunk_dedup(
     frequency filter is tiny (shared chunks only) — Catalyst/AQE broadcasts
     it when statistics allow, collapsing shuffle 2.
     """
+    # persist: three consumers share the scan→split→chunk-explode subtree
+    # (frequency count, removal anti-join, per-doc chunk totals) — same
+    # caller-owns-the-action policy as the span seed / shingle tables
     ex = (
         docs.select(F.col(id_col), words(text_col).alias("_w"))
         .filter(F.size(F.filter("_w", lambda t: t != "")) > 0)
         .select(F.col(id_col), F.posexplode(_chunks(F.col("_w"), chunk_words)).alias("cidx", "chunk"))
         .withColumn("chunk_h", F.md5("chunk"))
+        .persist()
     )
     boiler = (
         ex.groupBy("chunk_h")
@@ -331,12 +335,11 @@ def chunk_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    base = docs.select(
-        F.col(id_col),
-        F.ceil(F.size(F.filter(words(text_col), lambda t: t != "")) / F.lit(chunk_words))
-        .cast("long")
-        .alias("n_chunks"),
-    ).filter(F.col("n_chunks") > 0)
+    # the doc universe and per-doc chunk totals come FROM the exploded
+    # table (n_chunks = max cidx + 1), not a third scan of the source
+    base = ex.groupBy(id_col).agg(
+        (F.max("cidx") + 1).cast("long").alias("n_chunks")
+    )
     return base.join(reassembled, on=id_col, how="left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
