@@ -151,15 +151,22 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (one broadcast join +
     max_by — centroid count is small by construction). Output adds
-    ``cluster_id``; at scale this is the write-time partition key."""
+    ``cluster_id``; at scale this is the write-time partition key.
+
+    The argmax aggregate carries every source column through ``any_value``
+    (constant within a group — all rows of a group come from the same
+    source row crossed with the centroid set), so the corpus is scanned
+    ONCE; the earlier formulation re-joined the corpus on ``id_col`` to
+    re-attach columns, a second full scan + shuffle at corpus scale."""
     scored = (
         df.join(F.broadcast(centroids))
         .withColumn("_sim", cosine_similarity(vec_col, centroid_vec))
     )
-    best = scored.groupBy(id_col).agg(
-        F.expr(f"max_by({centroid_id}, struct(_sim, -{centroid_id}))").alias("cluster_id")
+    carried = [F.any_value(F.col(c)).alias(c) for c in df.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *carried,
+        F.expr(f"max_by({centroid_id}, struct(_sim, -{centroid_id}))").alias("cluster_id"),
     )
-    return df.join(best, on=id_col)
 
 
 def stride_centroids(
