@@ -1345,6 +1345,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (1%-trimmed) per-type value statistics — outlier-resistant
+    monitoring over a metric column. Trimming is by integer RANK (ties
+    broken by event_id), not by value threshold: rank bounds are exact
+    integers in any engine, so the kept SET is cross-engine identical —
+    a value-threshold winsorization would hinge on float-equality at the
+    percentile boundary. One window shuffle (row_number and the group
+    count share the partition spec) + one aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ranked = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", n)
+    )
+    kept = ranked.filter(
+        (F.col("_rn") > F.ceil(F.col("_n") * 0.01))
+        & (F.col("_rn") <= F.floor(F.col("_n") * 0.99))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("value"), 4).alias("trimmed_mean"),
+        F.min("value").alias("trimmed_min"),
+        F.max("value").alias("trimmed_max"),
+    )
+
+
+SQL_EVENTS_TRIMMED_STATS = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       round(AVG(value), 4) AS trimmed_mean,
+       MIN(value) AS trimmed_min,
+       MAX(value) AS trimmed_max
+FROM ranked
+WHERE rn > ceil(n * 0.01) AND rn <= floor(n * 0.99)
+GROUP BY event_type
+"""
+
+
 def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history from a change log
     (operators/merge.py:scd2_history): each customer's order-status
@@ -2050,6 +2098,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
+    "events_trimmed_stats": q_events_trimmed_stats,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2106,6 +2155,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
+    "events_trimmed_stats": SQL_EVENTS_TRIMMED_STATS,
     "full_outer_reconcile": SQL_FULL_OUTER_RECONCILE,
     "json_props_extract": SQL_JSON_PROPS_EXTRACT,
     "window_moving_avg": SQL_WINDOW_MOVING_AVG,
@@ -2144,6 +2194,7 @@ _GATE_PRIORITY: list[str] = [
     "events_sliding_window",
     "scd2_customer_status",
     "scd2_asof_enrich",
+    "events_trimmed_stats",
     "full_outer_reconcile",
     # stale since round 1
     "inner_join_using",
