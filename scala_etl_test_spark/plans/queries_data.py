@@ -1489,6 +1489,56 @@ GROUP BY doc_id
 """
 
 
+_BM25_TERMS = ["spark", "join", "vector"]
+_BM25_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over documents for a fixed query-term bag
+    (operators/retrieval.py:bm25_topk) — the sparse first-stage retriever
+    complementing the dense ann_* family. Zero-shuffle per-doc stage
+    (array tf, no explode), one single-row corpus aggregate, top-k via
+    TakeOrderedAndProject."""
+    from scala_etl_test_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_term_sql(i: int, t: str) -> str:
+    return f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+
+
+_BM25_SCORE_SQL = " + ".join(
+    f"ln(1.0 + (n_docs - df_tf_{i} + 0.5) / (df_tf_{i} + 0.5))"
+    f" * (CAST(tf_{i} AS DOUBLE) * 2.2"
+    f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+SQL_BM25_TOPK = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> x <> '')) AS BIGINT) AS dl,
+         {", ".join(_bm25_term_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_tf_{i}" for i in range(len(_BM25_TERMS)))}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, round({_BM25_SCORE_SQL}, 6) AS bm25
+  FROM d CROSS JOIN s
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1529,6 +1579,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_span_stats": q_duplicate_span_stats,
     "chunk_dedup": q_chunk_dedup,
     "unigram_lm_score": q_unigram_lm_score,
+    "bm25_topk": q_bm25_topk,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1571,4 +1622,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "duplicate_span_stats": SQL_DUPLICATE_SPAN_STATS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "unigram_lm_score": SQL_UNIGRAM_LM_SCORE,
+    "bm25_topk": SQL_BM25_TOPK,
 }
