@@ -1539,6 +1539,67 @@ LIMIT {_BM25_K}
 """
 
 
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py:pagerank) over the bipartite
+    customer↔supplier trade graph (an edge per distinct cust/supp pair that
+    traded, both directions) — link-graph authority as a curation quality
+    prior. 3 power iterations; edges partitioned by src once, each
+    iteration shuffles only the node-sized rank table."""
+    from scala_etl_test_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    out = pagerank(edges, num_iters=_PR_ITERS, damping=_PR_DAMPING)
+    return out.select("node", F.col("rank").alias("pr"))
+
+
+def _pr_unrolled_sql(iters: int, damping: float) -> str:
+    ctes = [
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r{i - 1}.r / dg.d) AS contrib\n"
+            f"       FROM edges e JOIN r{i - 1} ON e.src = r{i - 1}.node"
+            f" JOIN dg ON e.src = dg.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (1.0 - {damping}) / nn.n + {damping} * COALESCE(c{i}.contrib, 0.0) AS r\n"
+            f"       FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return ",\n".join(ctes) + f"\nSELECT node, round(r, 6) AS pr FROM r{iters}"
+
+
+SQL_GRAPH_PAGERANK = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+dg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dg),
+nodes AS (SELECT src AS node FROM dg),
+{_pr_unrolled_sql(_PR_ITERS, _PR_DAMPING)}
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1580,6 +1641,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "unigram_lm_score": q_unigram_lm_score,
     "bm25_topk": q_bm25_topk,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1623,4 +1685,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "unigram_lm_score": SQL_UNIGRAM_LM_SCORE,
     "bm25_topk": SQL_BM25_TOPK,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
 }
