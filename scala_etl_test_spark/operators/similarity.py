@@ -346,3 +346,54 @@ def lsh_bucket_topk(
     return cosine_topk(
         with_sig.filter(F.col("_sig") == qsig), query, vec_col=vec_col, id_col=id_col, k=k
     )
+
+
+def hard_negatives(
+    df_assigned: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    cluster_col: str = "cluster_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the most
+    similar vector carrying a DIFFERENT label, searched within the anchor's
+    IVF cell (input is :func:`ivf_assign` output). The classic
+    in-batch-negatives upgrade for embedding-model training data — the
+    hardest negative is by definition near the anchor, so restricting the
+    search to the anchor's cell keeps recall while bounding pair generation
+    to Σ c_i² (same blocking argument as :func:`semantic_dedup`), never the
+    corpus n². Anchors whose cell holds no cross-label vector yield no row
+    (a mono-label cell has no negative to mine — widen with multi-cell
+    probing if coverage matters more than cost).
+
+    One co-partitioned self-join on ``cluster_col`` (write-time partition
+    key at scale) + one map-side-combinable ``max_by`` per anchor; ranking
+    is on the ``round_digits``-rounded cosine with smaller ``neg_id`` as
+    tie-break, so the result is engine-reproducible (SQL-oracle-safe)
+    and stable under float summation-order drift."""
+    a = df_assigned.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_la"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = df_assigned.select(
+        F.col(cluster_col).alias("_cl"),
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("_lb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "_cl")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(cosine_similarity("_va", "_vb"), round_digits).alias("cosine"),
+        )
+    )
+    return pairs.groupBy("anchor_id").agg(
+        F.expr("max_by(neg_id, struct(cosine, -neg_id))").alias("neg_id"),
+        F.max("cosine").alias("cosine"),
+    )

@@ -1600,6 +1600,49 @@ nodes AS (SELECT src AS node FROM dg),
 """
 
 
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-blocked contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives): per anchor, the most-similar
+    different-label vector within its cell. Pair generation is bounded by
+    cell sizes (Σ c_i²), never corpus n²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = S.stride_centroids(emb, 16)
+    # persisted: the mining self-join consumes the assignment on both sides;
+    # without the cache the argmax-assign subtree (scan + groupBy) runs twice.
+    assigned = S.ivf_assign(emb, centroids).persist()
+    return S.hard_negatives(assigned)
+
+
+SQL_CONTRASTIVE_NEGATIVES = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, embedding, label, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, e.label, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.label <> b.label
+)
+SELECT anchor_id, neg_id, cosine FROM (
+  SELECT anchor_id, neg_id, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, neg_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1642,6 +1685,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_score": q_unigram_lm_score,
     "bm25_topk": q_bm25_topk,
     "graph_pagerank": q_graph_pagerank,
+    "contrastive_negatives": q_contrastive_negatives,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1686,4 +1730,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "unigram_lm_score": SQL_UNIGRAM_LM_SCORE,
     "bm25_topk": SQL_BM25_TOPK,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
 }

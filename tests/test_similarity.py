@@ -100,3 +100,38 @@ def test_centroid_sums_exact_and_reconstruction(spark):
     cents = {r["label"]: r["centroid"] for r in centroids_from_sums(sums, "label").collect()}
     assert cents["a"] == [0.5, 0.25, 0.125]
     assert cents["b"] == [1.0, 2.0, -3.0]
+
+
+def test_hard_negatives_geometry(spark):
+    # two cells; cell 0 holds labels {0,1} with a clear nearest cross-label
+    # pair, cell 1 is mono-label and must yield no rows for its anchors.
+    rows = [
+        (0, [1.0, 0.0], 0, 0),
+        (1, [0.9, 0.1], 1, 0),   # closest cross-label vector to 0
+        (2, [0.0, 1.0], 1, 0),
+        (3, [-1.0, 0.0], 2, 1),
+        (4, [-0.9, -0.1], 2, 1),  # same label as 3 -> no negative in cell
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, cluster_id int"
+    )
+    got = {r["anchor_id"]: r for r in S.hard_negatives(assigned).collect()}
+    assert set(got) == {0, 1, 2}  # cell-1 anchors have no cross-label negative
+    assert got[0]["neg_id"] == 1
+    assert got[1]["neg_id"] == 0
+    assert got[2]["neg_id"] == 0  # vec 1 shares label 1 with anchor 2
+    assert got[0]["cosine"] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+
+
+def test_hard_negatives_tie_breaks_to_smaller_id(spark):
+    # ids 2 and 3 are duplicates, both equally similar to anchor 1
+    rows = [
+        (1, [1.0, 0.0], 0, 0),
+        (2, [1.0, 0.1], 1, 0),
+        (3, [1.0, 0.1], 1, 0),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int, cluster_id int"
+    )
+    got = {r["anchor_id"]: r["neg_id"] for r in S.hard_negatives(assigned).collect()}
+    assert got[1] == 2
