@@ -40,6 +40,10 @@ HEADLINE = [
     # round-3 additions: substring-level dedup + boilerplate removal
     "duplicate_spans",
     "chunk_dedup",
+    # round-3 additions: sparse retrieval, link-graph rank, negative mining
+    "bm25_topk",
+    "graph_pagerank",
+    "contrastive_negatives",
 ]
 
 

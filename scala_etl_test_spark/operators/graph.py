@@ -5,14 +5,20 @@ cliques) with fixed-iteration PageRank — the standard importance measure
 for link-graph-based corpus curation (e.g. domain authority as a quality
 prior for web-scraped training data, OPIC-style crawl prioritization).
 
-Scale shape: the edge table is the big side and is hash-partitioned on
-``src`` ONCE and persisted — the optimizer keeps the cached partitioning,
-so every iteration's rank⋈edges join shuffles only the rank table (one row
-per node, orders of magnitude smaller than the edges). Per iteration that
-is two node-sized exchanges (ranks onto src, contributions onto dst) and
-zero edge-sized ones. At a 100 TB edge list the same layout holds with the
-edges bucketed by src at write time; rank state stays a narrow two-column
-table. Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+Scale shape: the edge table is the big side; rank/degree state is one
+narrow row per node. Two regimes, picked by ``broadcast_nodes``:
+
+- node state fits an executor (the default; holds into the hundreds of
+  millions of nodes) — degrees and per-iteration ranks are broadcast, so
+  the persisted edge table is **never shuffled or sorted**, and each
+  iteration costs one map-side-combined aggregation whose exchange carries
+  at most one row per node per task;
+- billion-node regime — edges are hash-partitioned on ``src`` once and
+  persisted (bucket by src at write time for a 100 TB edge list), the
+  optimizer keeps the cached partitioning, and each iteration shuffles
+  only the node-sized rank table onto that fixed layout.
+
+Lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
 iterations, same policy as the CC loop (operators/cluster.py).
 """
 
@@ -28,6 +34,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    broadcast_nodes: bool = True,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over a directed edge list.
 
@@ -44,13 +51,18 @@ def pagerank(
     if num_iters < 1:
         raise ValueError("num_iters must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # One shuffle to lay the edges out by src; deg reuses that partitioning
-    # (groupBy on the partition key adds no exchange) and the join below is
-    # then co-partitioned — the persisted frame is scanned once per
-    # iteration with no further edge-sized shuffle.
-    e = e.repartition("src")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = e.join(deg, "src").persist()
+    if not broadcast_nodes:
+        # Billion-node regime: one shuffle lays the edges out by src and the
+        # cached partitioning is kept, so each iteration shuffles only the
+        # node-sized weight table onto that fixed layout.
+        e = e.repartition("src")
+    # The cached edge list stays bare (src, dst): degree is NODE-sized
+    # state, so rank/deg is computed node-side each iteration and only that
+    # single weight column meets the edges — no degree column riding along
+    # on every edge row, and in the broadcast regime the edge table is
+    # never shuffled or sorted at all.
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes")).persist()
     nodes = deg.select(F.col("src").alias("node")).persist()
@@ -59,16 +71,22 @@ def pagerank(
     )
 
     base = F.lit(1.0 - damping) / F.col("n_nodes")
+    maybe_bc = F.broadcast if broadcast_nodes else (lambda df: df)
     for i in range(num_iters):
+        weights = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .select("src", (F.col("rank") / F.col("deg")).alias("w"))
+        )
         contribs = (
-            out_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(maybe_bc(weights), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .agg(F.sum("w").alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
         # left join: a node with no in-edges keeps the teleport mass only.
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(maybe_bc(contribs), "node", "left")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",

@@ -1553,19 +1553,34 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # Integer node encoding (2·custkey for customers, 2·suppkey+1 for
+    # suppliers) end-to-end: the edge table is ~1 row per lineitem, and
+    # every per-iteration shuffle/sort keys on the node id — longs hash and
+    # compare several times faster than 'c123'-style strings. Decode to the
+    # display form only on the final node-sized result.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # both directions via a row-local explode — a union of two selects over
+    # `pairs` would re-run the orders⋈lineitem join and the distinct twice.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     out = pagerank(edges, num_iters=_PR_ITERS, damping=_PR_DAMPING)
-    return out.select("node", F.col("rank").alias("pr"))
+    decoded = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
+    return out.select(decoded.alias("node"), F.col("rank").alias("pr"))
 
 
 def _pr_unrolled_sql(iters: int, damping: float) -> str:
@@ -1583,13 +1598,16 @@ def _pr_unrolled_sql(iters: int, damping: float) -> str:
             f" (1.0 - {damping}) / nn.n + {damping} * COALESCE(c{i}.contrib, 0.0) AS r\n"
             f"       FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)"
         )
-    return ",\n".join(ctes) + f"\nSELECT node, round(r, 6) AS pr FROM r{iters}"
+    return ",\n".join(ctes) + (
+        f"\nSELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)"
+        f"\n            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,"
+        f"\n       round(r, 6) AS pr FROM r{iters}"
+    )
 
 
 SQL_GRAPH_PAGERANK = f"""
 WITH pairs AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
-                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
