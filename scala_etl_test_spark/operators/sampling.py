@@ -130,3 +130,29 @@ def leakage_safe_split(
     return assign_split(with_rep, "_split_key", weights, split_col).drop(
         "component", "_split_key"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: Column | str,
+    scale: float = 1.0,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff
+    ``u(key) < clamp(scale * weight, 0, 1)`` with ``u`` the
+    content-addressed uniform from :func:`hash_bucket` (md5-based, so the
+    SAME rows survive on any cluster size, partitioning, engine, or rerun —
+    the property ``df.sample()`` cannot give). The workhorse of
+    quality-weighted corpus downsampling: weight = quality score ⇒ high-
+    quality documents are kept at proportionally higher rates while the
+    decision stays a pure function of the row key.
+
+    Row-local filter: zero shuffles, pushed into the scan's projection
+    stage; expected kept fraction is E[clamp(scale*w,0,1)] over the corpus.
+    ``resolution`` bounds the acceptance-probability granularity (1e-6
+    default — weights are compared against the md5 unit at that step)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_bucket(key_col, resolution) / F.lit(float(resolution))
+    p = F.least(F.greatest(w * F.lit(scale), F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < p)

@@ -1661,6 +1661,90 @@ SELECT anchor_id, neg_id, cosine FROM (
 """
 
 
+_WSAMPLE_SCALE = 0.8
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling
+    (operators/sampling.py:weighted_sample): keep probability =
+    0.8 × quality score, decided by the content-addressed md5 unit — same
+    surviving set on any partitioning, cluster size, or engine. Row-local:
+    zero shuffles."""
+    from scala_etl_test_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "quality_score", X.quality_score("text")
+    )
+    out = weighted_sample(docs, "quality_score", "doc_id", scale=_WSAMPLE_SCALE)
+    return out.select("doc_id", "quality_score")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round((CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN round(CAST(n_punct AS DOUBLE) / n_chars, 6) < 0.1 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_stop > 0 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+  FROM (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_WORDS_SQL}) AS n_words,
+           len(list_filter({_WORDS_SQL}, x -> x IN ({", ".join(repr(m) for m in _ALL_MARKERS)}))) AS n_stop,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents
+  )
+)
+SELECT doc_id, quality_score
+FROM (
+  SELECT doc_id, quality_score,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+           / 1000000.0 AS u
+  FROM scored
+)
+WHERE u < least(greatest(quality_score * {_WSAMPLE_SCALE}, 0.0), 1.0)
+"""
+
+
+_Z_BITS = 10
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, quantized value)
+    (operators/layout.py): the multi-dimensional sort key that gives
+    per-file min/max pruning on BOTH dimensions when the table is laid out
+    with zorder_layout. Pure unrolled shift/mask arithmetic — exact across
+    engines, no floats anywhere."""
+    from scala_etl_test_spark.operators.layout import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    vq = F.least(F.greatest(F.floor("value"), F.lit(0)), F.lit(2**_Z_BITS - 1))
+    return ev.select(
+        "event_id",
+        z_value([F.col("user_id"), vq], bits=_Z_BITS).alias("zkey"),
+    )
+
+
+def _z_sql(exprs: list[str], bits: int) -> str:
+    d = len(exprs)
+    parts = [
+        f"((({e} >> {i}) & 1) << {i * d + j})"
+        for i in range(bits)
+        for j, e in enumerate(exprs)
+    ]
+    return " | ".join(parts)
+
+
+SQL_EVENTS_ZORDER = f"""
+SELECT event_id,
+       {_z_sql(['user_id', 'vq'], _Z_BITS)} AS zkey
+FROM (
+  SELECT event_id, user_id,
+         CAST(least(greatest(floor(value), 0), {2**_Z_BITS - 1}) AS BIGINT) AS vq
+  FROM events
+)
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1704,6 +1788,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "graph_pagerank": q_graph_pagerank,
     "contrastive_negatives": q_contrastive_negatives,
+    "weighted_sample": q_weighted_sample,
+    "events_zorder": q_events_zorder,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1749,4 +1835,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "events_zorder": SQL_EVENTS_ZORDER,
 }

@@ -118,3 +118,33 @@ def test_mixture_weights_sqrt_temperature(spark, sf_dir):
         raw_share = r["n_docs"] / total
         if raw_share < 1 / len(rows):
             assert r["weight"] >= raw_share  # upweighted
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from scala_etl_test_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4 / 4.0).alias("w")
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "w", "doc_id").collect()}
+    # pure function of the key: identical under repartitioning and rerun
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", "doc_id").collect()
+    }
+    assert kept == again
+    # w=0 rows can never survive; keep rate grows with weight
+    rates = {
+        w: sum(1 for k in kept if k % 4 == w * 4) / 500 for w in (0.0, 0.25, 0.5, 0.75)
+    }
+    assert rates[0.0] == 0.0
+    assert rates[0.25] < rates[0.5] < rates[0.75]
+    assert rates[0.75] == pytest.approx(0.75, abs=0.06)
+
+
+def test_weighted_sample_clamps(spark):
+    from scala_etl_test_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"), F.lit(5.0).alias("w"))
+    assert weighted_sample(df, "w", "doc_id").count() == 100  # p clamps to 1
+    assert weighted_sample(df, "w", "doc_id", scale=-1.0).count() == 0  # p clamps to 0
