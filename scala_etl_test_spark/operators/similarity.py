@@ -397,3 +397,40 @@ def hard_negatives(
         F.expr("max_by(neg_id, struct(cosine, -neg_id))").alias("neg_id"),
         F.max("cosine").alias("cosine"),
     )
+
+
+def multiprobe_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nbits: int = 8,
+    probes: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007 pattern): score the query's own
+    signature bucket plus every bucket at Hamming distance 1 (the first
+    ``probes`` single-bit flips). A near neighbor that lands one sign flip
+    away — the dominant LSH miss mode — is recovered without building more
+    tables, trading a (1 + probes)/2**nbits scan fraction for recall where
+    :func:`lsh_bucket_topk` scans 1/2**nbits.
+
+    Same scale shape as the single-bucket form: the signature is a
+    row-local JVM expression, the probe set is a tiny IN-list filter pushed
+    into the scan, and top-k is TakeOrderedAndProject. Deterministic
+    (md5-derived hyperplanes) ⇒ fully SQL-oracle-reproducible."""
+    if probes is None:
+        probes = nbits
+    if not 0 <= probes <= nbits:
+        raise ValueError("probes must be in [0, nbits]")
+    with_sig = df.withColumn("_sig", lsh_signature(vec_col, nbits))
+    qdf = df.sparkSession.range(1).select(_as_double_array(query).alias("qv"))
+    qsig = qdf.select(lsh_signature("qv", nbits).alias("s")).first()["s"]
+    buckets = [qsig] + [qsig ^ (1 << b) for b in range(probes)]
+    return cosine_topk(
+        with_sig.filter(F.col("_sig").isin(buckets)),
+        query,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+    )

@@ -344,7 +344,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(emb, [float(v) for v in query], k=10, nbits=_LSH_NBITS)
 
 
-def _lsh_sql() -> str:
+def _lsh_sql(probes: int = 0, k: int = 10) -> str:
     def hyper(bit: int, idx: str) -> str:
         return (
             f"CASE WHEN CAST(concat('0x', substr(md5('{bit}' || '|' || CAST({idx} AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 "
@@ -363,6 +363,9 @@ def _lsh_sql() -> str:
             for bit in range(_LSH_NBITS)
         )
 
+    in_list = ", ".join(
+        ["qsig.s"] + [f"xor(qsig.s, {1 << b})" for b in range(probes)]
+    )
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
      qsig AS (SELECT {sig('qv')} AS s FROM q),
@@ -370,13 +373,28 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 SELECT e.vec_id,
        round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cosine
 FROM sigs e, q, qsig
-WHERE e.s = qsig.s
+WHERE e.s IN ({in_list})
 ORDER BY cosine DESC, e.vec_id
-LIMIT 10
+LIMIT {k}
 """
 
 
 SQL_ANN_LSH_TOPK = _lsh_sql()
+
+
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (operators/similarity.py:multiprobe_lsh_topk):
+    the query bucket plus all Hamming-distance-1 buckets — the standard
+    recall recovery for sign-LSH, still a tiny IN-list scan restriction,
+    and still fully DuckDB-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return S.multiprobe_lsh_topk(
+        emb, [float(v) for v in query], k=10, nbits=_LSH_NBITS, probes=_LSH_NBITS
+    )
+
+
+SQL_ANN_MULTIPROBE_TOPK = _lsh_sql(probes=_LSH_NBITS)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1790,6 +1808,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_negatives": q_contrastive_negatives,
     "weighted_sample": q_weighted_sample,
     "events_zorder": q_events_zorder,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1837,4 +1856,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_zorder": SQL_EVENTS_ZORDER,
+    "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
 }

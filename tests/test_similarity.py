@@ -135,3 +135,22 @@ def test_hard_negatives_tie_breaks_to_smaller_id(spark):
     )
     got = {r["anchor_id"]: r["neg_id"] for r in S.hard_negatives(assigned).collect()}
     assert got[1] == 2
+
+
+def test_multiprobe_extends_single_bucket(emb, query_vec):
+    single = {r["vec_id"] for r in S.lsh_bucket_topk(emb, query_vec, k=10).collect()}
+    zero_probe = {r["vec_id"] for r in S.multiprobe_lsh_topk(emb, query_vec, k=10, probes=0).collect()}
+    assert zero_probe == single  # probes=0 degenerates to the single bucket
+    multi = S.multiprobe_lsh_topk(emb, query_vec, k=10, probes=8).collect()
+    # candidate set is a superset, so the scored top-k can only improve:
+    # at equal k the worst returned cosine is >= the single-bucket worst
+    assert len(multi) >= len(single)
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, query_vec, k=10).collect()}
+    recall_single = len(single & exact)
+    recall_multi = len({r["vec_id"] for r in multi} & exact)
+    assert recall_multi >= recall_single
+
+
+def test_multiprobe_rejects_bad_probe_count(emb, query_vec):
+    with pytest.raises(ValueError):
+        S.multiprobe_lsh_topk(emb, query_vec, probes=9, nbits=8)
