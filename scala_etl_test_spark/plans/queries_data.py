@@ -1763,6 +1763,83 @@ FROM (
 """
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (operators/bpe.py:bpe_merges) on the corpus word
+    types: one corpus shuffle to (word, count), then 8 vocabulary-sized
+    merge iterations. Oracle = the same loop unrolled as chained CTEs with
+    windowed greedy occurrence selection."""
+    from scala_etl_test_spark.operators.bpe import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bpe_merges(wc, _BPE_MERGES)
+
+
+def _bpe_step_sql(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""p{i} AS (
+  SELECT s.syms[u.i] AS lhs, s.syms[u.i + 1] AS rhs, SUM(s.n) AS c
+  FROM {prev} s, unnest(range(1, len(s.syms))) AS u(i)
+  GROUP BY 1, 2
+),
+t{i} AS MATERIALIZED (SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs, rhs LIMIT 1),
+m{i} AS (
+  SELECT wid, i,
+         CASE WHEN (i - MIN(i) OVER (PARTITION BY wid, run_id)) % 2 = 0 THEN 1 ELSE 0 END AS keep
+  FROM (
+    SELECT wid, i, SUM(brk) OVER (PARTITION BY wid ORDER BY i) AS run_id
+    FROM (
+      SELECT s.wid, u.i,
+             CASE WHEN lag(u.i) OVER (PARTITION BY s.wid ORDER BY u.i) = u.i - 1 THEN 0 ELSE 1 END AS brk
+      FROM {prev} s CROSS JOIN t{i} t, unnest(range(1, len(s.syms))) AS u(i)
+      WHERE s.syms[i] = t.lhs AND s.syms[i + 1] = t.rhs
+    )
+  )
+),
+k{i} AS (SELECT wid, list(i ORDER BY i) AS kept FROM m{i} WHERE keep = 1 GROUP BY wid),
+s{i} AS MATERIALIZED (
+  SELECT s.wid,
+         list_transform(
+           list_filter(range(1, len(s.syms) + 1),
+                       i -> NOT list_contains(coalesce(k.kept, []), i - 1)),
+           i -> CASE WHEN list_contains(coalesce(k.kept, []), i)
+                     THEN s.syms[i] || s.syms[i + 1] ELSE s.syms[i] END) AS syms,
+         s.n
+  FROM {prev} s CROSS JOIN t{i} t LEFT JOIN k{i} k ON s.wid = k.wid
+)"""
+
+
+SQL_BPE_MERGES = (
+    f"""
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word AS wid,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms,
+         n
+  FROM w0
+),
+"""
+    + ",\n".join(_bpe_step_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1809,6 +1886,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "events_zorder": q_events_zorder,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "bpe_merges": q_bpe_merges,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1857,4 +1935,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_zorder": SQL_EVENTS_ZORDER,
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
+    "bpe_merges": SQL_BPE_MERGES,
 }

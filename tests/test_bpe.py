@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+
+from scala_etl_test_spark.operators.bpe import bpe_merges
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int) -> list[tuple]:
+    """Reference BPE (Sennrich-style): overlapping pair counts, greedy
+    left-to-right non-overlapping merge, (count desc, pair asc) winner."""
+    words = {tuple(w): n for w, n in word_counts.items()}
+    out = []
+    for step in range(1, k + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + n
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, l, r, l + r, c))
+        new: dict[tuple, int] = {}
+        for syms, n in words.items():
+            lst = list(syms)
+            res: list[str] = []
+            i = 0
+            while i < len(lst):
+                if i < len(lst) - 1 and lst[i] == l and lst[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(lst[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + n
+        words = new
+    return out
+
+
+def _run(spark, wc: dict[str, int], k: int) -> list[tuple]:
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    return [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_merges(df, k).orderBy("step").collect()
+    ]
+
+
+def test_classic_corpus_matches_reference(spark):
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2}
+    assert _run(spark, wc, 8) == _ref_bpe(wc, 8)
+
+
+def test_overlapping_runs_merge_every_other(spark):
+    # 'aaaa' counts 3 overlapping (a,a) pairs but merges to exactly [aa, aa];
+    # 'aaa' merges to [aa, a]
+    wc = {"aaaa": 1, "aaa": 1}
+    got = _run(spark, wc, 2)
+    assert got == _ref_bpe(wc, 2)
+    assert got[0][:3] == (1, "a", "a") and got[0][4] == 5  # 3 + 2 overlapping
+    # step 2 ties (aa,aa) with (aa,a) at count 1; lexicographic pick wins
+    assert got[1] == (2, "aa", "a", "aaa", 1)
+
+
+def test_exhausted_vocab_stops_contributing(spark):
+    wc = {"ab": 3}
+    got = _run(spark, wc, 5)
+    assert got == [(1, "a", "b", "ab", 3)]  # steps 2..5 have no pairs left
+
+
+def test_tie_breaks_lexicographic(spark):
+    wc = {"ba": 1, "ab": 1}  # (a,b) and (b,a) both count 1
+    got = _run(spark, wc, 1)
+    assert got[0][1:3] == ("a", "b")
+
+
+def test_bad_merge_count_rejected(spark):
+    df = spark.createDataFrame([("ab", 1)], "word string, n long")
+    with pytest.raises(ValueError):
+        bpe_merges(df, 0)
