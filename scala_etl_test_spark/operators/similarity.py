@@ -434,3 +434,40 @@ def multiprobe_lsh_topk(
         id_col=id_col,
         k=k,
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    threshold: float = 0.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Flag vectors far from their own group's centroid — the standard
+    embedding-space screen for mislabeled rows, noise, and contamination in
+    labeled training corpora (low cosine to your class centroid ⇒ you
+    probably don't belong to the class).
+
+    Centroids come from the exact fixed-point accumulators
+    (:func:`centroid_sums`), so they are bit-identical under any
+    partitioning and any engine; the per-vector cosine then folds in array
+    index order on both sides, making the (cosine, is_outlier) output
+    fully oracle-checkable. Scale shape: one narrow posexplode → (group,
+    dim) aggregate for the centroids (group-count-sized result), one
+    broadcast join back, row-local scoring. No pairwise anything."""
+    cents = centroids_from_sums(
+        centroid_sums(df, vec_col, group_col, scale), group_col, scale
+    )
+    cos = F.round(
+        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("centroid")), 6
+    )
+    return (
+        df.join(F.broadcast(cents), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            cos.alias("centroid_cosine"),
+            (cos < F.lit(threshold)).alias("is_outlier"),
+        )
+    )

@@ -1840,6 +1840,44 @@ s0 AS MATERIALIZED (
 )
 
 
+_OUTLIER_T = 0.0
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outlier screen
+    (operators/similarity.py:embedding_outliers): exact fixed-point
+    centroids, broadcast join back, row-local cosine — mislabeled-row /
+    noise detection with a fully reproducible score."""
+    return S.embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), threshold=_OUTLIER_T
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH expanded AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT label, dim,
+         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_q,
+         COUNT(*) AS n_vecs
+  FROM expanded GROUP BY label, dim
+),
+cent AS (
+  SELECT label,
+         list(CAST(sum_q AS DOUBLE) / (1000000 * n_vecs) ORDER BY dim) AS centroid
+  FROM sums GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round({_COS_SQL.format(a='e.embedding', b='c.centroid')}, 6) AS centroid_cosine,
+       round({_COS_SQL.format(a='e.embedding', b='c.centroid')}, 6) < {_OUTLIER_T} AS is_outlier
+FROM embeddings e JOIN cent c USING (label)
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1887,6 +1925,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder": q_events_zorder,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "bpe_merges": q_bpe_merges,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1936,4 +1975,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "events_zorder": SQL_EVENTS_ZORDER,
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
     "bpe_merges": SQL_BPE_MERGES,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
 }

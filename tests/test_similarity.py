@@ -154,3 +154,28 @@ def test_multiprobe_extends_single_bucket(emb, query_vec):
 def test_multiprobe_rejects_bad_probe_count(emb, query_vec):
     with pytest.raises(ValueError):
         S.multiprobe_lsh_topk(emb, query_vec, probes=9, nbits=8)
+
+
+def test_embedding_outliers_flags_misfit(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [1.0, 0.1], 0),
+        (4, [-1.0, -0.2], 0),  # opposite direction, same label -> outlier
+        (5, [0.0, 1.0], 1),
+        (6, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["vec_id"]: r for r in S.embedding_outliers(df, threshold=0.5).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[4]["is_outlier"] and got[4]["centroid_cosine"] < 0
+    for vid in (1, 2, 3, 5, 6):
+        assert not got[vid]["is_outlier"], vid
+
+
+def test_embedding_outliers_partition_invariant(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a = {(r["vec_id"], r["centroid_cosine"]) for r in S.embedding_outliers(df).collect()}
+    b = {(r["vec_id"], r["centroid_cosine"]) for r in S.embedding_outliers(df.repartition(11)).collect()}
+    assert a == b  # fixed-point centroids make the score partition-invariant
