@@ -471,3 +471,52 @@ def embedding_outliers(
             (cos < F.lit(threshold)).alias("is_outlier"),
         )
     )
+
+
+def lloyd_spherical(
+    df: DataFrame,
+    n_centroids: int,
+    num_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Spherical Lloyd's k-means, fully engine-reproducible: stride-seeded
+    centroids, cosine-argmax assignment (ties → smallest centroid id), and
+    mean updates through the exact fixed-point accumulators
+    (:func:`centroid_sums`) so every iteration's centroids are
+    bit-identical under any partitioning — the deterministic twin of
+    :func:`kmeans_centroids` (pyspark.ml), trading k-means|| init and
+    convergence checks for cross-engine replayability (fixed iteration
+    count ⇒ the whole training loop unrolls into oracle SQL).
+
+    A centroid that wins no vectors keeps its previous position (left join
+    + coalesce), the standard empty-cluster fallback. Returns
+    (centroid_id, centroid_vec array<double>) — same shape as
+    :func:`stride_centroids`, so it drops into ivf_assign/ivf_topk.
+
+    Scale shape per iteration: one broadcast-join argmax over the corpus
+    (centroid count is small), one narrow (cluster, dim) fixed-point
+    aggregate, one k-row centroid rebuild — the corpus is scanned once per
+    iteration and never shuffled on anything wider than (cluster, dim)."""
+    cents = stride_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    for _ in range(num_iters):
+        assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+        new = centroids_from_sums(
+            centroid_sums(assigned, vec_col, "cluster_id", scale), "cluster_id", scale
+        )
+        cents = (
+            cents.join(
+                new.withColumnRenamed("cluster_id", "centroid_id").withColumnRenamed(
+                    "centroid", "_new"
+                ),
+                "centroid_id",
+                "left",
+            )
+            .select(
+                "centroid_id",
+                F.coalesce("_new", "centroid_vec").alias("centroid_vec"),
+            )
+            .localCheckpoint()
+        )
+    return cents

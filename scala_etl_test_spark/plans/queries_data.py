@@ -1878,6 +1878,79 @@ FROM embeddings e JOIN cent c USING (label)
 """
 
 
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical Lloyd's k-means training
+    (operators/similarity.py:lloyd_spherical), fully oracle-replayed:
+    stride seeds, cosine-argmax assignment, fixed-point mean updates, 3
+    iterations unrolled as materialized CTEs. Output = final centroids in
+    long (cluster, dim, value) form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.lloyd_spherical(emb, _KM_K, num_iters=_KM_ITERS)
+    return cents.select(
+        "centroid_id", F.posexplode("centroid_vec").alias("dim", "_v")
+    ).select(
+        "centroid_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("_v", 6).alias("centroid_v"),
+    )
+
+
+def _km_step_sql(i: int) -> str:
+    prev = f"c{i - 1}"
+    return f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+s{i} AS (
+  SELECT cluster_id, dim,
+         SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_q,
+         COUNT(*) AS n
+  FROM (
+    SELECT cluster_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM a{i}
+  ) GROUP BY cluster_id, dim
+),
+n{i} AS (
+  SELECT cluster_id,
+         list(CAST(sum_q AS DOUBLE) / (1000000 * n) ORDER BY dim) AS cvec_new
+  FROM s{i} GROUP BY cluster_id
+),
+c{i} AS MATERIALIZED (
+  SELECT c.centroid_id, coalesce(n.cvec_new, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN n{i} n ON c.centroid_id = n.cluster_id
+)"""
+
+
+SQL_KMEANS_TRAIN = (
+    f"""
+WITH c0 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+),
+"""
+    + ",\n".join(_km_step_sql(i) for i in range(1, _KM_ITERS + 1))
+    + f"""
+SELECT centroid_id, CAST(dim AS BIGINT) AS dim, round(v, 6) AS centroid_v
+FROM (
+  SELECT centroid_id, generate_subscripts(cvec, 1) - 1 AS dim, unnest(cvec) AS v
+  FROM c{_KM_ITERS}
+)
+"""
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1926,6 +1999,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "bpe_merges": q_bpe_merges,
     "embedding_outliers": q_embedding_outliers,
+    "kmeans_train": q_kmeans_train,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -1976,4 +2050,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
     "bpe_merges": SQL_BPE_MERGES,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "kmeans_train": SQL_KMEANS_TRAIN,
 }

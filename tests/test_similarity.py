@@ -179,3 +179,45 @@ def test_embedding_outliers_partition_invariant(spark):
     a = {(r["vec_id"], r["centroid_cosine"]) for r in S.embedding_outliers(df).collect()}
     b = {(r["vec_id"], r["centroid_cosine"]) for r in S.embedding_outliers(df.repartition(11)).collect()}
     assert a == b  # fixed-point centroids make the score partition-invariant
+
+
+def test_lloyd_recovers_two_clusters(spark):
+    # two tight direction bundles; k=2 stride seeds land one in each after
+    # training, and every vector's nearest trained centroid is its bundle
+    rows = [(i, [1.0, 0.05 * (i % 3)], 0) for i in range(0, 6)] + [
+        (i, [0.05 * (i % 3), 1.0], 0) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = S.lloyd_spherical(df, 2, num_iters=3)
+    assigned = S.ivf_assign(df, cents)
+    groups = {
+        r["cluster_id"]: r["n"]
+        for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(groups.values()) == [6, 6]
+    # bundle membership must match assignment exactly
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert len({got[i] for i in range(6)}) == 1
+    assert len({got[i] for i in range(6, 12)}) == 1
+    assert got[0] != got[6]
+
+
+def test_lloyd_partition_invariant(spark):
+    rows = [(i, [float((i * 7) % 11), float((i * 3) % 5), float(i % 4)], 0) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a = {(r["centroid_id"], tuple(r["centroid_vec"])) for r in S.lloyd_spherical(df, 4, 2).collect()}
+    b = {
+        (r["centroid_id"], tuple(r["centroid_vec"]))
+        for r in S.lloyd_spherical(df.repartition(13), 4, 2).collect()
+    }
+    assert a == b  # fixed-point sums: training is partition-invariant
+
+
+def test_lloyd_empty_cluster_keeps_seed(spark):
+    # all vectors share one direction; with k=2 the losing seed never wins a
+    # vector and must keep its (distinct) seed position
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [1.0, 0.002])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r["centroid_id"]: r["centroid_vec"] for r in S.lloyd_spherical(df, 2, 2).collect()}
+    assert len(cents) == 2
+    assert cents[1] == [1.0, 0.0]  # seed 1 won nothing (ties go to centroid 0)
