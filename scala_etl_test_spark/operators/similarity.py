@@ -113,7 +113,10 @@ def semantic_dedup(
 
     Returns (id, cluster_id, is_semantic_dup).
     """
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    # persisted: consumed by both sides of the intra-cluster self-join and
+    # by the final flag join — without the cache the broadcast-argmax
+    # assignment subtree would run three times.
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col).persist()
     a = assigned.select(
         F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

@@ -1951,6 +1951,45 @@ FROM (
 )
 
 
+_SEMDEDUP_T = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-pattern semantic deduplication
+    (operators/similarity.py:semantic_dedup): cluster-blocked smaller-id
+    neighbor rule, pair generation bounded by cell sizes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = S.stride_centroids(emb, 16)
+    return S.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_T)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {_SEMDEDUP_T}
+)
+SELECT s.vec_id, s.cluster_id,
+       s.vec_id IN (SELECT vec_id FROM dups) AS is_semantic_dup
+FROM assign s
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2000,6 +2039,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "embedding_outliers": q_embedding_outliers,
     "kmeans_train": q_kmeans_train,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2051,4 +2091,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "bpe_merges": SQL_BPE_MERGES,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "kmeans_train": SQL_KMEANS_TRAIN,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }
