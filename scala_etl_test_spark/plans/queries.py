@@ -2185,7 +2185,17 @@ _GATE_PRIORITY: list[str] = [
     # changed-this-round
     "multimodal_features",
     "approx_distinct_users",
-    # new round-3 queries (no driver row yet)
+    # new round-3 queries (no driver row yet), newest first
+    "bm25_topk",
+    "graph_pagerank",
+    "contrastive_negatives",
+    "weighted_sample",
+    "events_zorder",
+    "ann_multiprobe_topk",
+    "bpe_merges",
+    "embedding_outliers",
+    "kmeans_train",
+    "semantic_dedup",
     "duplicate_spans",
     "duplicate_span_stats",
     "chunk_dedup",
