@@ -352,3 +352,53 @@ def document_fingerprints(
             "min_shingle_hash"
         ),
     )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Perplexity proxy under a corpus-fit add-1-smoothed bigram LM — the
+    context-aware upgrade of :func:`unigram_lm_scores`: word-salad documents
+    whose individual words are common but whose *transitions* are not score
+    high, which the unigram model cannot see.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with V the corpus unigram
+    vocabulary size; the score is the per-document mean of −log2 P over its
+    adjacent word pairs. Documents with fewer than two words have no
+    bigrams and yield no row.
+
+    Scale shape: bigrams are materialized row-locally from the word array
+    (no self-join, no window), one persisted explode feeds both the model
+    counts and the scoring join, and both model tables are vocab²-bounded
+    (≪ corpus) → broadcast joins; V is a single-row aggregate. One
+    corpus-sized groupBy on the document id finishes the score.
+
+    Returns (id, n_bigrams, avg_neg_log2_p), average rounded to 6 (double
+    summation order differs across engines)."""
+    w = F.filter(words(text_col), lambda x: x != "")
+    docs_w = df.select(F.col(id_col), w.alias("w"))
+    pairs = (
+        docs_w.filter(F.size("w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")
+            ).alias("b"),
+        )
+        .select(F.col(id_col), F.col("b.w1"), F.col("b.w2"))
+        .persist()
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cx"))
+    vocab = docs_w.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    neg = -F.log2((F.col("cb") + F.lit(1.0)) / (F.col("cx") + F.col("v")))
+    return (
+        pairs.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(neg), 6).alias("avg_neg_log2_p"),
+        )
+    )

@@ -1990,6 +1990,38 @@ FROM assign s
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram-LM perplexity proxy
+    (operators/text.py:bigram_lm_scores) — the transition-aware quality
+    signal the unigram model cannot see."""
+    return X.bigram_lm_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH wt AS (
+  SELECT doc_id, list_filter({_WORDS_SQL}, x -> x <> '') AS w FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+  FROM wt, unnest(range(1, len(w))) AS u(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+cx AS (SELECT w1, COUNT(*) AS cx FROM pairs GROUP BY 1),
+vv AS (
+  SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+  FROM (SELECT unnest(w) AS word FROM wt)
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(-log2((cb.cb + 1.0) / (cx.cx + vv.v))), 6) AS avg_neg_log2_p
+FROM pairs p
+JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+JOIN cx ON p.w1 = cx.w1
+CROSS JOIN vv
+GROUP BY p.doc_id
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2040,6 +2072,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "kmeans_train": q_kmeans_train,
     "semantic_dedup": q_semantic_dedup,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2092,4 +2125,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "kmeans_train": SQL_KMEANS_TRAIN,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }

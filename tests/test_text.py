@@ -109,3 +109,24 @@ def test_tokenize_long_positions_and_oov(spark):
         (1, 0): ("the", 0), (1, 1): ("cat", 1), (1, 2): ("the", 0), (1, 3): ("hat", 2),
         (2, 0): ("unknownword", -1), (2, 1): ("the", 0),
     }
+
+
+def test_bigram_lm_scores_closed_form(spark):
+    import math
+
+    # corpus: "a b a b" and "a b c"; V = 3
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in X.bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    # counts over all bigrams: (a,b):3, (b,a):1, (b,c):1; context: a:3, b:2
+    v = 4  # distinct words: a b c x
+    p_ab = (3 + 1) / (3 + v)
+    p_ba = (1 + 1) / (2 + v)
+    p_bc = (1 + 1) / (2 + v)
+    exp1 = -(math.log2(p_ab) * 2 + math.log2(p_ba)) / 3
+    exp2 = -(math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["avg_neg_log2_p"] == pytest.approx(exp1, abs=1e-6)
+    assert got[2]["avg_neg_log2_p"] == pytest.approx(exp2, abs=1e-6)
+    # transitions seen more often are less surprising
+    assert got[1]["avg_neg_log2_p"] < got[2]["avg_neg_log2_p"]
