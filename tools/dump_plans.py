@@ -82,6 +82,22 @@ SHOWCASE = [
         "unigram_lm_score",
         "The corpus-fit frequency table is vocab-sized: Catalyst broadcasts both the total and the per-word model, so scoring is broadcast-join + one groupBy on doc_id — the token stream never shuffles for the lookup.",
     ),
+    (
+        "bm25_topk",
+        "Zero shuffles before the top-k: per-document term frequencies are array expressions inside the scan projection, corpus stats reduce to ONE row (map-side combined) and re-enter as a 1-row broadcast, top-k is TakeOrderedAndProject.",
+    ),
+    (
+        "graph_pagerank",
+        "The cached edge list is never shuffled or sorted: per-iteration rank/degree weights are node-sized broadcasts, and each contribution aggregate partial-combines to at most one row per node per task before its exchange.",
+    ),
+    (
+        "events_zorder",
+        "The Morton key is a single unrolled shift/mask projection inside whole-stage codegen — multi-dimensional clustering costs key arithmetic plus the one range exchange any global sort pays.",
+    ),
+    (
+        "bpe_merges",
+        "After ONE corpus-sized shuffle to weighted word types, every merge iteration is vocabulary-sized: pair counting, greedy occurrence selection, and rewriting are higher-order array expressions, and the winning pair re-enters as a one-row broadcast.",
+    ),
 ]
 
 
