@@ -397,3 +397,28 @@ def test_compact_index_preserves_dedup_answers(spark, sf_dir, tmp_path):
     n_before = len(glob.glob(f"{index_dir}/bands/**/*.parquet", recursive=True))
     n_after = len(glob.glob(f"{compacted_dir}/bands/**/*.parquet", recursive=True))
     assert n_after < n_before
+
+
+def test_stream_weighted_sample_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """weighted_sample is a pure row-local filter, so it runs unchanged on a
+    stream (append mode, no state) and keeps the identical survivor set —
+    the content-addressed decision does not depend on batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.sampling import weighted_sample
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    def sampled(df):
+        probed = df.withColumn("w", F.least(F.col("value") / 200.0, F.lit(1.0)))
+        return weighted_sample(probed, "w", "event_id").select("event_id")
+
+    run_available_now(
+        sampled(stream_events_parquet(spark, events_dir)),
+        str(tmp_path / "ckpt"),
+        query_name="wsample_stream",
+    )
+    got = _rows(spark, "wsample_stream")
+    batch = read_table(spark, sf_dir, "events")
+    want = {tuple(r) for r in sampled(batch).collect()}
+    assert got == want
+    assert 0 < len(got) < batch.count()  # a real sample, not all-or-nothing
