@@ -99,9 +99,8 @@ def semantic_dedup(
     sim(1,3) < t → greedy keeps {1,3}; this keeps only {1}). The relational
     form over-deletes near chain structures but is engine-reproducible (no
     float argmax ties), needs no iteration, and is SQL-expressible for the
-    cross-engine oracle; if exact greedy-sweep semantics are required,
-    iterate the sweep per cluster (an ``applyInPandas`` over cluster_id —
-    cluster sizes are bounded by construction).
+    cross-engine oracle; :func:`semantic_dedup_greedy` is the iterative
+    twin with exact greedy-sweep semantics.
 
     Scale shape: one broadcast-join centroid assignment (centroid count is
     small by construction), one shuffle on ``cluster_id`` for the
@@ -136,6 +135,76 @@ def semantic_dedup(
         id_col,
         "cluster_id",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
+def semantic_dedup_greedy(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact greedy keep-first-by-id sweep — the iterative twin of
+    :func:`semantic_dedup` with the true SemDeDup-sweep semantics the
+    relational rule only approximates.
+
+    Per cluster, ids are visited ascending; a vector is a duplicate iff a
+    *kept* (not merely smaller-id) vector has cosine ≥ threshold with it.
+    On the chain sim(1,2) ≥ t, sim(2,3) ≥ t, sim(1,3) < t this keeps
+    {1, 3} (2's removal un-blocks 3), where the relational rule keeps only
+    {1}. The sweep is inherently sequential *within* a cluster, so it runs
+    as an ``applyInPandas`` over ``cluster_id`` — clusters are independent
+    and their sizes are bounded by the centroid construction, so the
+    per-group loop is O(c_i · kept_i) vectorized numpy dot products, never
+    the corpus n². Cosines are rounded to ``round_digits`` before the
+    threshold test, matching the relational variant and the cross-engine
+    oracle (a DuckDB recursive CTE that replays the sweep step-by-step).
+
+    Scale shape: one broadcast-join centroid assignment + ONE shuffle on
+    ``cluster_id`` into the Arrow-batched sweep. Same skew contract as
+    :func:`semantic_dedup`: an oversized cluster serializes into one task,
+    so boilerplate-dense regions need a finer centroid set (or a pre-pass
+    of exact dedup, which removes the identical-vector mass).
+
+    Returns (id, cluster_id, is_semantic_dup) — same schema as
+    :func:`semantic_dedup`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        kept_rows: list[int] = []
+        dup = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if kept_rows and norms[i] != 0.0:
+                kept = np.asarray(kept_rows)
+                live = kept[norms[kept] != 0.0]
+                if live.size:
+                    sims = (vecs[live] @ vecs[i]) / (norms[live] * norms[i])
+                    if np.any(np.round(sims, round_digits) >= threshold):
+                        dup[i] = True
+                        continue
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "is_semantic_dup": dup,
+            }
+        )
+
+    id_type = dict(assigned.dtypes)[id_col]
+    cluster_type = dict(assigned.dtypes)["cluster_id"]
+    out_schema = f"{id_col} {id_type}, cluster_id {cluster_type}, is_semantic_dup boolean"
+    return assigned.select(id_col, vec_col, "cluster_id").groupBy("cluster_id").applyInPandas(
+        _sweep, schema=out_schema
     )
 
 

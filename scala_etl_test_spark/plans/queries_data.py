@@ -1990,6 +1990,71 @@ FROM assign s
 """
 
 
+def q_semantic_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy keep-first-by-id sweep
+    (operators/similarity.py:semantic_dedup_greedy): true SemDeDup-sweep
+    semantics — a removed vector no longer blocks later vectors — run as an
+    applyInPandas per cluster; oracle is a DuckDB recursive CTE that
+    replays the sweep one id per step, carrying the kept set as a list."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = S.stride_centroids(emb, 16)
+    return S.semantic_dedup_greedy(emb, centroids, threshold=_SEMDEDUP_T)
+
+
+SQL_SEMANTIC_DEDUP_GREEDY = f"""
+WITH RECURSIVE cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+ids AS MATERIALIZED (
+  SELECT vec_id, cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn
+  FROM assign
+),
+-- per id: its smaller-id >=threshold neighbors within the cluster
+nb AS MATERIALIZED (
+  SELECT a.cluster_id, b.vec_id AS id_b, list(a.vec_id) AS nbrs
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {_SEMDEDUP_T}
+  GROUP BY a.cluster_id, b.vec_id
+),
+-- replay the greedy sweep: one step per (cluster, rank), carrying the kept
+-- set as a list; a vector joins the kept set iff none of its smaller-id
+-- neighbors is already in it
+walk AS (
+  SELECT cluster_id, 0 AS step, CAST([] AS BIGINT[]) AS kept
+  FROM (SELECT DISTINCT cluster_id FROM assign)
+  UNION ALL
+  SELECT w.cluster_id, w.step + 1,
+         CASE WHEN COALESCE(len(list_intersect(w.kept, n.nbrs)), 0) > 0
+              THEN w.kept ELSE list_append(w.kept, i.vec_id) END
+  FROM walk w
+  JOIN ids i ON i.cluster_id = w.cluster_id AND i.rn = w.step + 1
+  LEFT JOIN nb n ON n.cluster_id = w.cluster_id AND n.id_b = i.vec_id
+),
+final AS (
+  SELECT cluster_id, kept FROM (
+    SELECT cluster_id, kept,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY step DESC) AS r
+    FROM walk) WHERE r = 1
+)
+SELECT i.vec_id, i.cluster_id,
+       NOT list_contains(f.kept, i.vec_id) AS is_semantic_dup
+FROM ids i JOIN final f ON i.cluster_id = f.cluster_id
+"""
+
+
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-1-smoothed bigram-LM perplexity proxy
     (operators/text.py:bigram_lm_scores) — the transition-aware quality
@@ -2072,6 +2137,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "kmeans_train": q_kmeans_train,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_greedy": q_semantic_dedup_greedy,
     "bigram_lm_score": q_bigram_lm_score,
 }
 
@@ -2125,5 +2191,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "kmeans_train": SQL_KMEANS_TRAIN,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_dedup_greedy": SQL_SEMANTIC_DEDUP_GREEDY,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }

@@ -221,3 +221,50 @@ def test_lloyd_empty_cluster_keeps_seed(spark):
     cents = {r["centroid_id"]: r["centroid_vec"] for r in S.lloyd_spherical(df, 2, 2).collect()}
     assert len(cents) == 2
     assert cents[1] == [1.0, 0.0]  # seed 1 won nothing (ties go to centroid 0)
+
+
+def test_greedy_sweep_chain_keeps_unblocked_tail(spark):
+    # chain: cos(1,2) >= t, cos(2,3) >= t, cos(1,3) < t.  Greedy keeps
+    # {1, 3} (2's removal un-blocks 3); the relational smaller-id rule
+    # keeps only {1}.  One centroid so all vectors share a cluster.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.4358898943540674]),   # cos(1,2) ~ 0.9
+        (3, [0.62, 0.7846018098373213]),  # cos(2,3) ~ 0.9, cos(1,3) ~ 0.62
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.stride_centroids(df, 1)
+    greedy = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in S.semantic_dedup_greedy(df, cents, threshold=0.85).collect()
+    }
+    assert greedy == {1: False, 2: True, 3: False}
+    relational = {
+        r["vec_id"]: r["is_semantic_dup"]
+        for r in S.semantic_dedup(df, cents, threshold=0.85).collect()
+    }
+    assert relational == {1: False, 2: True, 3: True}  # over-deletes the chain
+
+
+def test_greedy_sweep_matches_relational_when_transitive(spark):
+    # two tight bundles: within each, every pair clears the threshold, so
+    # greedy and relational agree (keep the smallest id per bundle)
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(3)] + [
+        (10 + i, [0.0, 2.0 + 0.001 * i]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.stride_centroids(df, 1)
+    g = {r["vec_id"]: r["is_semantic_dup"] for r in S.semantic_dedup_greedy(df, cents, threshold=0.99).collect()}
+    r_ = {r["vec_id"]: r["is_semantic_dup"] for r in S.semantic_dedup(df, cents, threshold=0.99).collect()}
+    assert g == r_
+    assert [k for k, v in sorted(g.items()) if not v] == [0, 10]
+
+
+def test_greedy_sweep_zero_vector_kept_and_inert(spark):
+    # zero-norm vectors have NULL/undefined cosine: never duplicates, and
+    # never block anything after being kept
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.stride_centroids(df, 1)
+    g = {r["vec_id"]: r["is_semantic_dup"] for r in S.semantic_dedup_greedy(df, cents, threshold=0.9).collect()}
+    assert g == {1: False, 2: False, 3: True}
