@@ -354,6 +354,86 @@ def document_fingerprints(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    scheme): from each sliding window of ``w`` consecutive k-gram hashes,
+    select the minimum (rightmost occurrence on ties). Winnowing guarantees
+    any shared substring of ≥ w+k−1 words yields at least one shared
+    fingerprint, while keeping the fingerprint density ~2/(w+1) — the
+    position-robust middle ground between the whole-document hash and the
+    full k-gram set of :func:`document_fingerprints` /
+    ``spans.duplicate_spans``.
+
+    Documents with fewer than ``k`` words emit nothing; documents with
+    fewer than ``w`` k-grams use one window over all their grams (so any
+    document with ≥ k words yields at least one fingerprint). Gram hashes
+    are the 60-bit md5-prefix integers of the dedup family
+    (``dedup.shingle_table``) — engine-reproducible, 8-byte shuffle keys.
+
+    Returns (id, pos, fp): distinct selected (gram position, gram hash)
+    pairs per document.
+
+    Scale shape: entirely row-local (words → gram hashes → window minima
+    happen inside one projection, whole-stage codegen, zero Python) — a
+    100 TB corpus pays one scan and NO shuffle; the output is ~2/(w+1) of
+    the gram count. Downstream joins on ``fp`` are uniform 8-byte keys.
+    """
+    wds = F.filter(words(text_col), lambda x: x != "")
+    base = df.select(F.col(id_col), wds.alias("_w")).filter(F.size("_w") >= k)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("_w", i + 1, k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    g = base.select(F.col(id_col), gram.alias("_g"))
+    win_len = F.least(F.lit(w), F.size("_g"))
+
+    def _pick(j):
+        sl = F.slice("_g", j + 1, win_len)
+        m = F.array_min(sl)
+        pos = (j + win_len - F.array_position(F.reverse(sl), m)).cast("long")
+        return F.struct(pos.alias("pos"), m.alias("fp"))
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(0), F.size("_g") - win_len), _pick))
+    return (
+        g.select(F.col(id_col), F.explode(sel).alias("_s"))
+        .select(F.col(id_col), F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame, id_col: str, min_shared: int = 2, max_bucket: int = 1000
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS match step over :func:`winnow_fingerprints` output.
+
+    Same candidate-generation contract as the LSH band join
+    (``dedup.lsh_candidate_pairs``): one groupBy establishes per-fingerprint
+    bucket sizes, buckets larger than ``max_bucket`` are dropped (a
+    fingerprint shared by 10⁶ documents is boilerplate, and would emit B²/2
+    pairs), and the surviving buckets self-join on the 8-byte fingerprint
+    key. Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    distinct_fp = fps.select(F.col(id_col), "fp").distinct()
+    capped = distinct_fp.withColumn(
+        "_bucket", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_bucket") <= max_bucket)
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Perplexity proxy under a corpus-fit add-1-smoothed bigram LM — the
     context-aware upgrade of :func:`unigram_lm_scores`: word-salad documents

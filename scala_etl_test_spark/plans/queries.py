@@ -2186,6 +2186,8 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "winnow_fingerprints",
+    "winnow_overlap",
     "semantic_dedup_greedy",
     "bigram_lm_score",
     "bm25_topk",

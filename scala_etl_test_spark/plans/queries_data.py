@@ -734,6 +734,70 @@ FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, 
 """
 
 
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing/MOSS fingerprints (operators/text.py:winnow_fingerprints):
+    rightmost-minimum k-gram hash per w-window, distinct (pos, fp) per doc.
+    Row-local — zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.winnow_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step (operators/text.py:winnow_overlap_pairs): doc pairs
+    sharing ≥2 winnowing fingerprints, with the LSH-style hot-bucket cap."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = X.winnow_fingerprints(docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W)
+    return X.winnow_overlap_pairs(fps, "doc_id", min_shared=2)
+
+
+# selected winnowing fingerprints as a reusable CTE chain: k-gram 60-bit
+# hashes (md5-prefix ints, the dedup-family convention) → per-window
+# rightmost minimum → distinct (doc, pos, fp)
+_WINNOW_PICK_SQL = f"""
+d AS (
+  SELECT doc_id, list_filter({_WORDS_SQL}, x -> x <> '') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - {_WINNOW_K} + 2),
+           i -> CAST(concat('0x', substr(md5(array_to_string(w[i : i + {_WINNOW_K - 1}], ' ')), 1, 15)) AS BIGINT)) AS gh
+  FROM d WHERE len(w) >= {_WINNOW_K}
+),
+win AS (SELECT doc_id, gh, least({_WINNOW_W}, len(gh)) AS L FROM g),
+j AS (SELECT doc_id, gh, L, unnest(range(0, len(gh) - L + 1)) AS j0 FROM win),
+pick AS (
+  SELECT DISTINCT doc_id,
+         CAST(j0 + L - list_position(list_reverse(gh[j0 + 1 : j0 + L]),
+                                     list_min(gh[j0 + 1 : j0 + L])) AS BIGINT) AS pos,
+         list_min(gh[j0 + 1 : j0 + L]) AS fp
+  FROM j
+)"""
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_PICK_SQL}
+SELECT doc_id, pos, fp FROM pick
+"""
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH {_WINNOW_PICK_SQL},
+fpd AS (SELECT DISTINCT doc_id, fp FROM pick),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS b FROM fpd
+  ) WHERE b <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # duplicate clusters (connected components) + corpus-clean pipeline
 # --------------------------------------------------------------------------
@@ -2138,6 +2202,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_train": q_kmeans_train,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_greedy": q_semantic_dedup_greedy,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "bigram_lm_score": q_bigram_lm_score,
 }
 
@@ -2192,5 +2258,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "kmeans_train": SQL_KMEANS_TRAIN,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_greedy": SQL_SEMANTIC_DEDUP_GREEDY,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_overlap": SQL_WINNOW_OVERLAP,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }

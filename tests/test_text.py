@@ -130,3 +130,74 @@ def test_bigram_lm_scores_closed_form(spark):
     assert got[2]["avg_neg_log2_p"] == pytest.approx(exp2, abs=1e-6)
     # transitions seen more often are less surprising
     assert got[1]["avg_neg_log2_p"] < got[2]["avg_neg_log2_p"]
+
+
+# ---------------------------------------------------------------------------
+# winnowing (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, rows, k=3, w=3):
+    from scala_etl_test_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return winnow_fingerprints(df, "text", "doc_id", k=k, w=w)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # the winnowing guarantee: a shared word run of length >= w + k - 1
+    # (here 3 + 3 - 1 = 5) must produce at least one shared fingerprint
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(1, f"one two {shared} three"), (2, f"{shared} nine eight seven six")]
+    out = _winnow(spark, rows).collect()
+    fps = {1: set(), 2: set()}
+    for r in out:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared >=w+k-1 run must share a fingerprint"
+
+
+def test_winnow_short_doc_single_window(spark):
+    # >= k words but fewer than w grams: one window over all grams -> the
+    # single global minimum is selected
+    out = _winnow(spark, [(1, "aaa bbb ccc dd")], k=3, w=4).collect()  # 2 grams < w
+    assert len(out) == 1
+
+
+def test_winnow_below_k_words_emits_nothing(spark):
+    assert _winnow(spark, [(1, "one two")], k=3, w=3).count() == 0
+
+
+def test_winnow_rightmost_tie_break(spark):
+    # identical grams everywhere (all words equal): every window's min is
+    # the same hash and the RIGHTMOST occurrence must win -> selected
+    # positions are the last gram of each window, deduped
+    out = _winnow(spark, [(1, "x x x x x x")], k=2, w=3).collect()  # 5 identical grams
+    assert len({r["fp"] for r in out}) == 1
+    # windows [0..2],[1..3],[2..4] -> rightmost positions {2, 3, 4}
+    assert sorted(r["pos"] for r in out) == [2, 3, 4]
+
+
+def test_winnow_density_bound(spark):
+    # ~2/(w+1) density: far fewer fingerprints than grams on real-ish text
+    words_ = " ".join(f"w{i * 7919 % 1000}" for i in range(200))
+    out = _winnow(spark, [(1, words_)], k=5, w=8).collect()
+    n_grams = 200 - 5 + 1
+    assert 0 < len(out) < n_grams / 2
+
+
+def test_winnow_overlap_pairs_cap_and_threshold(spark):
+    from scala_etl_test_spark.operators.text import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} unique one piece"),
+        (2, f"{shared} other tail words"),
+        (3, "completely different content with no run in common here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", k=3, w=3)
+    pairs = winnow_overlap_pairs(fps, "doc_id", min_shared=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["n_shared"] >= 2 for r in pairs)
+    # a cap of 1 drops every shared fingerprint bucket -> no pairs survive
+    assert winnow_overlap_pairs(fps, "doc_id", min_shared=1, max_bucket=1).count() == 0
