@@ -15,6 +15,18 @@ import sys
 import time
 
 
+# The 21 queries BENCH_r01 measured when BASELINE was established — their
+# subtotal is reported separately (baseline21_total) so rounds stay
+# apples-to-apples as new headline queries join the list.
+BASELINE21 = {
+    "tpch_q1", "tpch_q3", "tpch_q5", "window_sum", "conditional_window_sum",
+    "split_explode", "broadcast_left_join", "segmentation_rules",
+    "category_rules", "events_sessionize", "events_hourly_rollup",
+    "dedup_minhash_pairs", "ann_cosine_topk", "text_quality", "tpch_q6",
+    "tpch_q10", "semi_join_exists", "dedup_clusters", "corpus_clean",
+    "tpch_q13", "tpch_q21",
+}
+
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -136,6 +148,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "baseline21_total": round(
+            sum(t for n, t in timings.items() if n in BASELINE21), 3
+        ),
         "sf": sf_val,
         "cpus": int(cpus),
     }

@@ -156,3 +156,87 @@ def weighted_sample(
     u = hash_bucket(key_col, resolution) / F.lit(float(resolution))
     p = F.least(F.greatest(w * F.lit(scale), F.lit(0.0)), F.lit(1.0))
     return df.filter(u < p)
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) — one row per unigram AND bigram occurrence, hashed
+    into ``n_buckets`` via the portable md5-prefix trick. The hashed-
+    feature representation of DSIR (Xie et al. 2023): collisions are part
+    of the estimator, not an error."""
+    from scala_etl_test_spark.operators.dedup import shingles_from_words, words
+
+    # materialize the filtered words array as a named column BEFORE the
+    # shingle lambda touches it (see shingles_from_words perf note: lambda
+    # bodies get no CSE, so an inline expression would re-split per element)
+    base = df.select(
+        F.col(id_col), F.filter(words(text_col), lambda x: x != "").alias("_w")
+    )
+    grams = F.concat(
+        F.col("_w"),
+        F.when(F.size("_w") >= 2, shingles_from_words(F.col("_w"), 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), hash_bucket(F.col("_g"), n_buckets).alias("bucket"))
+    )
+
+
+def dsir_importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every source
+    document by how target-like its hashed n-gram (unigram+bigram) profile
+    is — ``log_weight = Σ_features log(p_target(b) / p_source(b))`` with
+    add-1 smoothing over the ``n_buckets`` hashed buckets. Feed the
+    (exponentiated, scaled) weight into :func:`weighted_sample` for the
+    resampling step; both halves stay deterministic and engine-portable.
+
+    Returns (id, n_feats, log_weight) for every source document with at
+    least one feature (empty/whitespace-only documents have no profile and
+    emit no row).
+
+    Scale shape: the corpus is scanned once into a narrow (id, bucket)
+    explode; both bucket-probability tables are ``n_buckets``-bounded
+    aggregates (map-side partial combine, then a broadcast back onto the
+    feature stream) — so the only corpus-sized shuffle is the final per-id
+    aggregation. The target corpus is typically a small exemplar set; its
+    scan is a side input, never joined row-to-row against the source.
+    """
+    src_f = _hashed_gram_buckets(source, text_col, id_col, n_buckets).persist()
+    tgt_f = _hashed_gram_buckets(target, text_col, id_col, n_buckets)
+    sc = src_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    tc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    totals_s = src_f.agg(F.count(F.lit(1)).alias("t_s"))
+    totals_t = tgt_f.agg(F.count(F.lit(1)).alias("t_t"))
+    # every bucket a source doc references has c_s >= 1 (its own grams are
+    # in the source counts), so only the target side needs the 0-fallback
+    ratio = (
+        sc.join(tc, on="bucket", how="left")
+        .crossJoin(F.broadcast(totals_s))
+        .crossJoin(F.broadcast(totals_t))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + 1) / (F.col("t_t") + n_buckets))
+                - F.log((F.col("c_s") + 1) / (F.col("t_s") + n_buckets))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        src_f.join(F.broadcast(ratio), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("_lr"), round_digits).alias("log_weight"),
+        )
+    )

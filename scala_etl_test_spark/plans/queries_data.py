@@ -1787,6 +1787,57 @@ WHERE u < least(greatest(quality_score * {_WSAMPLE_SCALE}, 0.0), 1.0)
 """
 
 
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights
+    (operators/sampling.py:dsir_importance_weights): every document scored
+    by log Π p_target/p_source over its hashed unigram+bigram buckets —
+    target domain = the ``lang='en'`` slice, source = the full corpus.
+    Bucket tables are 1024-row broadcasts; one corpus-sized shuffle (the
+    per-doc sum)."""
+    from scala_etl_test_spark.operators.sampling import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_importance_weights(
+        docs, target, "text", "doc_id", n_buckets=_DSIR_BUCKETS
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH wf AS (
+  SELECT doc_id, lang, list_filter({_WORDS_SQL}, x -> x <> '') AS w FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(w) AS g FROM wf
+    UNION ALL
+    SELECT doc_id, lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM wf WHERE len(w) >= 2
+  )
+),
+sc AS (SELECT bucket, COUNT(*) AS c_s FROM feats GROUP BY bucket),
+tc AS (SELECT bucket, COUNT(*) AS c_t FROM feats WHERE lang = 'en' GROUP BY bucket),
+ts AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_s FROM feats),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_t FROM feats WHERE lang = 'en'),
+ratio AS (
+  SELECT sc.bucket,
+         ln((COALESCE(tc.c_t, 0) + 1) / (tt.t_t + {_DSIR_BUCKETS}))
+         - ln((sc.c_s + 1) / (ts.t_s + {_DSIR_BUCKETS})) AS lr
+  FROM sc LEFT JOIN tc ON sc.bucket = tc.bucket CROSS JOIN ts CROSS JOIN tt
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       round(SUM(r.lr), 6) AS log_weight
+FROM feats f JOIN ratio r ON f.bucket = r.bucket
+GROUP BY f.doc_id
+"""
+
+
 _Z_BITS = 10
 
 
@@ -2195,6 +2246,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "contrastive_negatives": q_contrastive_negatives,
     "weighted_sample": q_weighted_sample,
+    "dsir_weights": q_dsir_weights,
     "events_zorder": q_events_zorder,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "bpe_merges": q_bpe_merges,
@@ -2251,6 +2303,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "contrastive_negatives": SQL_CONTRASTIVE_NEGATIVES,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "events_zorder": SQL_EVENTS_ZORDER,
     "ann_multiprobe_topk": SQL_ANN_MULTIPROBE_TOPK,
     "bpe_merges": SQL_BPE_MERGES,

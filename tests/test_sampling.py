@@ -148,3 +148,37 @@ def test_weighted_sample_clamps(spark):
     df = spark.range(0, 100).select(F.col("id").alias("doc_id"), F.lit(5.0).alias("w"))
     assert weighted_sample(df, "w", "doc_id").count() == 100  # p clamps to 1
     assert weighted_sample(df, "w", "doc_id", scale=-1.0).count() == 0  # p clamps to 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from scala_etl_test_spark.operators.sampling import dsir_importance_weights
+
+    rows = (
+        [(i, "the cat sat on the mat and the dog ran", "en") for i in range(8)]
+        + [(100 + i, "der hund lief und die katze sass auf der matte", "de") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'")
+    out = dsir_importance_weights(df, target, "text", "doc_id")
+    got = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    assert len(got) == 16
+    en_avg = sum(got[i] for i in range(8)) / 8
+    de_avg = sum(got[100 + i] for i in range(8)) / 8
+    assert en_avg > de_avg  # target-domain docs must score higher
+
+
+def test_dsir_weights_partition_invariant_and_empty_docs_absent(spark):
+    from scala_etl_test_spark.operators.sampling import dsir_importance_weights
+
+    rows = [(1, "alpha beta gamma", "en"), (2, "delta epsilon zeta", "de"), (3, "   ", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'")
+    a = sorted(map(tuple, dsir_importance_weights(df, target, "text", "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_importance_weights(df.repartition(7), target, "text", "doc_id").collect(),
+        )
+    )
+    assert a == b
+    assert [r[0] for r in a] == [1, 2]  # whitespace-only doc 3 has no profile
