@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding compression + ANN (beyond-reference).
+
+PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search")
+is the standard scale path for billion-vector ANN: split each d-dim vector
+into ``m`` subvectors, quantize each subvector to one of ``k`` codewords,
+and store only the ``m`` small codes (64 floats → 4 bytes here). Queries
+never touch the original vectors: an asymmetric-distance (ADC) lookup table
+of ``m×k`` query↔codeword distances is built once per query, and each
+stored vector's approximate distance is ``m`` table lookups + adds.
+
+Spark-first shape — the part that matters at 100 TB:
+
+- The codebook is a **model artifact** (``m×k×(d/m)`` numbers, a few KB).
+  It is trained/seeded once, collected to the driver, and re-enters every
+  plan as a *literal* — exactly how a deployed quantizer ships. Encoding
+  and ADC scoring are therefore **row-local expressions**: zero shuffles,
+  zero joins, whole-stage codegen end to end. A 100 TB embedding table is
+  compressed in one scan, and a query is one scan over the (64× smaller)
+  code table ending in TakeOrderedAndProject.
+- All distances are computed on **fixed-point quantized** components
+  (``round(x·10⁶)`` as int64, same idiom as
+  :func:`similarity.centroid_sums`): integer sums are associative and
+  exact, so results are bit-identical across partitionings, engines, and
+  the DuckDB oracle — no float-summation-order drift.
+
+Reference parity: the reference has no vector search at all (closest
+analogue is its broadcast dimension join, ``ApplaudoETL.scala:117-136``);
+this module is part of the beyond-reference training-data-pipeline surface
+(SURVEY §7), composing with IVF (:func:`similarity.ivf_assign`) for the
+classic IVF-PQ layout: route to a cell, ADC-scan only that cell's codes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SCALE = 1_000_000  # fixed-point quantization scale (matches centroid_sums)
+
+
+def _quantize_py(x: float, scale: int = SCALE) -> int:
+    """Driver-side twin of Spark's ``round(x*scale, 0)`` (HALF_UP = half
+    away from zero, which is also DuckDB's ``round`` on DOUBLE). Python's
+    built-in ``round`` is banker's rounding and would disagree on exact
+    .5 boundaries, so spell it out."""
+    p = float(x) * scale
+    return int(math.copysign(math.floor(abs(p) + 0.5), p))
+
+
+def _quantized_subvectors(vec_col: str, m: int) -> list[Column]:
+    """Row-local: slice the vector into ``m`` equal subvectors and quantize
+    each component to int64 fixed-point. d must be divisible by m."""
+    v = F.col(vec_col).cast("array<double>")
+    dsub = (F.size(v) / m).cast("int")
+    out = []
+    for s in range(m):
+        sub = F.slice(v, F.lit(s) * dsub + 1, dsub)
+        out.append(F.transform(sub, lambda x: F.round(x * SCALE, 0).cast("long")))
+    return out
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebook: codewords of subspace ``s`` are the
+    ``s``-th subvector slices of the first ``k`` vectors by id, quantized
+    to fixed-point ints.
+
+    ``codebook[s][j]`` = int64 components of codeword ``j`` in subspace
+    ``s``. Like :func:`similarity.stride_centroids` this is reproducible
+    seeding; per-subspace Lloyd's (:func:`similarity.lloyd_spherical` on
+    each slice) slots in when codebook quality matters more than
+    cross-engine byte-parity. The collect is ``k`` rows of driver-side
+    model metadata, not a data collect."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train a PQ codebook on an empty table")
+    d = len(rows[0][0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [[_quantize_py(x) for x in row[0][s * dsub : (s + 1) * dsub]] for row in rows]
+        for s in range(m)
+    ]
+
+
+def _argmin_code(vq: Column, codebook_s: list[list[int]]) -> Column:
+    """Argmin over the literal codewords of one subspace: exact int64 L2²
+    against the quantized subvector; ``array_min`` on (dist, code) structs
+    is lexicographic, so ties break on the smaller code. Pure expression —
+    no join, no shuffle, one distance evaluation per codeword."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("code"),
+                F.array(*[F.lit(c) for c in cw]).alias("cw"),
+            )
+            for j, cw in enumerate(codebook_s)
+        ]
+    )
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            _int_l2(vq, c["cw"]).alias("dist"), c["code"].alias("code")
+        ),
+    )
+    return F.array_min(scored)["code"]
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two int64 arrays (associative int sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compress every vector to ``m`` codes: (id, codes array<int>).
+
+    Entirely row-local (codebook enters as literals), so the 100 TB encode
+    is one scan with zero exchanges; write the result partitioned however
+    the read side wants it."""
+    m = len(codebook)
+    subs = _quantized_subvectors(vec_col, m)
+    codes = F.array(*[_argmin_code(subs[s], codebook[s]) for s in range(m)])
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: list[list[list[int]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: precompute the ``m×k`` query↔codeword
+    distance table driver-side (exact ints, same quantization), then each
+    row's approximate distance is ``m`` array lookups + adds — a single
+    scan of the code table into TakeOrderedAndProject (ascending distance,
+    ties by id)."""
+    m = len(codebook)
+    d = sum(len(cw) for cw in (cb[0] for cb in codebook))
+    if len(query) != d:
+        raise ValueError(f"query dim {len(query)} != codebook dim {d}")
+    dsub = d // m
+    qq = [_quantize_py(x) for x in query]
+    dtab = [
+        [
+            sum((qq[s * dsub + i] - cw[i]) ** 2 for i in range(dsub))
+            for cw in codebook[s]
+        ]
+        for s in range(m)
+    ]
+    lookup = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    total = F.aggregate(
+        F.zip_with(
+            lookup,
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        encoded.select(F.col(id_col), total.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

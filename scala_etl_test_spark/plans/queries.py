@@ -2186,6 +2186,8 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "pq_codes",
+    "ann_pq_topk",
     "dsir_weights",
     "winnow_fingerprints",
     "winnow_overlap",

@@ -2202,6 +2202,109 @@ GROUP BY p.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# product quantization: encode + ADC top-k
+# --------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_K = 16  # codewords per subspace
+
+
+def _pq_cb(spark: SparkSession, sf_dir: str):
+    from scala_etl_test_spark.operators.pq import train_pq_codebook
+
+    return train_pq_codebook(_t(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression of the whole embedding table to (vec_id, sub_idx,
+    code) — row-local encode against the literal codebook, zero shuffles
+    (operators/pq.py:pq_encode). Long form so the gate hashes scalars."""
+    from scala_etl_test_spark.operators.pq import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wide = pq_encode(emb, _pq_cb(spark, sf_dir))
+    return wide.select(
+        "vec_id", F.posexplode("codes").alias("sub_idx", "code")
+    ).select("vec_id", F.col("sub_idx").cast("int").alias("sub_idx"), "code")
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for the vec_id=0 query over PQ codes: m lookups + adds
+    per row into TakeOrderedAndProject (operators/pq.py:pq_adc_topk)."""
+    from scala_etl_test_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cb = _pq_cb(spark, sf_dir)
+    return pq_adc_topk(pq_encode(emb, cb), cb, [float(v) for v in query], k=10)
+
+
+# DuckDB twin of the fixed-point PQ pipeline. Quantization is
+# round-half-away-from-zero on the same double product in both engines
+# (Spark HALF_UP == DuckDB round == operators.pq._quantize_py), and every
+# distance is an exact int64 sum, so codes and ADC distances hash-match.
+_PQ_SQL_COMMON = f"""
+WITH params AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub_idx),
+quant AS (
+  SELECT vec_id, sub_idx,
+         list_transform(
+           embedding[(sub_idx * dsub + 1):((sub_idx + 1) * dsub)],
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+  FROM embeddings, subs, params
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+cb AS (
+  SELECT q.sub_idx, s.code, q.vq AS cw
+  FROM quant q JOIN seeds s ON q.vec_id = s.vec_id
+),
+dists AS (
+  SELECT q.vec_id, q.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(q.vq) + 1),
+                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+  FROM quant q JOIN cb c ON q.sub_idx = c.sub_idx
+),
+codes AS (
+  SELECT vec_id, sub_idx, code
+  FROM (SELECT vec_id, sub_idx, code,
+               row_number() OVER (PARTITION BY vec_id, sub_idx
+                                  ORDER BY dist, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+)
+"""
+
+SQL_PQ_CODES = (
+    _PQ_SQL_COMMON
+    + """
+SELECT vec_id, CAST(sub_idx AS INT) AS sub_idx, CAST(code AS INT) AS code
+FROM codes
+"""
+)
+
+SQL_ANN_PQ_TOPK = (
+    _PQ_SQL_COMMON
+    + """
+, qsub AS (SELECT sub_idx, vq AS qv FROM quant WHERE vec_id = 0),
+dtab AS (
+  SELECT c.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> (q.qv[i] - c.cw[i]) * (q.qv[i] - c.cw[i]))) AS dist
+  FROM cb c JOIN qsub q ON c.sub_idx = q.sub_idx
+)
+SELECT k.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+FROM codes k JOIN dtab d ON k.sub_idx = d.sub_idx AND k.code = d.code
+GROUP BY k.vec_id
+ORDER BY adc_dist, k.vec_id
+LIMIT 10
+"""
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2257,6 +2360,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "bigram_lm_score": q_bigram_lm_score,
+    "pq_codes": q_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2314,4 +2419,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap": SQL_WINNOW_OVERLAP,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "pq_codes": SQL_PQ_CODES,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
 }

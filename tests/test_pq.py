@@ -1,0 +1,98 @@
+"""Product quantization: encode determinism, ADC exactness, zero-shuffle plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators.pq import (
+    SCALE,
+    _quantize_py,
+    pq_adc_topk,
+    pq_encode,
+    train_pq_codebook,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def codebook(emb):
+    return train_pq_codebook(emb, m=4, k=16)
+
+
+def test_codebook_shape(codebook, emb):
+    d = len(emb.select("embedding").first()[0])
+    assert len(codebook) == 4
+    assert all(len(cb) == 16 for cb in codebook)
+    assert all(len(cw) == d // 4 for cb in codebook for cw in cb)
+    assert all(isinstance(c, int) for cb in codebook for cw in cb for c in cw)
+
+
+def test_quantize_py_matches_spark_round(spark):
+    vals = [0.1234565, -0.1234565, 1.9999995, -3.25, 0.0, 2.5e-7, -2.5e-7]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round(F.col("x") * SCALE, 0).cast("long").alias("q")
+    )
+    got = [r["q"] for r in df.collect()]
+    assert got == [_quantize_py(v) for v in vals]
+
+
+def test_codes_in_range_and_deterministic(emb, codebook):
+    wide = pq_encode(emb, codebook)
+    rows = {r["vec_id"]: r["codes"] for r in wide.collect()}
+    assert all(len(c) == 4 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    again = {
+        r["vec_id"]: r["codes"] for r in pq_encode(emb.repartition(7), codebook).collect()
+    }
+    assert rows == again  # partitioning-invariant (row-local encode)
+
+
+def test_seed_vectors_encode_to_own_code(emb, codebook):
+    """The k seed vectors are their own nearest codeword in every subspace
+    (distance 0), so seed i must encode to [rank_i] * m."""
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(16).collect()]
+    wide = pq_encode(emb.filter(F.col("vec_id").isin(seed_ids)), codebook)
+    for r in wide.collect():
+        rank = seed_ids.index(r["vec_id"])
+        assert r["codes"] == [rank] * 4
+
+
+def test_adc_m1_equals_exact_quantized_l2(emb):
+    """With m=1 the code IS the nearest seed, and the ADC distance of a
+    seed-vector query to any vector equals dist(query_codeword, code's
+    codeword) — for code-0 query (vec 0), dist to vec 0 itself is 0."""
+    cb = train_pq_codebook(emb, m=1, k=16)
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = pq_adc_topk(pq_encode(emb, cb), cb, [float(v) for v in query], k=3)
+    rows = top.collect()
+    assert rows[0]["adc_dist"] == 0  # vec 0 encodes to its own codeword
+    assert [r["adc_dist"] for r in rows] == sorted(r["adc_dist"] for r in rows)
+
+
+def test_encode_plan_has_no_exchange(emb, codebook):
+    plan = pq_encode(emb, codebook)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_adc_topk_plan_is_take_ordered(emb, codebook):
+    query = [0.0] * 64
+    plan = (
+        pq_adc_topk(pq_encode(emb, codebook), codebook, query, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_dim_mismatch_raises(emb, codebook):
+    with pytest.raises(ValueError):
+        pq_adc_topk(pq_encode(emb, codebook), codebook, [0.0] * 3, k=5)
