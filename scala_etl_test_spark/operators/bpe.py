@@ -119,3 +119,109 @@ def bpe_merges(
             .select(F.expr(_REBUILD).alias("syms"), "_n")
         )
     return reduce(DataFrame.unionAll, steps)
+
+
+def _rewrite(syms, lhs, rhs):
+    """One merge application as a pure Column expression: the same greedy
+    leftmost-non-overlapping select + rewrite as training, with the pair
+    supplied as (possibly lambda-bound) columns. Referenced once inside
+    the :func:`bpe_encode` fold, so its size never multiplies."""
+    positions = F.when(
+        F.size(syms) < 2, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: (F.get(syms, i) == lhs) & (F.get(syms, i + 1) == rhs),
+        )
+    )
+    init = F.struct(
+        F.array().cast("array<int>").alias("kept"), F.lit(-2).alias("last")
+    )
+    kept = F.aggregate(
+        positions,
+        init,
+        lambda acc, p: F.when(
+            p > acc["last"] + 1,
+            F.struct(
+                F.array_append(acc["kept"], p).alias("kept"), p.alias("last")
+            ),
+        ).otherwise(acc),
+    )["kept"]
+    idx = F.filter(
+        F.sequence(F.lit(0), F.size(syms) - 1),
+        lambda i: ~F.array_contains(kept, i - 1),
+    )
+    return F.transform(
+        idx,
+        lambda i: F.when(
+            F.array_contains(kept, i), F.concat(F.get(syms, i), F.get(syms, i + 1))
+        ).otherwise(F.get(syms, i)),
+    )
+
+
+def collect_merges(merges: DataFrame) -> list[tuple[str, str]]:
+    """Collect a trained merge table to an ordered (lhs, rhs) list — the
+    tokenizer model artifact (k rows of driver metadata, like a PQ
+    codebook), ready to re-enter encode plans as literals."""
+    return [(r["lhs"], r["rhs"]) for r in merges.orderBy("step").collect()]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained BPE merge list: (id, pos, tok_idx,
+    token) — ``pos`` is the word position in the document, ``tok_idx`` the
+    subword position within the word.
+
+    Applying the merges once each, in training order, with the same greedy
+    leftmost-non-overlapping rewrite as training is equivalent to the
+    rank-priority loop of classic apply-BPE implementations: a merge
+    learned at step s pairs symbols that exist at step s, so no later
+    rewrite can create an occurrence of an earlier pair.
+
+    Scale shape: the merge fold runs over the *distinct word types* (one
+    vocab-sized aggregation), not per occurrence — each type is encoded
+    once, then joins back to the word stream. This is how production
+    tokenizers amortize encode cost over Zipf-distributed corpora. The
+    merge list enters the plan as a literal array folded with
+    ``aggregate``, so the rewrite expression appears ONCE regardless of k
+    (unrolling k projections would let CollapseProject inline the rewrite
+    into itself — 3^k expression blowup; runtime iteration keeps the plan
+    constant-size)."""
+    from scala_etl_test_spark.operators.dedup import words as _words
+
+    word_long = df.select(
+        F.col(id_col),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+
+    merge_lit = F.array(
+        *[
+            F.struct(F.lit(l).alias("lhs"), F.lit(r).alias("rhs"))
+            for l, r in merges
+        ]
+    )
+    chars0 = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    syms = F.aggregate(
+        merge_lit, chars0, lambda acc, m: _rewrite(acc, m["lhs"], m["rhs"])
+    )
+    types_enc = word_long.select("word").distinct().select(
+        "word", syms.alias("syms")
+    )
+
+    return (
+        word_long.join(types_enc, on="word")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.posexplode("syms").alias("tok_idx", "token"),
+        )
+        .select(
+            id_col, "pos", F.col("tok_idx").cast("long").alias("tok_idx"), "token"
+        )
+    )

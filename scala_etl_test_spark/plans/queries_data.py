@@ -1955,6 +1955,66 @@ s0 AS MATERIALIZED (
 )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained merge list
+    (operators/bpe.py:bpe_encode): train 8 merges, collect them as the
+    tokenizer model artifact, then encode distinct word types row-locally
+    and join back to word positions — (doc_id, pos, tok_idx, token)."""
+    from scala_etl_test_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges,
+        collect_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # train on the full corpus; encode a 1/5 slice to bound gate-compare time
+    return bpe_encode(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        collect_merges(bpe_merges(wc, _BPE_MERGES)),
+        "text",
+        "doc_id",
+    )
+
+
+# encode = the training CTE chain's FINAL symbol table (s{k}) joined back
+# to per-document word positions: same merges, same greedy rewrite, so the
+# per-word subword sequences match the engine's literal-fold encode.
+SQL_BPE_ENCODE = (
+    f"""
+WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word AS wid,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms,
+         n
+  FROM w0
+),
+"""
+    + ",\n".join(_bpe_step_sql(i) for i in range(1, _BPE_MERGES + 1))
+    + f"""
+, pos_tok AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE doc_id % 5 = 0)
+)
+SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+       CAST(u.i - 1 AS BIGINT) AS tok_idx, s.syms[u.i] AS token
+FROM pos_tok p
+JOIN s{_BPE_MERGES} s ON p.word = s.wid,
+     unnest(range(1, len(s.syms) + 1)) AS u(i)
+WHERE p.word <> ''
+"""
+)
+
+
 _OUTLIER_T = 0.0
 
 
@@ -2362,6 +2422,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "pq_codes": q_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "bpe_encode": q_bpe_encode,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2421,4 +2482,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "pq_codes": SQL_PQ_CODES,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

@@ -76,3 +76,64 @@ def test_bad_merge_count_rejected(spark):
     df = spark.createDataFrame([("ab", 1)], "word string, n long")
     with pytest.raises(ValueError):
         bpe_merges(df, 0)
+
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encode: apply merges once each in training order, greedy
+    left-to-right non-overlapping (equivalent to rank-priority apply-BPE)."""
+    syms = list(word)
+    for l, r in merges:
+        res: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                res.append(l + r)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def test_encode_matches_reference_per_word(spark):
+    from scala_etl_test_spark.operators.bpe import bpe_encode, collect_merges
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    merges = collect_merges(bpe_merges(df, 8))
+    docs = spark.createDataFrame(
+        [(0, "low lower newest"), (1, "widest aaaa low"), (2, "aaaa aaaa")],
+        "doc_id long, text string",
+    )
+    got: dict[tuple[int, int], list[str]] = {}
+    for r in bpe_encode(docs, merges).orderBy("doc_id", "pos", "tok_idx").collect():
+        got.setdefault((r["doc_id"], r["pos"]), []).append(r["token"])
+    texts = {0: "low lower newest", 1: "widest aaaa low", 2: "aaaa aaaa"}
+    for (doc, pos), toks in got.items():
+        word = texts[doc].split()[pos]
+        assert toks == _ref_encode(word, merges), (doc, pos, word, toks)
+    # every word position is present
+    assert {(d, p) for (d, p) in got} == {
+        (d, p) for d, t in texts.items() for p in range(len(t.split()))
+    }
+
+
+def test_encode_roundtrip_concat(spark):
+    """Concatenating a word's subword tokens reconstructs the word."""
+    from scala_etl_test_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "interchange changer"), (1, "exchange")], "doc_id long, text string"
+    )
+    merges = [("c", "h"), ("ch", "a"), ("n", "g"), ("cha", "ng"), ("e", "r")]
+    rows = bpe_encode(docs, merges).orderBy("doc_id", "pos", "tok_idx").collect()
+    rebuilt: dict[tuple[int, int], str] = {}
+    for r in rows:
+        key = (r["doc_id"], r["pos"])
+        rebuilt[key] = rebuilt.get(key, "") + r["token"]
+    assert rebuilt == {
+        (0, 0): "interchange",
+        (0, 1): "changer",
+        (1, 0): "exchange",
+    }
