@@ -111,6 +111,54 @@ def mixture_weights(df: DataFrame, group_col: str, round_digits: int = 9) -> Dat
     )
 
 
+def token_budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Apportion a global training-token ``budget`` across sources in
+    proportion to their token mass, by the largest-remainder method
+    (Hamilton apportionment): every group gets
+    ``floor(group_tokens * budget / total)``, and the leftover tokens go
+    one each to the largest remainders (ties → group asc). Allocations
+    sum exactly to ``budget`` and the whole computation is int64 — the
+    remainder comparison uses ``(group_tokens * budget) mod total``
+    directly, so there is no float apportionment drift anywhere.
+
+    Scale shape: one map-side-combined aggregate to (group, tokens); the
+    apportionment itself runs on the group table (bounded: #sources, not
+    #docs), where the single-partition window is fine.
+
+    Returns (group, group_tokens, alloc_tokens)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from pyspark.sql import Window
+
+    from scala_etl_test_spark.functions.cleaning import int_div
+
+    w_all = Window.partitionBy()
+    g = (
+        df.groupBy(F.col(group_col))
+        .agg(F.sum(F.col(token_col)).cast("long").alias("group_tokens"))
+        .withColumn("_num", F.col("group_tokens") * budget)
+        .withColumn("_total", F.sum("group_tokens").over(w_all))
+        .withColumn("_base", int_div("_num", "_total"))
+        .withColumn("_rem", F.col("_num") % F.col("_total"))
+    )
+    ranked = g.withColumn(
+        "_rn",
+        F.row_number().over(w_all.orderBy(F.col("_rem").desc(), F.col(group_col))),
+    ).withColumn("_leftover", F.lit(budget) - F.sum("_base").over(w_all))
+    return ranked.select(
+        group_col,
+        "group_tokens",
+        (F.col("_base") + F.when(F.col("_rn") <= F.col("_leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

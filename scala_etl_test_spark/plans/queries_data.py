@@ -1955,6 +1955,42 @@ s0 AS MATERIALIZED (
 )
 
 
+_TOKEN_BUDGET = 1_000_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-token training budget across
+    sources by token mass (operators/sampling.py:token_budget_allocation) —
+    all-int64, allocations sum exactly to the budget."""
+    from scala_etl_test_spark.operators.sampling import token_budget_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_allocation(docs, "source", "n_chars", _TOKEN_BUDGET)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS group_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(group_tokens) AS total FROM g),
+b AS (
+  SELECT source, group_tokens,
+         (group_tokens * {_TOKEN_BUDGET}) // total AS base,
+         (group_tokens * {_TOKEN_BUDGET}) % total AS rem
+  FROM g, t
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn,
+         (SELECT {_TOKEN_BUDGET} - SUM(base) FROM b) AS leftover
+  FROM b
+)
+SELECT source, group_tokens,
+       CAST(base + (CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc_tokens
+FROM r
+"""
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the trained merge list
     (operators/bpe.py:bpe_encode): train 8 merges, collect them as the
@@ -2423,6 +2459,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "bpe_encode": q_bpe_encode,
+    "token_budget": q_token_budget,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2483,4 +2520,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "pq_codes": SQL_PQ_CODES,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "bpe_encode": SQL_BPE_ENCODE,
+    "token_budget": SQL_TOKEN_BUDGET,
 }

@@ -182,3 +182,40 @@ def test_dsir_weights_partition_invariant_and_empty_docs_absent(spark):
     )
     assert a == b
     assert [r[0] for r in a] == [1, 2]  # whitespace-only doc 3 has no profile
+
+
+class TestTokenBudget:
+    def _alloc(self, spark, rows, budget):
+        from scala_etl_test_spark.operators.sampling import token_budget_allocation
+
+        df = spark.createDataFrame(rows, "src string, n long")
+        return {
+            r["src"]: (r["group_tokens"], r["alloc_tokens"])
+            for r in token_budget_allocation(df, "src", "n", budget).collect()
+        }
+
+    def test_sums_exactly_to_budget(self, spark):
+        rows = [("a", 333), ("b", 333), ("c", 334), ("a", 500)]
+        got = self._alloc(spark, rows, 1000)
+        assert sum(v[1] for v in got.values()) == 1000
+        assert got["a"][0] == 833
+
+    def test_matches_hamilton_reference(self, spark):
+        rows = [("a", 7), ("b", 7), ("c", 2)]
+        # quotas: 7/16*10=4.375, 4.375, 1.25 -> floors 4,4,1; leftover 1
+        # remainders equal for a and b -> tie broken by group asc -> a
+        got = self._alloc(spark, rows, 10)
+        assert {k: v[1] for k, v in got.items()} == {"a": 5, "b": 4, "c": 1}
+
+    def test_zero_budget(self, spark):
+        got = self._alloc(spark, [("a", 5), ("b", 5)], 0)
+        assert all(v[1] == 0 for v in got.values())
+
+    def test_negative_budget_rejected(self, spark):
+        from scala_etl_test_spark.operators.sampling import token_budget_allocation
+
+        df = spark.createDataFrame([("a", 1)], "src string, n long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            token_budget_allocation(df, "src", "n", -1)
