@@ -127,16 +127,20 @@ def pq_encode(
     codebook: list[list[list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Compress every vector to ``m`` codes: (id, codes array<int>).
+    """Compress every vector to ``m`` codes: (id, [keep_cols...], codes
+    array<int>).
 
     Entirely row-local (codebook enters as literals), so the 100 TB encode
     is one scan with zero exchanges; write the result partitioned however
-    the read side wants it."""
+    the read side wants it — ``keep_cols`` carries routing keys (e.g. the
+    IVF ``cluster_id``) through for a partitioned code table."""
     m = len(codebook)
     subs = _quantized_subvectors(vec_col, m)
     codes = F.array(*[_argmin_code(subs[s], codebook[s]) for s in range(m)])
-    return df.select(F.col(id_col), codes.alias("codes"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(F.col(id_col), *extra, codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -179,3 +183,37 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[list[int]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ query path: route to the ``nprobe`` cells nearest the query
+    (cosine, ties → smaller centroid id), then ADC-rank only those cells'
+    PQ codes — the classic billion-vector ANN layout (IVFADC, Jégou et al.
+    2011 §IV): with the code table written partitioned by ``cluster_id``,
+    non-probed cells are pruned at the source and the scan touches
+    ``nprobe/n_cells`` of the (already 64×-compressed) data.
+
+    ``encoded`` is :func:`pq_encode` output carrying ``cluster_id``
+    (from :func:`similarity.ivf_assign` before encoding). This variant
+    encodes raw vectors; residual PQ (encode ``x − centroid``) is the
+    standard refinement when recall at low nprobe matters."""
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+    from scala_etl_test_spark.operators.similarity import _as_double_array
+
+    qcol = _as_double_array(query)
+    probe = (
+        centroids.withColumn("_sim", cosine_similarity("centroid_vec", qcol))
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cluster_id"))
+    )
+    probed = encoded.join(F.broadcast(probe), on="cluster_id")
+    return pq_adc_topk(probed.select(id_col, "codes"), codebook, query, k=k, id_col=id_col)

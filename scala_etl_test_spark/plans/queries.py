@@ -2186,6 +2186,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "ann_ivfpq_topk",
     "token_budget",
     "bpe_encode",
     "pq_codes",

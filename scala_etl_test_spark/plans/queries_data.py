@@ -2401,6 +2401,65 @@ LIMIT 10
 )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) query path: stride centroids, argmax-cosine cell
+    assignment, PQ codes carried with the cell routing key, nprobe=4 probe,
+    ADC ranking only inside probed cells (operators/pq.py:ivf_pq_topk)."""
+    from scala_etl_test_spark.operators.pq import ivf_pq_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cent = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, cent)
+    cb = _pq_cb(spark, sf_dir)
+    enc = pq_encode(assigned, cb, keep_cols=["cluster_id"])
+    return ivf_pq_topk(enc, cent, cb, [float(v) for v in query], k=10, nprobe=4)
+
+
+SQL_ANN_IVFPQ_TOPK = (
+    _PQ_SQL_COMMON
+    + f"""
+, q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id AS cluster_id FROM cent, q0
+  ORDER BY {{cos_cq}} DESC, centroid_id ASC
+  LIMIT 4
+),
+qsub AS (SELECT sub_idx, vq AS qv FROM quant WHERE vec_id = 0),
+dtab AS (
+  SELECT c.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> (q.qv[i] - c.cw[i]) * (q.qv[i] - c.cw[i]))) AS dist
+  FROM cb c JOIN qsub q ON c.sub_idx = q.sub_idx
+)
+SELECT k.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+FROM codes k
+JOIN assign a ON k.vec_id = a.vec_id
+JOIN probe p ON a.cluster_id = p.cluster_id
+JOIN dtab d ON k.sub_idx = d.sub_idx AND k.code = d.code
+GROUP BY k.vec_id
+ORDER BY adc_dist, k.vec_id
+LIMIT 10
+"""
+).format(
+    cos_ec=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    cos_cq=_COS_SQL.format(a="cvec", b="q0.qv0"),
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2460,6 +2519,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "bpe_encode": q_bpe_encode,
     "token_budget": q_token_budget,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2521,4 +2581,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "bpe_encode": SQL_BPE_ENCODE,
     "token_budget": SQL_TOKEN_BUDGET,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
 }

@@ -96,3 +96,45 @@ def test_adc_topk_plan_is_take_ordered(emb, codebook):
 def test_dim_mismatch_raises(emb, codebook):
     with pytest.raises(ValueError):
         pq_adc_topk(pq_encode(emb, codebook), codebook, [0.0] * 3, k=5)
+
+
+def test_ivf_pq_results_come_from_probed_cells(emb, codebook):
+    from scala_etl_test_spark.operators.pq import ivf_pq_topk
+    from scala_etl_test_spark.operators.similarity import (
+        ivf_assign,
+        stride_centroids,
+    )
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+    from scala_etl_test_spark.operators.similarity import _as_double_array
+
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    query = [float(v) for v in query]
+    cent = stride_centroids(emb, 8)
+    assigned = ivf_assign(emb, cent).cache()
+    enc = pq_encode(assigned, codebook, keep_cols=["cluster_id"])
+    got = ivf_pq_topk(enc, cent, codebook, query, k=10, nprobe=2)
+    probe_ids = {
+        r["centroid_id"]
+        for r in cent.withColumn(
+            "_sim", cosine_similarity("centroid_vec", _as_double_array(query))
+        )
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(2)
+        .collect()
+    }
+    cells = {
+        r["vec_id"]: r["cluster_id"] for r in assigned.select("vec_id", "cluster_id").collect()
+    }
+    rows = got.collect()
+    assert len(rows) == 10
+    assert all(cells[r["vec_id"]] in probe_ids for r in rows)
+    # ADC distances agree with the flat ADC ranking restricted to the cells
+    flat = pq_adc_topk(
+        pq_encode(assigned.filter(F.col("cluster_id").isin(list(probe_ids))), codebook),
+        codebook,
+        query,
+        k=10,
+    ).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in rows] == [
+        (r["vec_id"], r["adc_dist"]) for r in flat
+    ]
