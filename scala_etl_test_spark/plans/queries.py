@@ -1345,6 +1345,29 @@ FROM events GROUP BY event_type
 """
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters with both CMS guarantees checked
+    in-band (operators/sketches.py:cms_heavy_hitters) — the frequency
+    member of the bounded-sketch family next to the HLL++ and GK gates.
+    Exact top-10 counts hash-match; the sketch estimate must satisfy
+    exact ≤ est ≤ exact + ε·N or the boolean flips the value hash."""
+    from scala_etl_test_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", top_n=10, eps=0.001
+    )
+
+
+SQL_HEAVY_HITTERS_CMS = """
+SELECT CAST(user_id AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       TRUE AS within_bound
+FROM events GROUP BY user_id
+ORDER BY exact_count DESC, key
+LIMIT 10
+"""
+
+
 def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (1%-trimmed) per-type value statistics — outlier-resistant
     monitoring over a metric column. Trimming is by integer RANK (ties
@@ -2095,6 +2118,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_quantiles_events": q_approx_quantiles_events,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
@@ -2152,6 +2176,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
@@ -2186,6 +2211,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "heavy_hitters_cms",
     "ann_ivfpq_topk",
     "token_budget",
     "bpe_encode",
