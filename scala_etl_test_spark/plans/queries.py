@@ -1368,6 +1368,54 @@ LIMIT 10
 """
 
 
+def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift check of the value distribution
+    between the early and late halves of the event stream, per event type
+    (operators/drift.py:psi_drift) — the pre-ingest distribution gate a
+    training pipeline runs on each new snapshot."""
+    from scala_etl_test_spark.operators.drift import psi_drift
+
+    return psi_drift(_t(spark, sf_dir, "events"), "event_type", "value", "ts")
+
+
+SQL_EVENTS_DRIFT_PSI = """
+WITH bounds AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+         MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         LEAST(9, CAST(FLOOR((value - vmin) / ((vmax - vmin) / 10)) AS INT)) AS bin,
+         (epoch_us(ts) * 2 < tmin + tmax) AS early
+  FROM events, bounds
+),
+counts AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ne,
+         SUM(CASE WHEN early THEN 0 ELSE 1 END) AS nl
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(ne) AS n_early, SUM(nl) AS n_late
+  FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type, t.n_early, t.n_late,
+         ((c.ne + 0.5) / (t.n_early + 5.0) - (c.nl + 0.5) / (t.n_late + 5.0))
+         * ln(((c.ne + 0.5) / (t.n_early + 5.0))
+              / ((c.nl + 0.5) / (t.n_late + 5.0))) AS term
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       round(SUM(term), 6) AS psi,
+       (round(SUM(term), 6) > 0.1) AS drifted
+FROM terms GROUP BY event_type, n_early, n_late
+"""
+
+
 def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (1%-trimmed) per-type value statistics — outlier-resistant
     monitoring over a metric column. Trimming is by integer RANK (ties
@@ -2119,6 +2167,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_quantiles_events": q_approx_quantiles_events,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "events_drift_psi": q_events_drift_psi,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
@@ -2177,6 +2226,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
@@ -2211,6 +2261,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "events_drift_psi",
     "heavy_hitters_cms",
     "ann_ivfpq_topk",
     "token_budget",

@@ -1,0 +1,48 @@
+"""PSI drift: zero for identical halves, flags a shifted distribution."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators.drift import psi_drift
+
+
+def _t(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+
+def test_identical_halves_no_drift(spark):
+    # same value pattern in both halves -> psi ~ 0
+    rows = [("a", float(i % 10), _t(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    got = psi_drift(df, "g", "value", "ts").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_early"] == 100 and r["n_late"] == 100
+    assert abs(r["psi"]) < 0.01
+    assert not r["drifted"]
+
+
+def test_shifted_distribution_flags_drift(spark):
+    # early half in [0,10), late half in [90,100) -> massive shift
+    rows = [("a", float(i % 10), _t(i)) for i in range(100)] + [
+        ("a", 90.0 + float(i % 10), _t(100 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    r = psi_drift(df, "g", "value", "ts").collect()[0]
+    assert r["drifted"] and r["psi"] > 1.0
+
+
+def test_partitioning_invariant(spark):
+    rows = [
+        ("a", float((i * 7) % 23), _t(i)) for i in range(300)
+    ] + [("b", float((i * 3) % 17), _t(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    a = {r["g"]: r["psi"] for r in psi_drift(df, "g", "value", "ts").collect()}
+    b = {
+        r["g"]: r["psi"]
+        for r in psi_drift(df.repartition(13), "g", "value", "ts").collect()
+    }
+    assert a == b
