@@ -234,3 +234,43 @@ def test_q20_single_fact_scan_via_window(q):
     assert p.count("Scan parquet") <= 3, p  # lineitem + part + supplier
     assert p.count("Window [") == 1, p
     assert "InMemoryTableScan" not in p, p
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """At cluster scale, a selective dim-side filter should inject a runtime
+    bloom filter into the fact scan (row-level runtime filtering) instead of
+    shuffling every fact row into the join. The thresholds that gate
+    injection are size-based (creation side small, application side large),
+    so force them for the pin; on a real 100 TB run the defaults
+    (10MB/10GB) fire on their own."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan(j, mode="simple")
+        assert "might_contain" in p.lower(), p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
