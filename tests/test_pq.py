@@ -138,3 +138,25 @@ def test_ivf_pq_results_come_from_probed_cells(emb, codebook):
     assert [(r["vec_id"], r["adc_dist"]) for r in rows] == [
         (r["vec_id"], r["adc_dist"]) for r in flat
     ]
+
+
+def test_partitioned_code_table_prunes_cells(emb, codebook, tmp_path):
+    """The IVF-PQ claim 'non-probed cells prune at the source': write the
+    code table partitioned by cluster_id and verify a probe filter becomes
+    a partition filter on the scan (no full-table read)."""
+    from scala_etl_test_spark.operators.similarity import (
+        ivf_assign,
+        stride_centroids,
+    )
+
+    cent = stride_centroids(emb, 8)
+    enc = pq_encode(ivf_assign(emb, cent), codebook, keep_cols=["cluster_id"])
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy("cluster_id").parquet(path)
+    spark = emb.sparkSession
+    probed = spark.read.parquet(path).filter(F.col("cluster_id").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:200], plan
+    # only the probed cells' files are read
+    n_cells = {r["cluster_id"] for r in probed.select("cluster_id").distinct().collect()}
+    assert n_cells <= {0, 3}
