@@ -217,3 +217,140 @@ def ivf_pq_topk(
     )
     probed = encoded.join(F.broadcast(probe), on="cluster_id")
     return pq_adc_topk(probed.select(id_col, "codes"), codebook, query, k=k, id_col=id_col)
+
+
+def _residual(vec_col: str, centroid_col: str = "centroid_vec") -> Column:
+    """Row-local residual x − c(x): plain double subtraction, the same IEEE
+    op in every engine, computed BEFORE quantization so the codebook spends
+    its 16 codewords on the (much tighter) residual distribution."""
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col(centroid_col), lambda a, b: a - b
+    )
+
+
+def train_residual_codebook(
+    df: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Residual-PQ codebook: codewords are the quantized residual slices of
+    the first ``k`` vectors w.r.t. their OWN assigned cells. The seed
+    assignment runs in Spark (same argmax as the corpus encode — no Python
+    re-derivation of float comparisons); the residual subtraction and
+    quantization happen on the collected doubles with the identical IEEE
+    ops."""
+    from scala_etl_test_spark.operators.similarity import ivf_assign
+
+    seeds = df.orderBy(id_col).limit(k)
+    j = (
+        ivf_assign(seeds, centroids, vec_col=vec_col, id_col=id_col)
+        .join(
+            F.broadcast(centroids),
+            F.col("cluster_id") == F.col("centroid_id"),
+        )
+        .orderBy(id_col)
+        .select(vec_col, "centroid_vec")
+        .collect()
+    )
+    if not j:
+        raise ValueError("cannot train a PQ codebook on an empty table")
+    d = len(j[0][0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    res = [[float(x) - float(c) for x, c in zip(r[0], r[1])] for r in j]
+    return [
+        [[_quantize_py(v) for v in row[s * dsub : (s + 1) * dsub]] for row in res]
+        for s in range(m)
+    ]
+
+
+def residual_pq_encode(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign cells, subtract the cell centroid, PQ-encode the residual:
+    (id, cluster_id, codes). One broadcast-join argmax (the assignment) +
+    one broadcast join to re-attach the centroid vector — the encode
+    itself stays a row-local literal fold, so the corpus is scanned once
+    and shuffled only by the assignment's groupBy."""
+    from scala_etl_test_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    frame = assigned.join(
+        F.broadcast(centroids), F.col("cluster_id") == F.col("centroid_id")
+    ).select(
+        F.col(id_col), F.col("cluster_id"), _residual(vec_col).alias("_residual")
+    )
+    return pq_encode(
+        frame, codebook, vec_col="_residual", id_col=id_col, keep_cols=["cluster_id"]
+    )
+
+
+def ivf_pq_residual_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[list[int]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVFADC query: probe ``nprobe`` cells, and ADC-rank each
+    cell's codes against a PER-CELL distance table built from the query's
+    residual to THAT cell's centroid (q − c_cell) — the lookup enters the
+    plan as one literal map ``cluster_id → m×k table``, so scoring is
+    still row-local: map lookup + m array reads + adds into
+    TakeOrderedAndProject."""
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+    from scala_etl_test_spark.operators.similarity import _as_double_array
+
+    m = len(codebook)
+    d = len(query)
+    dsub = d // m
+    probe_rows = (
+        centroids.withColumn(
+            "_sim", cosine_similarity("centroid_vec", _as_double_array(query))
+        )
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "centroid_vec")
+        .collect()
+    )
+    map_args: list[Column] = []
+    for r in probe_rows:
+        qres = [float(q) - float(c) for q, c in zip(query, r["centroid_vec"])]
+        qq = [_quantize_py(x) for x in qres]
+        dtab = [
+            [
+                sum((qq[s * dsub + i] - cw[i]) ** 2 for i in range(dsub))
+                for cw in codebook[s]
+            ]
+            for s in range(m)
+        ]
+        map_args.append(F.lit(r["centroid_id"]))
+        map_args.append(F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab]))
+    lookup = F.create_map(*map_args)
+    probed = encoded.filter(
+        F.col("cluster_id").isin([r["centroid_id"] for r in probe_rows])
+    )
+    total = F.aggregate(
+        F.zip_with(
+            F.element_at(lookup, F.col("cluster_id")),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        probed.select(F.col(id_col), total.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

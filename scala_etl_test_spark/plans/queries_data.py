@@ -2460,6 +2460,112 @@ LIMIT 10
 )
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC (operators/pq.py:residual_pq_encode /
+    ivf_pq_residual_topk): PQ codes of x − c(x) with a per-probed-cell
+    distance table entering the plan as one literal map — the codebook
+    spends its codewords on the tight residual distribution instead of the
+    full embedding range."""
+    from scala_etl_test_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_pq_encode,
+        train_residual_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cent = S.stride_centroids(emb, 16)
+    cb = train_residual_codebook(emb, cent, m=_PQ_M, k=_PQ_K)
+    enc = residual_pq_encode(emb, cent, cb)
+    return ivf_pq_residual_topk(enc, cent, cb, [float(v) for v in query], k=10, nprobe=4)
+
+
+SQL_ANN_IVFPQ_RESIDUAL_TOPK = f"""
+WITH params AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cluster_id,
+         list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) AS rv
+  FROM assign a JOIN cent c ON a.cluster_id = c.centroid_id
+),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub_idx),
+quantr AS MATERIALIZED (
+  SELECT vec_id, cluster_id, sub_idx,
+         list_transform(rv[(sub_idx * dsub + 1):((sub_idx + 1) * dsub)],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+  FROM resid, subs, params
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+cbr AS (
+  SELECT q.sub_idx, s.code, q.vq AS cw
+  FROM quantr q JOIN seeds s ON q.vec_id = s.vec_id
+),
+dists AS (
+  SELECT q.vec_id, q.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(q.vq) + 1),
+                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+  FROM quantr q JOIN cbr c ON q.sub_idx = c.sub_idx
+),
+codes AS (
+  SELECT vec_id, sub_idx, code
+  FROM (SELECT vec_id, sub_idx, code,
+               row_number() OVER (PARTITION BY vec_id, sub_idx
+                                  ORDER BY dist, code) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+q0 AS (SELECT embedding AS qv0 FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id AS cluster_id, cvec FROM cent, q0
+  ORDER BY {{cos_cq}} DESC, centroid_id ASC
+  LIMIT 4
+),
+qres AS (
+  SELECT p.cluster_id, sub_idx,
+         list_transform(
+           (list_transform(range(1, len(q0.qv0) + 1),
+                           i -> CAST(q0.qv0[i] AS DOUBLE) - CAST(p.cvec[i] AS DOUBLE))
+           )[(sub_idx * dsub + 1):((sub_idx + 1) * dsub)],
+           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+  FROM probe p, q0, subs, params
+),
+dtab AS (
+  SELECT r.cluster_id, c.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(r.qv) + 1),
+                  i -> (r.qv[i] - c.cw[i]) * (r.qv[i] - c.cw[i]))) AS dist
+  FROM cbr c JOIN qres r ON c.sub_idx = r.sub_idx
+)
+SELECT k.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+FROM codes k
+JOIN assign a ON k.vec_id = a.vec_id
+JOIN probe p ON a.cluster_id = p.cluster_id
+JOIN dtab d ON a.cluster_id = d.cluster_id
+           AND k.sub_idx = d.sub_idx AND k.code = d.code
+GROUP BY k.vec_id
+ORDER BY adc_dist, k.vec_id
+LIMIT 10
+""".format(
+    cos_ec=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    cos_cq=_COS_SQL.format(a="cvec", b="q0.qv0"),
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2520,6 +2626,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "token_budget": q_token_budget,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2582,4 +2689,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "bpe_encode": SQL_BPE_ENCODE,
     "token_budget": SQL_TOKEN_BUDGET,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+    "ann_ivfpq_residual_topk": SQL_ANN_IVFPQ_RESIDUAL_TOPK,
 }

@@ -160,3 +160,45 @@ def test_partitioned_code_table_prunes_cells(emb, codebook, tmp_path):
     # only the probed cells' files are read
     n_cells = {r["cluster_id"] for r in probed.select("cluster_id").distinct().collect()}
     assert n_cells <= {0, 3}
+
+
+def test_residual_pq_roundtrip_and_probe_restriction(emb):
+    from scala_etl_test_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_pq_encode,
+        train_residual_codebook,
+    )
+    from scala_etl_test_spark.operators.similarity import stride_centroids
+
+    cent = stride_centroids(emb, 8)
+    cb = train_residual_codebook(emb, cent, m=4, k=16)
+    enc = residual_pq_encode(emb, cent, cb).cache()
+    # seed vectors' residuals ARE codewords -> distance 0 to their own rank's
+    # codeword; ties (e.g. seeds that are also centroids share the zero
+    # residual) resolve to the smallest code with an identical codeword
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(16).collect()]
+    for r in enc.filter(F.col("vec_id").isin(seed_ids)).collect():
+        rank = seed_ids.index(r["vec_id"])
+        expected = [
+            min(j for j in range(16) if cb[s][j] == cb[s][rank]) for s in range(4)
+        ]
+        assert r["codes"] == expected
+    query = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    got = ivf_pq_residual_topk(enc, cent, cb, query, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    cells = {r["vec_id"]: r["cluster_id"] for r in enc.collect()}
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+    from scala_etl_test_spark.operators.similarity import _as_double_array
+
+    probe = {
+        r["centroid_id"]
+        for r in cent.withColumn(
+            "_sim", cosine_similarity("centroid_vec", _as_double_array(query))
+        )
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(2)
+        .collect()
+    }
+    assert all(cells[r["vec_id"]] in probe for r in got)
+    # the query vector (vec 0, a seed in its own probed cell) has distance 0
+    assert got[0]["vec_id"] == 0 and got[0]["adc_dist"] == 0
