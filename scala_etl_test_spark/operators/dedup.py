@@ -570,3 +570,64 @@ def ngram_jaccard_pairs(
     return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (all pairs with shingle Jaccard ≥
+    ``threshold``) via prefix filtering (AllPairs/PPJoin, Bayardo et al.
+    WWW'07) — the deterministic alternative to MinHash/LSH when false
+    negatives are not acceptable.
+
+    Candidate generation: order every document's shingles by a global
+    (rarity, hash) key and index only the first
+    ``|S| − ⌈t·|S|⌉ + 1`` of them. For any pair with J ≥ t, each side's
+    prefix must contain an intersection element AND the prefixes must
+    overlap (t·|A| ≤ |B| gives prefix length ≥ the |X|−⌈t/(1+t)(|A|+|B|)⌉+1
+    the shared-element lemma needs), so joining prefix-to-prefix loses
+    nothing. The rare-first order makes prefixes meet in low-frequency
+    shingles — candidate volume ∝ Σ over RARE shingles of c², not the
+    inverted-index Σ c² over all shingles.
+
+    Scale shape: shingle table + frequency join shuffle on ``sh_h``
+    (uniform 60-bit keys), one per-doc sort of its own shingle list
+    (row-local), prefix self-join on rare keys, then the shared
+    O(|A∩B|)-per-pair verification join. No sketches, no probability
+    knobs; ``threshold`` should be exactly representable in binary (0.5,
+    0.25, 0.75…) so ⌈t·n⌉ is the same integer everywhere."""
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_n)
+    shingles = shingles.localCheckpoint()
+    sh = shingles.select(F.col(id_col), "sh_h")
+    freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_freq"))
+    per_doc = (
+        sh.join(freq, on="sh_h")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_freq"), F.col("sh_h")))
+            ).alias("_sorted")
+        )
+    )
+    n = F.size("_sorted")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col), F.explode(F.slice("_sorted", 1, plen)).alias("_p")
+    ).select(F.col(id_col), F.col("_p.sh_h").alias("sh_h"))
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh_h")
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh_h")
+    cands = (
+        a.join(b, on="sh_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(
+        cands, df, text_col, id_col, shingle_n, shingles=shingles
+    ).filter(F.col("jaccard") >= threshold)

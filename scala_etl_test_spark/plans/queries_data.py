@@ -235,6 +235,38 @@ WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >=
 """
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering
+    (operators/dedup.py:prefix_jaccard_join): rare-first global shingle
+    order, |S|−⌈t·|S|⌉+1 prefix index, prefix-to-prefix candidates, exact
+    verification — oracle is the unblocked brute-force all-pairs Jaccard,
+    so the driver gate checks the no-false-negative guarantee itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_jaccard_join(docs, "text", "doc_id", threshold=0.5, shingle_n=3)
+
+
+SQL_DEDUP_PREFIX_JACCARD = f"""
+WITH shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(3)} AS sh) AS s
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+), common AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shingled sa
+  JOIN shingled sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) AS jaccard
+FROM common co
+JOIN sizes za ON za.doc_id = co.id_a
+JOIN sizes zb ON zb.doc_id = co.id_b
+WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # embedding near-dup + ANN top-k
 # --------------------------------------------------------------------------
@@ -2627,6 +2659,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2690,4 +2723,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "token_budget": SQL_TOKEN_BUDGET,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "ann_ivfpq_residual_topk": SQL_ANN_IVFPQ_RESIDUAL_TOPK,
+    "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
 }

@@ -132,3 +132,94 @@ def test_build_vocab_partition_invariant(spark, sf_dir):
         for r in build_vocab(docs.repartition(13), "text", min_count=2, id_col="doc_id").collect()
     }
     assert v1 == v2 and len(v1) > 20
+
+
+class TestPrefixJaccardJoin:
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base),
+            (1, base + " tail"),                      # near-dup of 0
+            (2, "completely different words in this one entirely"),
+            (3, base.replace("quick", "slow")),       # moderate overlap
+            (4, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _brute(self, spark, df, t, n=3):
+        from scala_etl_test_spark.operators.dedup import (
+            jaccard_for_pairs,
+            shingle_table,
+        )
+        from pyspark.sql import functions as F
+
+        ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+        pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+        )
+        sh = shingle_table(df, "text", "doc_id", n)
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_for_pairs(pairs, df, "text", "doc_id", n, shingles=sh)
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+
+    def test_exactness_vs_brute_force(self, spark):
+        from scala_etl_test_spark.operators.dedup import prefix_jaccard_join
+
+        df = self._docs(spark)
+        for t in (0.25, 0.5, 0.75):
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in prefix_jaccard_join(df, "text", "doc_id", t).collect()
+            }
+            assert got == self._brute(spark, df, t), t
+
+    def test_exact_dup_has_jaccard_one(self, spark):
+        from scala_etl_test_spark.operators.dedup import prefix_jaccard_join
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_jaccard_join(self._docs(spark), "text", "doc_id", 0.5).collect()
+        }
+        assert got[(0, 4)] == 1.0
+
+    def test_prefix_candidates_prune_vs_full_index(self, spark, sf_dir):
+        """The rare-first prefix index must generate fewer candidate pairs
+        than the full inverted index (the whole point of the filter)."""
+        from scala_etl_test_spark.operators.dedup import shingle_table
+        from pyspark.sql import functions as F
+
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        sh = shingle_table(docs, "text", "doc_id", 3)
+        full = (
+            sh.select(F.col("doc_id").alias("id_a"), "sh_h")
+            .join(sh.select(F.col("doc_id").alias("id_b"), "sh_h"), on="sh_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        # rebuild the prefix candidate set exactly as the operator does
+        freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_freq"))
+        per_doc = (
+            sh.join(freq, on="sh_h")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_freq", "sh_h"))).alias("_s"))
+        )
+        plen = (F.size("_s") - F.ceil(F.lit(0.5) * F.size("_s")) + 1).cast("int")
+        pref = per_doc.select(
+            "doc_id", F.explode(F.slice("_s", 1, plen)).alias("_p")
+        ).select("doc_id", F.col("_p.sh_h").alias("sh_h"))
+        cand = (
+            pref.select(F.col("doc_id").alias("id_a"), "sh_h")
+            .join(pref.select(F.col("doc_id").alias("id_b"), "sh_h"), on="sh_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        assert cand < full
