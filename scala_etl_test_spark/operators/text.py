@@ -482,3 +482,73 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.round(F.avg(neg), 6).alias("avg_neg_log2_p"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level collocation mining: top bigrams by pointwise mutual
+    information — the phrase-detection pass (word2vec-style phrase
+    vocabularies, tokenizer merge seeding) a corpus pipeline runs before
+    training. PMI = ln(p(ab) / (p(a)·p(b))) with p from corpus-wide
+    unigram/bigram counts; ``min_count`` suppresses the unstable
+    low-frequency tail, ties break on the bigram text.
+
+    Scale shape: one scan feeding two map-side-combined counts (unigrams,
+    adjacent bigrams — both uniform word keys), two joins back on the
+    word, totals broadcast as 1-row frames. PMI is rounded: the count
+    ratios are exact, but ln() of a ratio of doubles is compared across
+    engines at the last ULP.
+
+    Returns (w1, w2, n_pair, pmi) ordered by (pmi desc, w1, w2)."""
+    from scala_etl_test_spark.operators.dedup import words as _words
+
+    w = df.select(_words(F.col(text_col)).alias("_w")).select(
+        F.filter("_w", lambda x: x != "").alias("_w")
+    )
+    uni = (
+        w.select(F.explode("_w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    # guard: sequence(0, -1) is the DESCENDING [0, -1] in Spark, so a
+    # sub-2-word doc must short-circuit to an empty array, not a bogus
+    # (first-word, NULL) bigram that would inflate the totals
+    bigrams = w.select(
+        F.explode(
+            F.expr(
+                "IF(size(_w) < 2, "
+                "cast(array() as array<struct<w1:string,w2:string>>), "
+                "transform(sequence(0, size(_w) - 2), "
+                "i -> struct(_w[i] AS w1, _w[i + 1] AS w2)))"
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    u_total = uni.agg(F.sum("n_word").alias("_u"))
+    b_total = bi.agg(F.sum("n_pair").alias("_b"))
+    j = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("word").alias("w1"), F.col("n_word").alias("n_w1")), on="w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("n_word").alias("n_w2")), on="w2")
+        .join(F.broadcast(u_total))
+        .join(F.broadcast(b_total))
+    )
+    pmi = F.log(
+        (F.col("n_pair") / F.col("_b"))
+        / ((F.col("n_w1") / F.col("_u")) * (F.col("n_w2") / F.col("_u")))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(pmi, round_digits).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

@@ -2261,6 +2261,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "pmi_collocations",
     "dedup_prefix_jaccard",
     "ann_ivfpq_residual_topk",
     "events_drift_psi",

@@ -235,6 +235,40 @@ WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >=
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI with min_count=5
+    (operators/text.py:pmi_collocations) — the phrase-detection pass that
+    seeds phrase vocabularies / tokenizer merges."""
+    return X.pmi_collocations(_t(spark, sf_dir, "documents"), "text")
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH wl AS (
+  SELECT list_filter({_WORDS_SQL}, x -> x <> '') AS w FROM documents
+),
+uc AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest(w) AS word FROM wl) GROUP BY word
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)),
+                                         i -> {{'w1': w[i], 'w2': w[i + 1]}})
+                     ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS b
+  FROM wl
+),
+bc AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+ut AS (SELECT SUM(n_word) AS u FROM uc),
+bt AS (SELECT SUM(n_pair) AS bsum FROM bc)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln((n_pair / bsum) / ((a.n_word / u) * (b2.n_word / u))), 6) AS pmi
+FROM bc JOIN uc a ON bc.w1 = a.word JOIN uc b2 ON bc.w2 = b2.word, ut, bt
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard self-join via prefix filtering
     (operators/dedup.py:prefix_jaccard_join): rare-first global shingle
@@ -2660,6 +2694,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2724,4 +2759,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "ann_ivfpq_residual_topk": SQL_ANN_IVFPQ_RESIDUAL_TOPK,
     "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }

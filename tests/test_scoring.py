@@ -58,3 +58,38 @@ def test_real_model_gated(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError, match="fasttext unavailable"):
         score_documents(df, "text", "doc_id", model="fasttext", model_path="/nope.bin")
+
+
+class TestPmiCollocations:
+    def test_planted_phrase_tops_ranking(self, spark):
+        from scala_etl_test_spark.operators.text import pmi_collocations
+
+        # "neural network" always adjacent; filler words independent
+        rows = [
+            (i, "neural network " + " ".join(["the", "data", "model", "train"][j % 4] for j in range(i % 5 + 3)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = pmi_collocations(df, "text", min_count=5, top_n=5).collect()
+        assert (got[0]["w1"], got[0]["w2"]) == ("neural", "network")
+        assert got[0]["n_pair"] == 40
+        # ordering is (pmi desc, w1, w2)
+        pmis = [r["pmi"] for r in got]
+        assert pmis == sorted(pmis, reverse=True)
+
+    def test_min_count_suppresses_tail(self, spark):
+        from scala_etl_test_spark.operators.text import pmi_collocations
+
+        rows = [(0, "rare pair"), (1, "common words common words common words")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = pmi_collocations(df, "text", min_count=2, top_n=10).collect()
+        assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in got}
+
+    def test_single_word_docs_contribute_no_bigrams(self, spark):
+        from scala_etl_test_spark.operators.text import pmi_collocations
+
+        rows = [(i, "solo") for i in range(10)] + [(100, "a b a b a b a b a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = pmi_collocations(df, "text", min_count=1, top_n=10).collect()
+        pairs = {(r["w1"], r["w2"]) for r in got}
+        assert all("solo" not in p for p in pairs)
