@@ -1368,6 +1368,79 @@ LIMIT 10
 """
 
 
+def q_sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency over gap-sessionized intervals: +1/-1
+    boundary events, running sum, global max — capacity planning on exact
+    integers. Starts sort before ends at the same instant (inclusive
+    overlap). The sweep window runs over session BOUNDARIES (2 rows per
+    session, ≪ events); at true stream scale the running sum becomes the
+    standard two-pass parallel prefix (per-shard sums + broadcast offsets),
+    same algebra."""
+    ev = _t(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(by_time) > 1800 * 1_000_000, 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_time.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = sessions.groupBy("user_id", "session_id").agg(
+        F.min(us).alias("s_us"), F.max(us).alias("e_us")
+    )
+    starts = intervals.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    )
+    ends = intervals.select(
+        F.col("e_us").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id"
+    )
+    sweep = Window.orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    running = starts.union(ends).withColumn("running", F.sum("delta").over(sweep))
+    return running.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        F.max("running").cast("long").alias("max_concurrent"),
+    )
+
+
+SQL_SESSIONS_MAX_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, session_id, MIN(us) AS s_us, MAX(us) AS e_us
+  FROM sessions GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT s_us AS t, 1 AS delta, user_id, session_id FROM intervals
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta, user_id, session_id FROM intervals
+),
+swept AS (
+  SELECT SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM deltas
+)
+SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+       CAST(MAX(running) AS BIGINT) AS max_concurrent
+FROM swept
+"""
+
+
 def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift check of the value distribution
     between the early and late halves of the event stream, per event type
@@ -2168,6 +2241,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_events": q_approx_quantiles_events,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "events_drift_psi": q_events_drift_psi,
+    "sessions_max_concurrency": q_sessions_max_concurrency,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
@@ -2227,6 +2301,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
+    "sessions_max_concurrency": SQL_SESSIONS_MAX_CONCURRENCY,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
@@ -2261,6 +2336,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "sessions_max_concurrency",
     "pmi_collocations",
     "dedup_prefix_jaccard",
     "ann_ivfpq_residual_topk",

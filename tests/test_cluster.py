@@ -82,3 +82,31 @@ def test_keep_representative(spark):
     pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
     kept = dedup_keep_representative(df, pairs, "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4]
+
+
+def test_sessions_max_concurrency_hand_case(spark, tmp_path):
+    """3 users with known overlap: u1 [0,10], u2 [5,15], u3 [12,20] minutes
+    -> peak 2; u2 second session far later -> 4 sessions total."""
+    import datetime
+
+    from scala_etl_test_spark.plans.queries import q_sessions_max_concurrency
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minute):
+        return (eid, base + datetime.timedelta(minutes=minute), uid, "x", 0.0, "{}")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 10),
+        ev(3, 2, 5), ev(4, 2, 15),
+        ev(5, 3, 12), ev(6, 3, 20),
+        ev(7, 2, 300), ev(8, 2, 301),  # second session for u2, gap > 30min
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.write.parquet(out)
+    r = q_sessions_max_concurrency(spark, str(tmp_path)).collect()[0]
+    assert r["n_sessions"] == 4
+    assert r["max_concurrent"] == 2
