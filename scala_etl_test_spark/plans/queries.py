@@ -1441,6 +1441,39 @@ FROM swept
 """
 
 
+_TREND_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01 UTC; any fixed origin works
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of the value metric over time: slope per DAY and
+    Pearson correlation from population co-moments — metric-regression
+    monitoring in one map-side-combined aggregate. Time is rescaled to
+    days from a fixed origin so the slope is O(1e-2) and the 6-digit
+    rounding sits ~8 orders above both engines' one-pass central-moment
+    error (raw microseconds would put the slope at 1e-12 where rounding
+    is meaningless)."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") - F.lit(_TREND_ORIGIN_US)) / 86_400_000_000.0
+    base = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope_per_day"),
+        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+    )
+
+
+SQL_EVENTS_TREND = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(covar_pop((epoch_us(ts) - {_TREND_ORIGIN_US}) / 86400000000.0, value)
+             / var_pop((epoch_us(ts) - {_TREND_ORIGIN_US}) / 86400000000.0), 6)
+         AS slope_per_day,
+       round(corr((epoch_us(ts) - {_TREND_ORIGIN_US}) / 86400000000.0, value), 6)
+         AS pearson_r
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift check of the value distribution
     between the early and late halves of the event stream, per event type
@@ -2242,6 +2275,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "events_drift_psi": q_events_drift_psi,
     "sessions_max_concurrency": q_sessions_max_concurrency,
+    "events_trend": q_events_trend,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
@@ -2302,6 +2336,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
     "sessions_max_concurrency": SQL_SESSIONS_MAX_CONCURRENCY,
+    "events_trend": SQL_EVENTS_TREND,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
@@ -2336,6 +2371,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "events_trend",
     "sessions_max_concurrency",
     "pmi_collocations",
     "dedup_prefix_jaccard",

@@ -46,3 +46,27 @@ def test_partitioning_invariant(spark):
         for r in psi_drift(df.repartition(13), "g", "value", "ts").collect()
     }
     assert a == b
+
+
+def test_events_trend_recovers_planted_slope(spark, tmp_path):
+    """y = 2·x_days + 3 exactly -> slope 2.0, r 1.0; y constant -> slope 0."""
+    import datetime
+
+    from scala_etl_test_spark.plans.queries import q_events_trend
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for i in range(200):
+        ts = base + datetime.timedelta(hours=i)
+        x_days = i / 24.0
+        rows.append((i, ts, 1, "linear", 2.0 * x_days + 3.0, "{}"))
+        rows.append((1000 + i, ts, 2, "flat", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r for r in q_events_trend(spark, str(tmp_path)).collect()}
+    assert got["linear"]["slope_per_day"] == 2.0
+    assert got["linear"]["pearson_r"] == 1.0
+    assert got["flat"]["slope_per_day"] == 0.0
