@@ -26,6 +26,11 @@ from scala_etl_test_spark.streaming.sessionize import (
     session_windows,
     stateful_user_sessions,
 )
+from scala_etl_test_spark.streaming.sketches import (
+    read_merged_cms,
+    stream_absorb_cms,
+    streaming_heavy_hitters,
+)
 from scala_etl_test_spark.streaming.sources import (
     run_available_now,
     stream_documents_parquet,
@@ -38,7 +43,10 @@ __all__ = [
     "dedup_events_within_watermark",
     "hourly_rollup",
     "init_index",
+    "read_merged_cms",
     "run_available_now",
+    "stream_absorb_cms",
+    "streaming_heavy_hitters",
     "sliding_rollup",
     "stream_incremental_dedup",
     "session_windows",

@@ -422,3 +422,69 @@ def test_stream_weighted_sample_matches_batch(spark, sf_dir, events_dir, tmp_pat
     want = {tuple(r) for r in sampled(batch).collect()}
     assert got == want
     assert 0 < len(got) < batch.count()  # a real sample, not all-or-nothing
+
+
+def test_stream_cms_matches_single_pass_batch(spark, sf_dir, tmp_path):
+    """CMS is a linear sketch: merged per-batch grids must equal the
+    single-pass sketch over the whole data — exact estimate parity."""
+    from scala_etl_test_spark.streaming.sketches import (
+        _batch_sketch,
+        stream_absorb_cms,
+        streaming_heavy_hitters,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "cms_src"
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    # one file per trigger -> three micro-batches
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "cms_state")
+    stream_absorb_cms(sdf, "user_id", state, str(tmp_path / "cms_ckpt"))
+    batches = spark.read.parquet(state).select("batch_id").distinct().count()
+    assert batches >= 3
+    top = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), "user_id")
+        .limit(5)
+        .collect()
+    ]
+    got = {
+        r["key"]: (r["estimate"], r["stream_total"])
+        for r in streaming_heavy_hitters(spark, state, top).collect()
+    }
+    # single-pass reference sketch over the full table
+    row = _batch_sketch(ev, "user_id", 0.001, 0.99, 42).first()
+    jvm = spark._jvm
+    ref = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["sketch"]))
+    )
+    n = ev.count()
+    for key in top:
+        est, total = got[key]
+        assert est == ref.estimateCount(jvm.java.lang.Long(int(key)))
+        assert total == n
+
+
+def test_stream_cms_replay_overwrites_not_doubles(spark, sf_dir, tmp_path):
+    from scala_etl_test_spark.streaming.dedup import _write_delta
+    from scala_etl_test_spark.streaming.sketches import (
+        _batch_sketch,
+        read_merged_cms,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    state = str(tmp_path / "state")
+    agg = _batch_sketch(ev, "user_id", 0.001, 0.99, 42)
+    _write_delta(agg, state, 0, single_file=True)
+    _write_delta(agg, state, 0, single_file=True)  # at-least-once replay
+    _, total = read_merged_cms(spark, state)
+    assert total == ev.count()  # replayed batch replaced, not doubled
