@@ -552,3 +552,66 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str,
+    table_size: int = 1_000_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """word2vec-style negative-sampling table: each word owns a slot range
+    of the ``table_size``-entry table proportional to ``count^0.75``
+    (Mikolov et al. 2013's smoothing exponent) — sampling a uniform slot
+    then looking up its owner draws negatives from the smoothed unigram
+    distribution.
+
+    Determinism contract: ``count^0.75`` is computed as
+    ``sqrt(sqrt(count³))`` — cube exact in a double for counts < 2.1e5,
+    and ``sqrt`` is IEEE correctly-rounded everywhere, unlike ``pow``
+    whose last ULP is engine-specific. The weight is then fixed-point
+    quantized and the cumulative sums are pure int64 — no float
+    ACCUMULATION anywhere (DuckDB computes window sums with a segment
+    tree, so a float cumsum would not even match its own left-to-right
+    order). Slot boundaries are then ``floor((cum/total)·T)`` on doubles:
+    a single identical expression over exact integer inputs, so both
+    engines see the same value (``cum·T`` stays out of int64 overflow
+    range this way). The cumsum window runs over the vocabulary (bounded
+    ≪ corpus; shard by hash prefix at extreme vocab sizes).
+
+    Returns (word, n_word, slot_start, slot_end) — half-open [start, end)
+    ranges partitioning [0, table_size); ordering is (count desc, word).
+    """
+    from pyspark.sql import Window
+
+    from scala_etl_test_spark.operators.dedup import words as _words
+
+    counts = (
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    cube = F.col("n_word") * F.col("n_word") * F.col("n_word")
+    weight_q = F.round(
+        F.sqrt(F.sqrt(cube.cast("double"))) * scale, 0
+    ).cast("long")
+    w = Window.orderBy(F.col("n_word").desc(), F.col("word")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("_wq", weight_q).withColumn(
+        "_cum", F.sum("_wq").over(w)
+    )
+    total = cum.agg(F.max("_cum").alias("_total"))
+    j = cum.join(F.broadcast(total))
+    tot_d = F.col("_total").cast("double")
+    start = F.floor(
+        (F.col("_cum") - F.col("_wq")).cast("double") / tot_d * table_size
+    ).cast("long")
+    end = F.floor(F.col("_cum").cast("double") / tot_d * table_size).cast("long")
+    return j.select(
+        "word",
+        "n_word",
+        start.alias("slot_start"),
+        end.alias("slot_end"),
+    )

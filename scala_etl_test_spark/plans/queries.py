@@ -2371,6 +2371,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "negative_sampling",
     "events_trend",
     "sessions_max_concurrency",
     "pmi_collocations",

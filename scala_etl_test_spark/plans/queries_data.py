@@ -235,6 +235,43 @@ WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >=
 """
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table
+    (operators/text.py:negative_sampling_table): count^0.75 via
+    sqrt(sqrt(count³)) (correctly-rounded, unlike pow), fixed-point
+    weights, int64 cumsum, slot ranges proportional on the million-entry
+    table."""
+    return X.negative_sampling_table(_t(spark, sf_dir, "documents"), "text")
+
+
+SQL_NEGATIVE_SAMPLING = f"""
+WITH uc AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+wq AS (
+  SELECT word, n_word,
+         CAST(round(sqrt(sqrt(CAST(n_word * n_word * n_word AS DOUBLE))) * 1000000)
+              AS BIGINT) AS _wq
+  FROM uc
+),
+cum AS (
+  SELECT word, n_word, _wq,
+         SUM(_wq) OVER (ORDER BY n_word DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM wq
+),
+tot AS (SELECT MAX(_cum) AS _total FROM cum)
+SELECT word, CAST(n_word AS BIGINT) AS n_word,
+       CAST(floor(CAST(_cum - _wq AS DOUBLE) / CAST(_total AS DOUBLE) * 1000000)
+            AS BIGINT) AS slot_start,
+       CAST(floor(CAST(_cum AS DOUBLE) / CAST(_total AS DOUBLE) * 1000000)
+            AS BIGINT) AS slot_end
+FROM cum, tot
+"""
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI with min_count=5
     (operators/text.py:pmi_collocations) — the phrase-detection pass that
@@ -2695,6 +2732,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_residual_topk": q_ann_ivfpq_residual_topk,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "pmi_collocations": q_pmi_collocations,
+    "negative_sampling": q_negative_sampling,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2760,4 +2798,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_residual_topk": SQL_ANN_IVFPQ_RESIDUAL_TOPK,
     "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "negative_sampling": SQL_NEGATIVE_SAMPLING,
 }

@@ -201,3 +201,37 @@ def test_winnow_overlap_pairs_cap_and_threshold(spark):
     assert all(r["n_shared"] >= 2 for r in pairs)
     # a cap of 1 drops every shared fingerprint bucket -> no pairs survive
     assert winnow_overlap_pairs(fps, "doc_id", min_shared=1, max_bucket=1).count() == 0
+
+
+class TestNegativeSamplingTable:
+    def test_ranges_partition_table_and_scale_with_smoothed_counts(self, spark):
+        from scala_etl_test_spark.operators.text import negative_sampling_table
+
+        rows = [(0, "a " * 81 + "b " * 16 + "c")]  # counts 81, 16, 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            negative_sampling_table(df, "text", table_size=1000).collect(),
+            key=lambda r: r["slot_start"],
+        )
+        # half-open ranges tile [0, 1000) in (count desc, word) order
+        assert got[0]["slot_start"] == 0
+        assert got[-1]["slot_end"] == 1000
+        for prev, cur in zip(got, got[1:]):
+            assert prev["slot_end"] == cur["slot_start"]
+        # 81^0.75=27, 16^0.75=8, 1^0.75=1 -> shares 27/36, 8/36, 1/36
+        by_word = {r["word"]: r["slot_end"] - r["slot_start"] for r in got}
+        assert abs(by_word["a"] - 750) <= 1
+        assert abs(by_word["b"] - 222) <= 1
+        assert abs(by_word["c"] - 28) <= 1
+
+    def test_partitioning_invariant(self, spark):
+        from scala_etl_test_spark.operators.text import negative_sampling_table
+
+        rows = [(i, "x y z " * (i % 7 + 1)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {tuple(r) for r in negative_sampling_table(df, "text").collect()}
+        b = {
+            tuple(r)
+            for r in negative_sampling_table(df.repartition(9), "text").collect()
+        }
+        assert a == b
