@@ -143,14 +143,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # "value" is the SAME 21-query subtotal BENCH_r01 established BASELINE
+    # with — new headline queries must not masquerade as a slowdown of the
+    # baseline metric. The grown set's total ships alongside it.
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(t for n, t in timings.items() if n in BASELINE21), 3),
         "unit": "sec",
         "queries": timings,
-        "baseline21_total": round(
-            sum(t for n, t in timings.items() if n in BASELINE21), 3
-        ),
+        "extended_total": round(sum(timings.values()), 3),
+        "extended_n": len(timings),
         "sf": sf_val,
         "cpus": int(cpus),
     }
