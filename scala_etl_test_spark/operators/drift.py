@@ -37,8 +37,17 @@ def psi_drift(
     """Per-``group_col`` PSI of ``value_col`` between the early and late
     halves of ``time_col``'s observed range.
 
+    Rows with a NULL value or NULL timestamp are EXCLUDED (a NULL metric
+    has no bin and a NULL time has no half; counting them anywhere would
+    silently distort the shares). The PSI sums over ALL ``n_bins`` bins —
+    a bin empty in both halves still contributes its smoothed term
+    whenever the half sizes differ, exactly as the share formula above
+    states. A constant metric (vmax == vmin) degenerates to every row in
+    bin 0 and PSI 0 rather than a division by zero.
+
     Returns (group, n_early, n_late, psi, drifted) — ``psi`` rounded for
     cross-engine hash stability, ``drifted`` = psi > threshold."""
+    df = df.filter(F.col(value_col).isNotNull() & F.col(time_col).isNotNull())
     t_us = F.unix_micros(F.col(time_col))
     bounds = df.agg(
         F.min(value_col).alias("_vmin"),
@@ -50,10 +59,15 @@ def psi_drift(
     width = (F.col("_vmax") - F.col("_vmin")) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.col("_vmin")) / width)
     # integer-microsecond midpoint: the early/late split is exact int64
-    # arithmetic, no interval/float timestamp math to drift across engines
+    # arithmetic, no interval/float timestamp math to drift across engines.
+    # The when() guard keeps the division out of the constant-metric branch
+    # (lazy branch evaluation), not just its result.
     binned = b.select(
         F.col(group_col),
-        F.least(F.lit(n_bins - 1), raw_bin).cast("int").alias("bin"),
+        F.when(F.col("_vmax") == F.col("_vmin"), F.lit(0))
+        .otherwise(F.least(F.lit(n_bins - 1), raw_bin))
+        .cast("int")
+        .alias("bin"),
         (t_us * 2 < F.col("_tmin") + F.col("_tmax")).alias("early"),
     )
     counts = binned.groupBy(group_col, "bin").agg(
@@ -63,7 +77,14 @@ def psi_drift(
     totals = counts.groupBy(group_col).agg(
         F.sum("n_early_bin").alias("n_early"), F.sum("n_late_bin").alias("n_late")
     )
-    j = counts.join(totals, on=group_col)
+    # full (group × bin) grid: bins unoccupied in BOTH halves still carry
+    # a smoothed term when n_early != n_late — dropping them biases PSI low
+    grid = totals.crossJoin(
+        df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    j = grid.join(counts, on=[group_col, "bin"], how="left").fillna(
+        0, subset=["n_early_bin", "n_late_bin"]
+    )
     p = (F.col("n_early_bin") + 0.5) / (F.col("n_early") + n_bins * 0.5)
     q = (F.col("n_late_bin") + 0.5) / (F.col("n_late") + n_bins * 0.5)
     term = (p - q) * F.log(p / q)

@@ -143,6 +143,62 @@ def pq_encode(
     return df.select(F.col(id_col), *extra, codes.alias("codes"))
 
 
+def _codebook_dims(codebook: list[list[list[int]]], query: list[float]) -> int:
+    """Validate query dim against the codebook; return dsub."""
+    m = len(codebook)
+    d = sum(len(cb[0]) for cb in codebook)
+    if len(query) != d:
+        raise ValueError(f"query dim {len(query)} != codebook dim {d}")
+    return d // m
+
+
+def _query_dtab(
+    qq: list[int], codebook: list[list[list[int]]], dsub: int
+) -> list[list[int]]:
+    """The ``m×k`` exact-int distance table of a quantized query against
+    every codeword — the per-query driver-side artifact of ADC."""
+    return [
+        [
+            sum((qq[s * dsub + i] - cw[i]) ** 2 for i in range(dsub))
+            for cw in codebook[s]
+        ]
+        for s in range(len(codebook))
+    ]
+
+
+def _adc_rank(
+    encoded: DataFrame, lookup: Column, k: int, id_col: str
+) -> DataFrame:
+    """Row-local ADC scoring against a literal lookup (array-of-arrays for
+    one table, a per-cell map's value for residual IVFADC) into
+    TakeOrderedAndProject (ascending distance, ties by id)."""
+    total = F.aggregate(
+        F.zip_with(lookup, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        encoded.select(F.col(id_col), total.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _probe_cells(centroids: DataFrame, query: list[float], nprobe: int) -> DataFrame:
+    """The ``nprobe`` centroids nearest the query by cosine (ties → smaller
+    centroid id) — the shared IVF routing step."""
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+    from scala_etl_test_spark.operators.similarity import _as_double_array
+
+    return (
+        centroids.withColumn(
+            "_sim", cosine_similarity("centroid_vec", _as_double_array(query))
+        )
+        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebook: list[list[list[int]]],
@@ -155,34 +211,10 @@ def pq_adc_topk(
     row's approximate distance is ``m`` array lookups + adds — a single
     scan of the code table into TakeOrderedAndProject (ascending distance,
     ties by id)."""
-    m = len(codebook)
-    d = sum(len(cw) for cw in (cb[0] for cb in codebook))
-    if len(query) != d:
-        raise ValueError(f"query dim {len(query)} != codebook dim {d}")
-    dsub = d // m
-    qq = [_quantize_py(x) for x in query]
-    dtab = [
-        [
-            sum((qq[s * dsub + i] - cw[i]) ** 2 for i in range(dsub))
-            for cw in codebook[s]
-        ]
-        for s in range(m)
-    ]
+    dsub = _codebook_dims(codebook, query)
+    dtab = _query_dtab([_quantize_py(x) for x in query], codebook, dsub)
     lookup = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
-    total = F.aggregate(
-        F.zip_with(
-            lookup,
-            F.col("codes"),
-            lambda row, c: F.element_at(row, c + 1),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        encoded.select(F.col(id_col), total.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
-        .limit(k)
-    )
+    return _adc_rank(encoded, lookup, k, id_col)
 
 
 def ivf_pq_topk(
@@ -205,15 +237,8 @@ def ivf_pq_topk(
     (from :func:`similarity.ivf_assign` before encoding). This variant
     encodes raw vectors; residual PQ (encode ``x − centroid``) is the
     standard refinement when recall at low nprobe matters."""
-    from scala_etl_test_spark.functions.vectors import cosine_similarity
-    from scala_etl_test_spark.operators.similarity import _as_double_array
-
-    qcol = _as_double_array(query)
-    probe = (
-        centroids.withColumn("_sim", cosine_similarity("centroid_vec", qcol))
-        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
-        .limit(nprobe)
-        .select(F.col("centroid_id").alias("cluster_id"))
+    probe = _probe_cells(centroids, query, nprobe).select(
+        F.col("centroid_id").alias("cluster_id")
     )
     probed = encoded.join(F.broadcast(probe), on="cluster_id")
     return pq_adc_topk(probed.select(id_col, "codes"), codebook, query, k=k, id_col=id_col)
@@ -308,49 +333,22 @@ def ivf_pq_residual_topk(
     plan as one literal map ``cluster_id → m×k table``, so scoring is
     still row-local: map lookup + m array reads + adds into
     TakeOrderedAndProject."""
-    from scala_etl_test_spark.functions.vectors import cosine_similarity
-    from scala_etl_test_spark.operators.similarity import _as_double_array
-
-    m = len(codebook)
-    d = len(query)
-    dsub = d // m
+    dsub = _codebook_dims(codebook, query)
     probe_rows = (
-        centroids.withColumn(
-            "_sim", cosine_similarity("centroid_vec", _as_double_array(query))
-        )
-        .orderBy(F.col("_sim").desc(), F.col("centroid_id"))
-        .limit(nprobe)
+        _probe_cells(centroids, query, nprobe)
         .select("centroid_id", "centroid_vec")
         .collect()
     )
     map_args: list[Column] = []
     for r in probe_rows:
         qres = [float(q) - float(c) for q, c in zip(query, r["centroid_vec"])]
-        qq = [_quantize_py(x) for x in qres]
-        dtab = [
-            [
-                sum((qq[s * dsub + i] - cw[i]) ** 2 for i in range(dsub))
-                for cw in codebook[s]
-            ]
-            for s in range(m)
-        ]
+        dtab = _query_dtab([_quantize_py(x) for x in qres], codebook, dsub)
         map_args.append(F.lit(r["centroid_id"]))
         map_args.append(F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab]))
     lookup = F.create_map(*map_args)
     probed = encoded.filter(
         F.col("cluster_id").isin([r["centroid_id"] for r in probe_rows])
     )
-    total = F.aggregate(
-        F.zip_with(
-            F.element_at(lookup, F.col("cluster_id")),
-            F.col("codes"),
-            lambda row, c: F.element_at(row, c + 1),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        probed.select(F.col(id_col), total.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
-        .limit(k)
+    return _adc_rank(
+        probed, F.element_at(lookup, F.col("cluster_id")), k, id_col
     )

@@ -20,6 +20,27 @@ sized for the gate's sf.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def cms_sketch_agg(col: str, eps: float, confidence: float, seed: int):
+    """The ``count_min_sketch`` aggregate expression — ONE definition shared
+    by the batch operator and the streaming absorber so their grids stay
+    mergeable (same eps/confidence/seed handling by construction)."""
+    return F.expr(
+        f"count_min_sketch({col}, cast({eps} as double), "
+        f"cast({confidence} as double), {seed})"
+    )
+
+
+def read_cms(spark, blob: bytes):
+    """Deserialize a CMS binary back to the JVM sketch object."""
+    jvm = spark._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
 
 
 def cms_heavy_hitters(
@@ -37,23 +58,26 @@ def cms_heavy_hitters(
     Returns (key, exact_count, within_bound) ordered by (count desc, key).
     The sketch is a driver-side model artifact (``d×w`` longs); the
     ``top_n`` point queries against it are bounded driver work, not a data
-    collect."""
+    collect. The column must be integral (the point query boxes keys as
+    long, matching how the aggregate hashed them); NULL keys are excluded
+    — a NULL has no CMS item to query."""
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, _INTEGRAL):
+        raise ValueError(
+            f"cms_heavy_hitters needs an integral key column; {col} is {dtype}"
+        )
+    df = df.filter(F.col(col).isNotNull())
     spark = df.sparkSession
     # one aggregate yields the sketch AND the total row count (the ε bound
     # is relative to N); the binary is the standard mergeable CMS the SQL
     # aggregate built map-side per partition
     agg = df.agg(
-        F.expr(
-            f"count_min_sketch({col}, cast({eps} as double), "
-            f"cast({confidence} as double), {seed})"
-        ).alias("_sketch"),
+        cms_sketch_agg(col, eps, confidence, seed).alias("_sketch"),
         F.count(F.lit(1)).alias("_n"),
     ).first()
     total = agg["_n"]
     jvm = spark._jvm
-    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(agg["_sketch"]))
-    )
+    sketch = read_cms(spark, agg["_sketch"])
     exact_top = (
         df.groupBy(F.col(col).alias("key"))
         .agg(F.count(F.lit(1)).alias("exact_count"))

@@ -1485,16 +1485,21 @@ def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_DRIFT_PSI = """
-WITH bounds AS (
+WITH src AS (
+  SELECT * FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (
   SELECT MIN(value) AS vmin, MAX(value) AS vmax,
          MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
-  FROM events
+  FROM src
 ),
 binned AS (
   SELECT event_type,
-         LEAST(9, CAST(FLOOR((value - vmin) / ((vmax - vmin) / 10)) AS INT)) AS bin,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE LEAST(9, CAST(FLOOR((value - vmin) / ((vmax - vmin) / 10)) AS INT))
+         END AS bin,
          (epoch_us(ts) * 2 < tmin + tmax) AS early
-  FROM events, bounds
+  FROM src, bounds
 ),
 counts AS (
   SELECT event_type, bin,
@@ -1506,12 +1511,22 @@ tot AS (
   SELECT event_type, SUM(ne) AS n_early, SUM(nl) AS n_late
   FROM counts GROUP BY 1
 ),
+grid AS (
+  SELECT t.event_type, t.n_early, t.n_late, CAST(b.bin AS INT) AS bin
+  FROM tot t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+),
+filled AS (
+  SELECT g.event_type, g.n_early, g.n_late,
+         COALESCE(c.ne, 0) AS ne, COALESCE(c.nl, 0) AS nl
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.bin = c.bin
+),
 terms AS (
-  SELECT c.event_type, t.n_early, t.n_late,
-         ((c.ne + 0.5) / (t.n_early + 5.0) - (c.nl + 0.5) / (t.n_late + 5.0))
-         * ln(((c.ne + 0.5) / (t.n_early + 5.0))
-              / ((c.nl + 0.5) / (t.n_late + 5.0))) AS term
-  FROM counts c JOIN tot t USING (event_type)
+  SELECT event_type, n_early, n_late,
+         ((ne + 0.5) / (n_early + 5.0) - (nl + 0.5) / (n_late + 5.0))
+         * ln(((ne + 0.5) / (n_early + 5.0))
+              / ((nl + 0.5) / (n_late + 5.0))) AS term
+  FROM filled
 )
 SELECT event_type,
        CAST(n_early AS BIGINT) AS n_early,

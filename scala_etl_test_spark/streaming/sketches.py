@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from scala_etl_test_spark.operators.sketches import cms_sketch_agg, read_cms
 from scala_etl_test_spark.streaming.dedup import _write_delta
 
 CMS_EPS = 0.001
@@ -30,10 +31,7 @@ CMS_SEED = 42
 
 def _batch_sketch(df: DataFrame, col: str, eps: float, confidence: float, seed: int):
     return df.agg(
-        F.expr(
-            f"count_min_sketch({col}, cast({eps} as double), "
-            f"cast({confidence} as double), {seed})"
-        ).alias("sketch"),
+        cms_sketch_agg(col, eps, confidence, seed).alias("sketch"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -71,15 +69,14 @@ def read_merged_cms(spark: SparkSession, state_dir: str):
     """Fold all per-batch grids into one sketch: returns (jvm CountMinSketch,
     total rows). Driver-side model-artifact work — each grid is a few KB."""
     rows = spark.read.parquet(state_dir).select("sketch", "n").collect()
-    jvm = spark._jvm
     merged = None
     total = 0
     for r in rows:
-        if r["sketch"] is None:  # empty micro-batch aggregates to NULL
+        # defensive only: count_min_sketch over ZERO rows still returns a
+        # serialized (empty) sketch, not NULL — verified in this env
+        if r["sketch"] is None:
             continue
-        s = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            jvm.java.io.ByteArrayInputStream(bytes(r["sketch"]))
-        )
+        s = read_cms(spark, r["sketch"])
         total += int(r["n"])
         if merged is None:
             merged = s
@@ -92,16 +89,18 @@ def streaming_heavy_hitters(
     spark: SparkSession,
     state_dir: str,
     candidates: list[int],
-    eps: float = CMS_EPS,
 ) -> DataFrame:
     """Point-query the merged stream state for candidate keys:
-    (key, estimate). Estimates carry the usual CMS guarantee relative to
-    the TOTAL streamed rows (exact ≤ est ≤ exact + ε·N w.p. 1−δ)."""
+    (key, estimate, stream_total). Estimates inherit the absorbing
+    sketch's CMS guarantee relative to ``stream_total`` rows (exact ≤ est
+    ≤ exact + ε·N w.p. 1−δ for the ε the state was built with); the bound
+    itself is checked batch-side by
+    :func:`operators.sketches.cms_heavy_hitters`, which has the exact
+    counts this point query deliberately avoids."""
     sketch, total = read_merged_cms(spark, state_dir)
     jvm = spark._jvm
     out = []
     for key in candidates:
         est = 0 if sketch is None else sketch.estimateCount(jvm.java.lang.Long(int(key)))
-        out.append((int(key), int(est)))
-    df = spark.createDataFrame(out, "key long, estimate long")
-    return df.withColumn("stream_total", F.lit(int(total)))
+        out.append((int(key), int(est), int(total)))
+    return spark.createDataFrame(out, "key long, estimate long, stream_total long")

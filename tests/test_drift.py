@@ -70,3 +70,46 @@ def test_events_trend_recovers_planted_slope(spark, tmp_path):
     assert got["linear"]["slope_per_day"] == 2.0
     assert got["linear"]["pearson_r"] == 1.0
     assert got["flat"]["slope_per_day"] == 0.0
+
+
+def test_constant_metric_no_division_error(spark):
+    rows = [("a", 5.0, _t(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    r = psi_drift(df, "g", "value", "ts").collect()[0]
+    assert r["psi"] == 0.0 and not r["drifted"]
+
+
+def test_null_value_and_ts_rows_excluded(spark):
+    rows = [("a", float(i % 10), _t(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    with_nulls = df.unionByName(
+        spark.createDataFrame(
+            [("a", None, _t(1)), ("a", 3.0, None)],
+            "g string, value double, ts timestamp",
+        )
+    )
+    clean = psi_drift(df, "g", "value", "ts").collect()[0]
+    noisy = psi_drift(with_nulls, "g", "value", "ts").collect()[0]
+    assert tuple(clean) == tuple(noisy)
+
+
+def test_unbalanced_halves_count_empty_bins(spark):
+    """Bins empty in BOTH halves still contribute their smoothed term when
+    the half sizes differ — all values land in one bin but psi > 0."""
+    rows = [("a", 1.0, _t(i)) for i in range(10)] + [
+        ("a", 1.0, _t(1000 + i)) for i in range(90)
+    ]
+    # constant metric -> bin 0 only; halves 10 vs 90
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+    r = psi_drift(df, "g", "value", "ts").collect()[0]
+    # p0=(10.5/15), q0=(90.5/95): occupied-bin term plus 9 empty-bin terms
+    import math
+
+    expect = sum(
+        (p - q) * math.log(p / q)
+        for p, q in [
+            ((10 + 0.5) / 15.0, (90 + 0.5) / 95.0),
+            *[((0.5) / 15.0, (0.5) / 95.0)] * 9,
+        ]
+    )
+    assert abs(r["psi"] - round(expect, 6)) < 1e-9

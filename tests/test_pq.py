@@ -202,3 +202,16 @@ def test_residual_pq_roundtrip_and_probe_restriction(emb):
     assert all(cells[r["vec_id"]] in probe for r in got)
     # the query vector (vec 0, a seed in its own probed cell) has distance 0
     assert got[0]["vec_id"] == 0 and got[0]["adc_dist"] == 0
+
+
+def test_residual_topk_dim_mismatch_raises(emb, codebook):
+    from scala_etl_test_spark.operators.pq import (
+        ivf_pq_residual_topk,
+        residual_pq_encode,
+    )
+    from scala_etl_test_spark.operators.similarity import stride_centroids
+
+    cent = stride_centroids(emb, 4)
+    enc = residual_pq_encode(emb, cent, codebook)
+    with pytest.raises(ValueError):
+        ivf_pq_residual_topk(enc, cent, codebook, [0.0] * 60, k=3)

@@ -38,3 +38,19 @@ def test_partitioning_invariant(spark):
         top_n=5,
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_string_key_column_rejected(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("us",), ("de",)], "country string")
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "country")
+
+
+def test_null_keys_excluded(spark):
+    rows = [(1,)] * 10 + [(None,)] * 5 + [(2,)] * 3
+    df = spark.createDataFrame(rows, "user_id long")
+    got = cms_heavy_hitters(df, "user_id", top_n=5, eps=0.01).collect()
+    assert [(r["key"], r["exact_count"]) for r in got] == [(1, 10), (2, 3)]
+    assert all(r["within_bound"] for r in got)
