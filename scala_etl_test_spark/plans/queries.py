@@ -1441,6 +1441,70 @@ FROM swept
 """
 
 
+_COPURCHASE_MIN_SUPPORT = 3
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together in ≥
+    min_support orders, with lift = P(a,b)/(P(a)·P(b)) over order baskets.
+    The within-basket self-join fans out k²/2 rows per k-item order
+    (k ≈ 10 here — bounded, and the join key is the order, so no
+    all-pairs blowup across orders); per-part totals broadcast back.
+    Top-50 by (support desc, pair) keeps the gate output bounded."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("p1"))
+    b = li.select("ok", F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, on="ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _COPURCHASE_MIN_SUPPORT)
+    )
+    part_n = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders_part"))
+    n_orders = li.select("ok").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        pairs.join(
+            part_n.select(F.col("pk").alias("p1"), F.col("n_orders_part").alias("n1")),
+            on="p1",
+        )
+        .join(
+            part_n.select(F.col("pk").alias("p2"), F.col("n_orders_part").alias("n2")),
+            on="p2",
+        )
+        .join(F.broadcast(n_orders))
+    )
+    lift = (F.col("support") * F.col("_n")) / (F.col("n1") * F.col("n2"))
+    return (
+        j.select("p1", "p2", "support", F.round(lift, 6).alias("lift"))
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+SQL_COPURCHASE_PAIRS = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COPURCHASE_MIN_SUPPORT}
+),
+part_n AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY pk),
+tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li)
+SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+       round((p.support * t.n_orders) / (CAST(a.n AS DOUBLE) * b.n), 6) AS lift
+FROM pairs p
+JOIN part_n a ON p.p1 = a.pk
+JOIN part_n b ON p.p2 = b.pk
+CROSS JOIN tot t
+ORDER BY support DESC, p1, p2
+LIMIT 50
+"""
+
+
 _TREND_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01 UTC; any fixed origin works
 
 
@@ -2291,6 +2355,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drift_psi": q_events_drift_psi,
     "sessions_max_concurrency": q_sessions_max_concurrency,
     "events_trend": q_events_trend,
+    "copurchase_pairs": q_copurchase_pairs,
     "events_sliding_window": q_events_sliding_window,
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
@@ -2352,6 +2417,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
     "sessions_max_concurrency": SQL_SESSIONS_MAX_CONCURRENCY,
     "events_trend": SQL_EVENTS_TREND,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "scd2_customer_status": SQL_SCD2_CUSTOMER_STATUS,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
@@ -2386,6 +2452,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "copurchase_pairs",
     "negative_sampling",
     "events_trend",
     "sessions_max_concurrency",

@@ -110,3 +110,16 @@ def test_sessions_max_concurrency_hand_case(spark, tmp_path):
     r = q_sessions_max_concurrency(spark, str(tmp_path)).collect()[0]
     assert r["n_sessions"] == 4
     assert r["max_concurrent"] == 2
+
+
+def test_copurchase_pairs_hand_case(spark, tmp_path):
+    """3 orders: {1,2,3}, {1,2}, {1,2,4} -> pair (1,2) support 3, lift
+    computed over 3 baskets: 3*3/(3*3) = 1.0; pairs below min_support drop."""
+    from scala_etl_test_spark.plans.queries import q_copurchase_pairs
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2), (3, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = q_copurchase_pairs(spark, str(tmp_path)).collect()
+    assert [(r["p1"], r["p2"], r["support"]) for r in got] == [(1, 2, 3)]
+    assert got[0]["lift"] == 1.0
