@@ -81,13 +81,20 @@ def bpe_merges(
         raise ValueError("num_merges must be >= 1")
     # One corpus-sized job here, then every iteration is vocab-sized: the
     # initial type table is materialized so no step re-scans the corpus.
-    words = word_counts.select(
-        F.expr(
-            f"transform(sequence(1, length({word_col})), "
-            f"i -> substring({word_col}, i, 1))"
-        ).alias("syms"),
-        F.col(count_col).cast("long").alias("_n"),
-    ).localCheckpoint()
+    # Empty-string word types are dropped: sequence(1, length('')) is the
+    # DESCENDING [1, 0] in Spark, which would split '' into ["", ""] and
+    # fabricate a ('','') pair weighted by the type's count.
+    words = (
+        word_counts.filter(F.length(F.col(word_col)) > 0)
+        .select(
+            F.expr(
+                f"transform(sequence(1, length({word_col})), "
+                f"i -> substring({word_col}, i, 1))"
+            ).alias("syms"),
+            F.col(count_col).cast("long").alias("_n"),
+        )
+        .localCheckpoint()
+    )
 
     steps: list[DataFrame] = []
     for s in range(1, num_merges + 1):
@@ -198,18 +205,24 @@ def bpe_encode(
         F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
     ).filter(F.col("word") != "")
 
-    merge_lit = F.array(
-        *[
-            F.struct(F.lit(l).alias("lhs"), F.lit(r).alias("rhs"))
-            for l, r in merges
-        ]
-    )
     chars0 = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
-    syms = F.aggregate(
-        merge_lit, chars0, lambda acc, m: _rewrite(acc, m["lhs"], m["rhs"])
-    )
+    if merges:
+        merge_lit = F.array(
+            *[
+                F.struct(F.lit(l).alias("lhs"), F.lit(r).alias("rhs"))
+                for l, r in merges
+            ]
+        )
+        syms = F.aggregate(
+            merge_lit, chars0, lambda acc, m: _rewrite(acc, m["lhs"], m["rhs"])
+        )
+    else:
+        # a legitimately empty merge list (single-char training corpus)
+        # means character-level tokens; an empty F.array() literal is
+        # array<null> and would fail the lambda's field access
+        syms = chars0
     types_enc = word_long.select("word").distinct().select(
         "word", syms.alias("syms")
     )

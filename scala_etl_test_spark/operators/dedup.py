@@ -191,6 +191,12 @@ def minhash_signatures(
 def lsh_bands(signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
     """(id, band_idx, band_hash): hash each band of ``rows`` consecutive
     signature entries. bands*rows must equal the signature width."""
+    width = sum(1 for c in signatures.columns if c.startswith("s") and c[1:].isdigit())
+    if bands * rows != width:
+        raise ValueError(
+            f"bands*rows = {bands * rows} must equal the signature width {width} "
+            "(a smaller product silently ignores hashes you paid to compute)"
+        )
     pairs = []
     for b in range(bands):
         cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
@@ -227,14 +233,24 @@ def lsh_candidate_pairs(
     )
 
 
-def _pair_overlap(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFrame:
+def _pair_overlap(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    keep_zero_overlap: bool = False,
+) -> DataFrame:
     """(id_a, id_b, n_common, size_a, size_b) for candidate pairs against a
     distinct (id, sh_h) table — the shared core of Jaccard and
     containment verification. The equi-join on BOTH (id, sh_h) touches
     only matching shingle hashes per pair (O(|A ∩ B|)), never the per-pair
     cross product, and set sizes come from one aggregation of the same
     table. Joining on the 60-bit hash instead of the shingle string keeps
-    the heaviest join narrow (see :func:`shingle_table`)."""
+    the heaviest join narrow (see :func:`shingle_table`).
+
+    Default contract: pairs with NO shingle overlap are absent from the
+    output (the inner join never sees them) — correct and cheapest for
+    thresholded pipelines. Pass ``keep_zero_overlap=True`` to get an
+    explicit n_common = 0 row per such pair instead."""
     shingles = shingles.select(F.col(id_col).alias("_id"), "sh_h")
     sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
     sh_a = shingles.select(F.col("_id").alias("id_a"), "sh_h")
@@ -245,6 +261,16 @@ def _pair_overlap(pairs: DataFrame, shingles: DataFrame, id_col: str) -> DataFra
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if keep_zero_overlap:
+        # surface DISJOINT pairs as n_common = 0 instead of dropping them —
+        # for callers that expect one verification row per input pair. Costs
+        # a second consumption of the candidate subtree (left-join back), so
+        # it is opt-in; the thresholded dedup pipelines never need it.
+        common = (
+            pairs.select("id_a", "id_b")
+            .join(common, on=["id_a", "id_b"], how="left")
+            .fillna(0, subset=["n_common"])
+        )
     return (
         common.join(sizes.select(F.col("_id").alias("id_a"), F.col("set_size").alias("size_a")), on="id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("set_size").alias("size_b")), on="id_b")
@@ -258,14 +284,16 @@ def jaccard_for_pairs(
     id_col: str,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    keep_zero_overlap: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (see
-    :func:`_pair_overlap` for the join shape). Pass ``shingles`` (from
-    :func:`shingle_table`) to share the exploded table with signature
-    computation instead of rescanning raw text."""
+    :func:`_pair_overlap` for the join shape and the zero-overlap
+    contract). Pass ``shingles`` (from :func:`shingle_table`) to share the
+    exploded table with signature computation instead of rescanning raw
+    text."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    return _pair_overlap(pairs, shingles, id_col).select(
+    return _pair_overlap(pairs, shingles, id_col, keep_zero_overlap).select(
         "id_a",
         "id_b",
         (
@@ -281,16 +309,18 @@ def containment_for_pairs(
     id_col: str,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    keep_zero_overlap: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle containment per candidate pair:
     ``containment_a = |A∩B| / |A|`` (how much of A is inside B) and the
     symmetric twin for B. Catches subsumption that Jaccard misses — a doc
     quoted whole inside a much larger doc has low Jaccard but containment
     ≈ 1, the criterion corpus-curation pipelines (e.g. quote/boilerplate
-    stripping) act on. Shares :func:`_pair_overlap` with Jaccard."""
+    stripping) act on. Shares :func:`_pair_overlap` with Jaccard (and its
+    zero-overlap contract)."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    return _pair_overlap(pairs, shingles, id_col).select(
+    return _pair_overlap(pairs, shingles, id_col, keep_zero_overlap).select(
         "id_a",
         "id_b",
         (F.col("n_common") / F.col("size_a")).alias("containment_a"),
@@ -602,8 +632,11 @@ def prefix_jaccard_join(
     knobs; ``threshold`` should be exactly representable in binary (0.5,
     0.25, 0.75…) so ⌈t·n⌉ is the same integer everywhere."""
     if shingles is None:
-        shingles = shingle_table(df, text_col, id_col, shingle_n)
-    shingles = shingles.localCheckpoint()
+        # materialize only a table we built ourselves: a caller-supplied
+        # shingle table is typically already persisted for sharing across
+        # the dedup family, and re-checkpointing it would double both the
+        # job and the block-storage copy
+        shingles = shingle_table(df, text_col, id_col, shingle_n).localCheckpoint()
     sh = shingles.select(F.col(id_col), "sh_h")
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_freq"))
     per_doc = (

@@ -135,16 +135,23 @@ def token_budget_allocation(
         raise ValueError("budget must be >= 0")
     from pyspark.sql import Window
 
-    from scala_etl_test_spark.functions.cleaning import int_div
-
     w_all = Window.partitionBy()
+    # tokens×budget in DECIMAL(38,0): the int64 product wraps at corpus
+    # scale (1e10 tokens × 1e9 budget), silently corrupting every
+    # allocation. DIV on decimals is exact integral division and the
+    # quotient itself always fits a long (base ≤ budget).
     g = (
         df.groupBy(F.col(group_col))
         .agg(F.sum(F.col(token_col)).cast("long").alias("group_tokens"))
-        .withColumn("_num", F.col("group_tokens") * budget)
+        .withColumn(
+            "_num", F.col("group_tokens").cast("decimal(38,0)") * F.lit(budget)
+        )
         .withColumn("_total", F.sum("group_tokens").over(w_all))
-        .withColumn("_base", int_div("_num", "_total"))
-        .withColumn("_rem", F.col("_num") % F.col("_total"))
+        .withColumn("_base", F.expr("CAST(_num DIV _total AS LONG)"))
+        .withColumn(
+            "_rem",
+            F.col("_num") - F.col("_base").cast("decimal(38,0)") * F.col("_total"),
+        )
     )
     ranked = g.withColumn(
         "_rn",
@@ -259,6 +266,11 @@ def dsir_importance_weights(
     feature stream) — so the only corpus-sized shuffle is the final per-id
     aggregation. The target corpus is typically a small exemplar set; its
     scan is a side input, never joined row-to-row against the source.
+
+    Cache lifecycle: the source feature explode stays persisted for the
+    returned frame's lifetime — the CALLER owns the cache (unpersist via
+    ``spark.catalog.clearCache()`` or keep a handle), same contract as
+    :func:`bigram_lm_scores`.
     """
     src_f = _hashed_gram_buckets(source, text_col, id_col, n_buckets).persist()
     tgt_f = _hashed_gram_buckets(target, text_col, id_col, n_buckets)

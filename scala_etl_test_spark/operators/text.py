@@ -123,7 +123,15 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex token count (letters runs, single
-    digits, single punctuation — a deterministic proxy for subword count)."""
+    digits, single punctuation — a deterministic proxy for subword count).
+
+    Known convention (shared with the DuckDB oracle and
+    :func:`text_stats`): an empty/whitespace-only text reports
+    ``ws_tokens = 1``, because ``split('')`` is ``[""]`` in both engines.
+    Such degenerate docs are rejected by the quality gate's
+    ``n_words >= 5`` floor before any token accounting that matters;
+    counting them as 0 here would instead push NULL/NaN into every
+    per-word ratio downstream."""
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
@@ -329,8 +337,12 @@ def unigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     model = freq.crossJoin(F.broadcast(total)).select(
         "word", (-F.log2(F.col("c") / F.col("total"))).alias("neg_log2_p")
     )
+    # no forced broadcast of the model: the unigram table grows with the
+    # corpus (Heaps' law) and a hint would collect it to the driver at
+    # exactly the scale this module targets — let AQE pick broadcast while
+    # it fits and shuffle-hash once it doesn't
     return (
-        tok.join(F.broadcast(model), on="word")
+        tok.join(model, on="word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -447,9 +459,15 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Scale shape: bigrams are materialized row-locally from the word array
     (no self-join, no window), one persisted explode feeds both the model
-    counts and the scoring join, and both model tables are vocab²-bounded
-    (≪ corpus) → broadcast joins; V is a single-row aggregate. One
-    corpus-sized groupBy on the document id finishes the score.
+    counts and the scoring join; V is a single-row aggregate (the only
+    forced broadcast — the bigram/unigram count tables grow with the
+    corpus, so their join strategy is left to AQE). One corpus-sized
+    groupBy on the document id finishes the score.
+
+    Cache lifecycle: the bigram explode stays persisted for the returned
+    frame's lifetime — the CALLER owns the cache (unpersist via
+    ``spark.catalog.clearCache()`` or keep a handle), same contract as
+    :func:`dedup.minhash_near_duplicates`'s shared shingle table.
 
     Returns (id, n_bigrams, avg_neg_log2_p), average rounded to 6 (double
     summation order differs across engines)."""
@@ -472,9 +490,12 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.countDistinct("word").alias("v")
     )
     neg = -F.log2((F.col("cb") + F.lit(1.0)) / (F.col("cx") + F.col("v")))
+    # cb/cx grow near-linearly with the corpus (distinct bigram types) —
+    # forcing their broadcast would OOM the driver at scale; only the
+    # 1-row vocab total is a legitimate broadcast hint
     return (
-        pairs.join(F.broadcast(cb), ["w1", "w2"])
-        .join(F.broadcast(cx), "w1")
+        pairs.join(cb, ["w1", "w2"])
+        .join(cx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
@@ -592,10 +613,11 @@ def negative_sampling_table(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
     )
-    cube = F.col("n_word") * F.col("n_word") * F.col("n_word")
-    weight_q = F.round(
-        F.sqrt(F.sqrt(cube.cast("double"))) * scale, 0
-    ).cast("long")
+    # cube in DOUBLE: int64 n³ silently wraps past n ≈ 2.1e6 (a common-word
+    # count at corpus scale); double cubing merely rounds above 2.1e5,
+    # which the fixed-point quantization already absorbs
+    c = F.col("n_word").cast("double")
+    weight_q = F.round(F.sqrt(F.sqrt(c * c * c)) * scale, 0).cast("long")
     w = Window.orderBy(F.col("n_word").desc(), F.col("word")).rowsBetween(
         Window.unboundedPreceding, 0
     )

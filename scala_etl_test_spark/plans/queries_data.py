@@ -252,8 +252,9 @@ WITH uc AS (
 ),
 wq AS (
   SELECT word, n_word,
-         CAST(round(sqrt(sqrt(CAST(n_word * n_word * n_word AS DOUBLE))) * 1000000)
-              AS BIGINT) AS _wq
+         CAST(round(sqrt(sqrt(
+              CAST(n_word AS DOUBLE) * CAST(n_word AS DOUBLE) * CAST(n_word AS DOUBLE)))
+              * 1000000) AS BIGINT) AS _wq
   FROM uc
 ),
 cum AS (
@@ -2078,9 +2079,10 @@ WITH g AS (
 ),
 t AS (SELECT SUM(group_tokens) AS total FROM g),
 b AS (
+  -- HUGEINT product: BIGINT tokens×budget wraps at corpus scale
   SELECT source, group_tokens,
-         (group_tokens * {_TOKEN_BUDGET}) // total AS base,
-         (group_tokens * {_TOKEN_BUDGET}) % total AS rem
+         (CAST(group_tokens AS HUGEINT) * {_TOKEN_BUDGET}) // total AS base,
+         (CAST(group_tokens AS HUGEINT) * {_TOKEN_BUDGET}) % total AS rem
   FROM g, t
 ),
 r AS (

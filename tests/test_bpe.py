@@ -137,3 +137,19 @@ def test_encode_roundtrip_concat(spark):
         (0, 1): "changer",
         (1, 0): "exchange",
     }
+
+
+def test_empty_string_word_type_ignored(spark):
+    wc = {"": 1000, "ab": 3}
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    got = [(r["lhs"], r["rhs"]) for r in bpe_merges(df, 1).collect()]
+    assert got == [("a", "b")]  # the '' type contributes no phantom pair
+
+
+def test_encode_with_empty_merge_list_is_char_level(spark):
+    from scala_etl_test_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(0, "hi there")], "doc_id long, text string")
+    rows = bpe_encode(docs, []).orderBy("pos", "tok_idx").collect()
+    toks = [r["token"] for r in rows]
+    assert toks == list("hi") + list("there")

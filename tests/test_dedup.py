@@ -223,3 +223,20 @@ class TestPrefixJaccardJoin:
             .count()
         )
         assert cand < full
+
+
+def test_zero_overlap_pairs_kept_on_request(spark):
+    from scala_etl_test_spark.operators.dedup import jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    # default: disjoint pair absent
+    assert jaccard_for_pairs(pairs, docs, "text", "doc_id").count() == 0
+    # opt-in: explicit zero row
+    rows = jaccard_for_pairs(
+        pairs, docs, "text", "doc_id", keep_zero_overlap=True
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(0, 1, 0.0)]

@@ -219,3 +219,18 @@ class TestTokenBudget:
 
         with _pytest.raises(ValueError):
             token_budget_allocation(df, "src", "n", -1)
+
+
+def test_token_budget_no_int64_overflow(spark):
+    """tokens×budget beyond int64 must still apportion exactly (decimal)."""
+    from scala_etl_test_spark.operators.sampling import token_budget_allocation
+
+    rows = [("a", 10_000_000_000), ("b", 30_000_000_000)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    budget = 1_000_000_000
+    got = {
+        r["src"]: r["alloc_tokens"]
+        for r in token_budget_allocation(df, "src", "n", budget).collect()
+    }
+    assert sum(got.values()) == budget
+    assert got == {"a": 250_000_000, "b": 750_000_000}
