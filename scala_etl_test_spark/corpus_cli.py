@@ -18,6 +18,10 @@ Artifacts:
                         never straddle a split)
 - ``mixture/``        — √-temperature sampling weight per source (the
                         data-mixing knob for multi-source training)
+- with ``--tokenizer-merges K``: ``tokenizer/merges/`` (the trained BPE
+  merge table), ``tokenizer/tokens/`` (the CLEAN corpus encoded to
+  subword tokens), ``tokenizer/packed/`` (tokens greedily packed into
+  fixed-budget training sequences) — the train → encode → pack last mile.
 """
 
 from __future__ import annotations
@@ -52,6 +56,20 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="drop docs whose top unigram (or bigram) holds more than this "
         "fraction of the doc (Gopher-style repetition gate)",
+    )
+    parser.add_argument(
+        "--tokenizer-merges",
+        type=int,
+        default=None,
+        metavar="K",
+        help="train a K-merge BPE tokenizer on the clean corpus, encode it, "
+        "and pack the tokens into fixed-budget sequences",
+    )
+    parser.add_argument(
+        "--pack-budget",
+        type=int,
+        default=256,
+        help="tokens per packed training sequence (with --tokenizer-merges)",
     )
     args = parser.parse_args(argv)
 
@@ -103,6 +121,36 @@ def main(argv: list[str] | None = None) -> None:
     pairs.unpersist()
 
     mixture_weights(docs, "source").write.mode("overwrite").parquet(f"{args.out}/mixture")
+
+    if args.tokenizer_merges is not None:
+        from scala_etl_test_spark.operators.bpe import (
+            bpe_encode,
+            bpe_merges,
+            collect_merges,
+        )
+        from scala_etl_test_spark.operators.packing import pack_sequences
+
+        clean_docs = docs.join(clean.select("doc_id"), on="doc_id")
+        wc = (
+            clean_docs.select(F.explode(X.words(F.col("text"))).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        merges_df = bpe_merges(wc, args.tokenizer_merges)
+        merges_df.write.mode("overwrite").parquet(f"{args.out}/tokenizer/merges")
+        merges = collect_merges(merges_df)
+        tokens = bpe_encode(clean_docs, merges, "text", "doc_id")
+        tokens.write.mode("overwrite").parquet(f"{args.out}/tokenizer/tokens")
+        counts = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+        packed = pack_sequences(
+            counts.join(splits, on="doc_id"),
+            "n_tokens",
+            "doc_id",
+            "split",
+            budget=args.pack_budget,
+        )
+        packed.write.mode("overwrite").parquet(f"{args.out}/tokenizer/packed")
 
     n_docs, n_clean = docs.count(), clean.count()
     print(

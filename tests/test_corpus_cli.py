@@ -59,3 +59,28 @@ def test_corpus_cli_pii_and_repetition_flags(spark, sf_dir, tmp_path):
     base = str(tmp_path / "corpus_base")
     main(["--data", sf_dir, "--out", base])
     assert clean.count() <= spark.read.parquet(f"{base}/corpus_clean").count()
+
+
+def test_corpus_cli_tokenizer_stage(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus_tok")
+    main([
+        "--data", sf_dir, "--out", out,
+        "--tokenizer-merges", "4", "--pack-budget", "128",
+    ])
+    merges = spark.read.parquet(f"{out}/tokenizer/merges")
+    assert merges.count() == 4
+    tokens = spark.read.parquet(f"{out}/tokenizer/tokens")
+    clean_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/corpus_clean").select("doc_id").collect()
+    }
+    tok_ids = {r["doc_id"] for r in tokens.select("doc_id").distinct().collect()}
+    assert tok_ids == clean_ids  # only the clean corpus is encoded
+    # concatenating a word's tokens reconstructs the word for a sample doc
+    some = tokens.filter(F.col("doc_id") == min(tok_ids)).orderBy("pos", "tok_idx").collect()
+    word0 = "".join(r["token"] for r in some if r["pos"] == 0)
+    assert word0.isalnum() and len(word0) >= 1
+    packed = spark.read.parquet(f"{out}/tokenizer/packed")
+    assert {"doc_id", "split", "n_tokens", "pack_id", "pack_offset"} <= set(packed.columns)
+    # every encoded doc is packed, offsets stay inside the budget
+    assert packed.count() == len(tok_ids)
+    assert packed.filter(F.col("pack_offset") >= 128).count() == 0
