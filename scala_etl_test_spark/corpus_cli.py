@@ -113,16 +113,28 @@ def main(argv: list[str] | None = None) -> None:
         cols += [P.redact_pii("text").alias("redacted_text")] + [
             P.pii_count("text", kind).alias(f"n_{kind}") for kind in P.PII_PATTERNS
         ]
-    clean = kept.select(*cols).filter(F.col("quality_score") >= args.min_quality)
+    # persisted: consumed by the write, the final count, the mixture, and
+    # (with --tokenizer-merges) the word counts + encode input — without it
+    # the dedup anti-joins and text metrics re-execute per consumer
+    clean = kept.select(*cols).filter(F.col("quality_score") >= args.min_quality).persist()
     clean.write.mode("overwrite").parquet(f"{args.out}/corpus_clean")
 
-    splits = leakage_safe_split(docs, pairs, "doc_id", weights).select("doc_id", "split")
+    # reuse the already-computed component map — CC is the most expensive
+    # stage and leakage_safe_split would otherwise run it a second time
+    splits = leakage_safe_split(
+        docs, pairs, "doc_id", weights, components=comp
+    ).select("doc_id", "split")
     splits.write.mode("overwrite").parquet(f"{args.out}/splits")
     pairs.unpersist()
 
-    mixture_weights(docs, "source").write.mode("overwrite").parquet(f"{args.out}/mixture")
+    # mixture over the CLEAN corpus: weighting sources by their raw counts
+    # would over-sample exactly the near-dup/low-quality mass just gated out
+    clean_docs = docs.join(clean.select("doc_id"), on="doc_id")
+    mixture_weights(clean_docs, "source").write.mode("overwrite").parquet(f"{args.out}/mixture")
 
     if args.tokenizer_merges is not None:
+        if args.tokenizer_merges < 0:
+            raise SystemExit("--tokenizer-merges must be >= 0")
         from scala_etl_test_spark.operators.bpe import (
             bpe_encode,
             bpe_merges,
@@ -130,19 +142,30 @@ def main(argv: list[str] | None = None) -> None:
         )
         from scala_etl_test_spark.operators.packing import pack_sequences
 
-        clean_docs = docs.join(clean.select("doc_id"), on="doc_id")
-        wc = (
-            clean_docs.select(F.explode(X.words(F.col("text"))).alias("word"))
-            .filter(F.col("word") != "")
-            .groupBy("word")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        merges_df = bpe_merges(wc, args.tokenizer_merges)
-        merges_df.write.mode("overwrite").parquet(f"{args.out}/tokenizer/merges")
-        merges = collect_merges(merges_df)
+        if args.tokenizer_merges == 0:
+            merges: list[tuple[str, str]] = []  # char-level tokens
+            spark.createDataFrame(
+                [], "step int, lhs string, rhs string, merged string, pair_count long"
+            ).write.mode("overwrite").parquet(f"{args.out}/tokenizer/merges")
+        else:
+            wc = (
+                clean_docs.select(F.explode(X.words(F.col("text"))).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            merges_df = bpe_merges(wc, args.tokenizer_merges)
+            merges_df.write.mode("overwrite").parquet(f"{args.out}/tokenizer/merges")
+            merges = collect_merges(merges_df)
         tokens = bpe_encode(clean_docs, merges, "text", "doc_id")
         tokens.write.mode("overwrite").parquet(f"{args.out}/tokenizer/tokens")
-        counts = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+        # read the just-written tokens back: counting on the lazy frame
+        # would re-execute the whole encode lineage a second time
+        counts = (
+            spark.read.parquet(f"{args.out}/tokenizer/tokens")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+        )
         packed = pack_sequences(
             counts.join(splits, on="doc_id"),
             "n_tokens",
@@ -153,6 +176,7 @@ def main(argv: list[str] | None = None) -> None:
         packed.write.mode("overwrite").parquet(f"{args.out}/tokenizer/packed")
 
     n_docs, n_clean = docs.count(), clean.count()
+    clean.unpersist()
     print(
         f"docs={n_docs} clusters={comp.select('component').distinct().count()} "
         f"clean={n_clean} ({n_clean / max(n_docs, 1):.1%}) -> {args.out}"

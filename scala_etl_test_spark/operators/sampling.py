@@ -172,13 +172,20 @@ def leakage_safe_split(
     id_col: str,
     weights: dict[str, float],
     split_col: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Split where every near-duplicate cluster lands in ONE split: hash the
     cluster representative (connected-components min id), not the row id —
-    otherwise a train/test near-dup pair leaks test content into training."""
-    from scala_etl_test_spark.operators.cluster import connected_components
+    otherwise a train/test near-dup pair leaks test content into training.
 
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    Pass ``components`` (a (node, component) map) when the caller already
+    ran :func:`cluster.connected_components` on the same pairs — the CC
+    iteration is the most expensive stage here and must not run twice."""
+    if components is None:
+        from scala_etl_test_spark.operators.cluster import connected_components
+
+        components = connected_components(pairs)
+    comp = components.withColumnRenamed("node", id_col)
     with_rep = df.join(comp, on=id_col, how="left").withColumn(
         "_split_key", F.coalesce("component", F.col(id_col))
     )

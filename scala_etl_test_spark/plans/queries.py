@@ -1519,10 +1519,16 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     x = (F.unix_micros("ts") - F.lit(_TREND_ORIGIN_US)) / 86_400_000_000.0
     base = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    # try_divide / NaN-guard: a single-event (or single-instant) group has
+    # var_pop = 0 — ANSI `/` would abort the whole query where the oracle
+    # returns NULL, and Spark's corr yields NaN where DuckDB yields NULL
+    corr = F.corr("x", "y")
     return base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope_per_day"),
-        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+        F.round(F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(F.when(~F.isnan(corr), corr), 6).alias("pearson_r"),
     )
 
 
@@ -1657,6 +1663,23 @@ def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed change detection is engine-exact."""
     from scala_etl_test_spark.operators.merge import scd2_history
 
+    hist = _scd2_customer_history(spark, sf_dir)
+    # gate rule (module docstring): timestamps leave as formatted strings —
+    # raw timestamp serialization is engine-specific in the value hash
+    return hist.select(
+        "custkey",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+def _scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-timestamp SCD2 history — the internal form AS-OF joins range
+    over; the gate query formats its timestamps on the way out."""
+    from scala_etl_test_spark.operators.merge import scd2_history
+
     orders = _t(spark, sf_dir, "orders")
     chg = orders.groupBy(
         F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("ts")
@@ -1664,7 +1687,7 @@ def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(chg, ["custkey"], ["status"], "ts")
 
 
-SQL_SCD2_CUSTOMER_STATUS = """
+_SQL_SCD2_HISTORY_RAW = """
 WITH chg AS (
   SELECT o_custkey AS custkey, o_orderdate AS ts, MIN(o_orderstatus) AS status
   FROM orders GROUP BY 1, 2
@@ -1682,6 +1705,14 @@ SELECT custkey, status,
 FROM opened
 """
 
+SQL_SCD2_CUSTOMER_STATUS = f"""
+SELECT custkey, status,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       is_current
+FROM ({_SQL_SCD2_HISTORY_RAW})
+"""
+
 
 def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (AS-OF) enrichment of a fact table against versioned
@@ -1692,7 +1723,7 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates are residual filters on the matched key group, never a
     cross product); history is orders-of-magnitude smaller than facts and
     broadcast-eligible."""
-    hist = q_scd2_customer_status(spark, sf_dir)
+    hist = _scd2_customer_history(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("custkey"), "o_orderdate"
     )
@@ -1706,16 +1737,16 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey",
         orders.custkey.alias("custkey"),
-        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
         F.col("status").alias("status_asof"),
     )
 
 
 SQL_SCD2_ASOF_ENRICH = f"""
-WITH hist AS ({SQL_SCD2_CUSTOMER_STATUS})
+WITH hist AS ({_SQL_SCD2_HISTORY_RAW})
 SELECT o.o_orderkey,
        o.o_custkey AS custkey,
-       o.o_orderdate,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
        h.status AS status_asof
 FROM orders o
 JOIN hist h
@@ -1919,9 +1950,13 @@ def q_range_join_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_RANGE_JOIN_SESSION_ERRORS = """
+-- boundary pinned to session_window's HALF-OPEN semantics: a gap of
+-- EXACTLY the 30-min timeout starts a new session (>=, not >) — the
+-- lag-formulated sibling queries use > on BOTH sides, but this oracle
+-- must mirror the native session_window the Spark side aggregates with
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
