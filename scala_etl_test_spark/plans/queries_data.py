@@ -273,6 +273,55 @@ FROM cum, tot
 """
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-artifact: recall of every ANN variant against the
+    brute-force cosine top-k at that variant's own k, as ONE gated query —
+    each variant here is deterministic (stride/md5 structures), so the
+    recall numbers are themselves oracle-checkable facts, not flaky
+    measurements. Returns (method, k, n_hits) sorted by method."""
+    # the cell-probed PQ variants are excluded: they re-derive codebook +
+    # encode + assignment (~3× this query's cost) and their recall is
+    # bounded by pq_adc ∩ the probe restriction already reported here
+    variants = [
+        ("ivf", 20, q_ann_ivf_topk),
+        ("lsh", 10, q_ann_lsh_topk),
+        ("multiprobe", 10, q_ann_multiprobe_topk),
+        ("pq_adc", 10, q_ann_pq_topk),
+    ]
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qv = [float(v) for v in query]
+    parts = []
+    for name, k, fn in variants:
+        brute = S.cosine_topk(emb, qv, k=k).select("vec_id")
+        got = fn(spark, sf_dir).select("vec_id")
+        parts.append(
+            brute.join(got, on="vec_id").agg(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("method")
+
+
+def _recall_row_sql(name: str, k: int, variant_sql: str) -> str:
+    brute = f"""
+SELECT e.vec_id FROM embeddings e,
+     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+ORDER BY round({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) DESC, e.vec_id
+LIMIT {k}
+"""
+    return (
+        f"SELECT '{name}' AS method, CAST({k} AS INT) AS k, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_hits "
+        f"FROM ({brute}) b JOIN ({variant_sql}) v USING (vec_id)"
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigram collocations by PMI with min_count=5
     (operators/text.py:pmi_collocations) — the phrase-detection pass that
@@ -2671,6 +2720,21 @@ LIMIT 10
 )
 
 
+SQL_ANN_RECALL_REPORT = (
+    "SELECT method, k, n_hits FROM (\n"
+    + "\nUNION ALL\n".join(
+        _recall_row_sql(name, k, sql)
+        for name, k, sql in [
+            ("ivf", 20, SQL_ANN_IVF_TOPK),
+            ("lsh", 10, SQL_ANN_LSH_TOPK),
+            ("multiprobe", 10, SQL_ANN_MULTIPROBE_TOPK),
+            ("pq_adc", 10, SQL_ANN_PQ_TOPK),
+        ]
+    )
+    + "\n) ORDER BY method"
+)
+
+
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2735,6 +2799,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "pmi_collocations": q_pmi_collocations,
     "negative_sampling": q_negative_sampling,
+    "ann_recall_report": q_ann_recall_report,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2801,4 +2866,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
+    "ann_recall_report": SQL_ANN_RECALL_REPORT,
 }
