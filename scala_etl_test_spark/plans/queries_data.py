@@ -2452,6 +2452,94 @@ GROUP BY p.doc_id
 """
 
 
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading (operators/labelspread.py): 20% of
+    vectors keep their label as seeds, labels propagate 2 rounds of
+    majority vote along the cell-blocked 5-NN graph. Deterministic end to
+    end, so the oracle replays the graph and both voting rounds."""
+    from scala_etl_test_spark.operators.labelspread import (
+        knn_edges_in_cells,
+        label_spread,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, cent)
+    edges = knn_edges_in_cells(assigned, k=5)
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    out = label_spread(seeds, edges, rounds=2)
+    return out.select(
+        "node", F.col("label").cast("long").alias("label"), "assigned_round"
+    )
+
+
+def _ls_round_sql(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""v{r} AS (
+  SELECT k.src, l.label, COUNT(*) AS votes
+  FROM knn k JOIN {prev} l ON k.dst = l.node
+  GROUP BY 1, 2
+),
+w{r} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src ORDER BY votes DESC, label) AS rn
+    FROM v{r})
+  WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT w.node, w.label, {r} AS assigned_round
+  FROM w{r} w WHERE w.node NOT IN (SELECT node FROM {prev})
+)"""
+
+
+SQL_LABEL_SPREAD = (
+    f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+    FROM pairs)
+  WHERE rn <= 5
+),
+l0 AS (
+  SELECT vec_id AS node, label, 0 AS assigned_round
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+"""
+    + ",\n".join(_ls_round_sql(r) for r in (1, 2))
+    + """
+SELECT node, CAST(label AS BIGINT) AS label, CAST(assigned_round AS INT) AS assigned_round
+FROM l2
+"""
+)
+
+
+
 # --------------------------------------------------------------------------
 # product quantization: encode + ADC top-k
 # --------------------------------------------------------------------------
@@ -2800,6 +2888,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "negative_sampling": q_negative_sampling,
     "ann_recall_report": q_ann_recall_report,
+    "label_spread": q_label_spread,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2867,4 +2956,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
     "ann_recall_report": SQL_ANN_RECALL_REPORT,
+    "label_spread": SQL_LABEL_SPREAD,
 }
