@@ -76,6 +76,11 @@ def label_spread(
     labeled nodes vote in later rounds. Seeds never change.
 
     Returns (node, label, assigned_round) — 0 for seeds."""
+    # materialize the graph ONCE: every round joins it, and without the
+    # checkpoint the whole upstream kNN plan (per-cell pairwise cosines +
+    # ranking window) would re-execute per round — same discipline as the
+    # CC edge list and the PageRank adjacency
+    edges = edges.select("src", "dst").localCheckpoint()
     labels = seeds.select(
         F.col(node_col).alias("node"),
         F.col(label_col).alias("label"),

@@ -2464,7 +2464,9 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = S.stride_centroids(emb, 16)
-    assigned = S.ivf_assign(emb, cent)
+    # cached: the kNN self-join consumes the broadcast-argmax assignment
+    # on BOTH sides (same reason semantic_dedup caches its assignment)
+    assigned = S.ivf_assign(emb, cent).cache()
     edges = knn_edges_in_cells(assigned, k=5)
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), "label"
