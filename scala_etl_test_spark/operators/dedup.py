@@ -701,3 +701,57 @@ def choose_bands_rows(num_hashes: int, threshold: float) -> tuple[int, int]:
             best = (abs(mid - threshold), bands, rows)
     assert best is not None
     return best[1], best[2]
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 5,
+    key_chars: int = 16,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM, Hernández & Stolfo 1995) near-dup pairs:
+    sort the corpus by a blocking key (here the normalized-text prefix —
+    shared boilerplate/openings sort adjacent), slide a ``window``-row
+    neighborhood over the sorted order, and verify only in-window pairs
+    with exact shingle Jaccard — the fourth blocking family next to LSH
+    bands, SimHash chunks, and attribute blocking, and the cheapest when
+    duplicates share prefixes: candidate volume is exactly n·window.
+
+    Recall contract: SNM finds a pair only if the two docs sort within
+    ``window`` of each other — a PREFIX-sensitive method by design (a
+    duplicate with a different opening line is LSH's job, not SNM's).
+
+    Scale note: the rank here is one global sort window (fine at gate
+    scale); at corpus scale the identical result comes from a range
+    partition sort with per-partition ranks + ``window``-row boundary
+    overlap between adjacent partitions — the standard SNM sharding.
+
+    Returns (id_a, id_b, jaccard) for in-window pairs with
+    jaccard ≥ threshold."""
+    key = F.substring(normalize_text(text_col), 1, key_chars)
+    ranked = df.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(key.asc(), F.col(id_col).asc()))
+        .alias("_rank"),
+    )
+    a = ranked.select(F.col(id_col).alias("id_a"), F.col("_rank").alias("_ra"))
+    b = ranked.select(F.col(id_col).alias("id_b"), F.col("_rank").alias("_rb"))
+    cands = (
+        a.join(
+            b,
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") <= F.col("_ra") + window),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_for_pairs(cands, df, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -388,6 +388,52 @@ WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >=
 """
 
 
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup pairs
+    (operators/dedup.py:sorted_neighborhood_pairs): normalized-prefix sort
+    key, 5-row neighborhood, exact Jaccard ≥ 0.5 verification — the
+    prefix-sensitive fourth blocking family. Oracle replays the identical
+    procedure (SNM's recall bound is part of its contract, so the oracle
+    is the same window, not brute force)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", window=5, key_chars=16, threshold=0.5, shingle_n=3
+    )
+
+
+SQL_DEDUP_SNM = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substr({_NORM_SQL}, 1, 16), doc_id) AS r
+  FROM documents
+),
+cands AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                  GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 5
+),
+shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(3)} AS sh) AS s
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b,
+       CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) AS jaccard
+FROM common co
+JOIN sizes za ON za.doc_id = co.id_a
+JOIN sizes zb ON zb.doc_id = co.id_b
+WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # embedding near-dup + ANN top-k
 # --------------------------------------------------------------------------
@@ -2891,6 +2937,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sampling": q_negative_sampling,
     "ann_recall_report": q_ann_recall_report,
     "label_spread": q_label_spread,
+    "dedup_snm": q_dedup_snm,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -2959,4 +3006,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "negative_sampling": SQL_NEGATIVE_SAMPLING,
     "ann_recall_report": SQL_ANN_RECALL_REPORT,
     "label_spread": SQL_LABEL_SPREAD,
+    "dedup_snm": SQL_DEDUP_SNM,
 }

@@ -290,3 +290,48 @@ class TestLshTuning:
             choose_bands_rows(16, 1.0)
         with _pytest.raises(ValueError):
             lsh_collision_probability(1.5, 4, 4)
+
+
+class TestSortedNeighborhood:
+    def test_prefix_sharing_dups_found_distant_prefixes_missed(self, spark):
+        from scala_etl_test_spark.operators.dedup import sorted_neighborhood_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, base),
+            (1, base + " tail"),                  # same prefix -> adjacent in sort
+            (2, "zz " + base),                    # same CONTENT, different prefix
+            (3, "unrelated words entirely here today friends"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(df, "text", "doc_id", window=1).collect()
+        }
+        assert (0, 1) in got
+        # window=1 with doc 2 sorting far away ('zz...'): the high-jaccard
+        # (0,2)/(1,2) pairs are OUT of the neighborhood -> by-design miss
+        assert (0, 2) not in got
+
+    def test_wide_window_recovers_all_pairs(self, spark, sf_dir):
+        """With window >= n-1 SNM degenerates to all-pairs: result equals
+        the exact prefix-filter join at the same threshold."""
+        from scala_etl_test_spark.operators.dedup import (
+            prefix_jaccard_join,
+            sorted_neighborhood_pairs,
+        )
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        snm = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                docs, "text", "doc_id", window=n
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_jaccard_join(docs, "text", "doc_id", 0.5).collect()
+        }
+        assert snm == exact
