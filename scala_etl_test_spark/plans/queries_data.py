@@ -2856,6 +2856,31 @@ LIMIT 10
 )
 
 
+def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-artifact for the dedup family: pair counts found by
+    each blocking strategy at its configured threshold, in one gated
+    result — every method is deterministic, so the comparison is an
+    oracle-checkable fact. (Counts are NOT comparable as recall — methods
+    use different thresholds/shingle sizes by design; the report is the
+    corpus-health dashboard a curation run logs per snapshot.)"""
+    methods = [
+        ("exact", lambda: q_dedup_exact(spark, sf_dir).filter(F.col("is_duplicate"))),
+        ("minhash_lsh", lambda: q_dedup_minhash_pairs(spark, sf_dir)),
+        ("ngram_jaccard", lambda: q_dedup_ngram_jaccard(spark, sf_dir)),
+        ("prefix_exact", lambda: q_dedup_prefix_jaccard(spark, sf_dir)),
+        ("simhash_banded", lambda: q_dedup_simhash_pairs(spark, sf_dir)),
+        ("snm", lambda: q_dedup_snm(spark, sf_dir)),
+    ]
+    parts = [
+        fn().agg(F.lit(name).alias("method"), F.count(F.lit(1)).alias("n_pairs"))
+        for name, fn in methods
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("method")
+
+
 SQL_ANN_RECALL_REPORT = (
     "SELECT method, k, n_hits FROM (\n"
     + "\nUNION ALL\n".join(
@@ -2865,6 +2890,24 @@ SQL_ANN_RECALL_REPORT = (
             ("lsh", 10, SQL_ANN_LSH_TOPK),
             ("multiprobe", 10, SQL_ANN_MULTIPROBE_TOPK),
             ("pq_adc", 10, SQL_ANN_PQ_TOPK),
+        ]
+    )
+    + "\n) ORDER BY method"
+)
+
+
+SQL_DEDUP_METHOD_REPORT = (
+    "SELECT method, n_pairs FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM ({sql}) {extra}"
+        for name, sql, extra in [
+            ("exact", SQL_DEDUP_EXACT, "WHERE is_duplicate"),
+            ("minhash_lsh", SQL_DEDUP_MINHASH_PAIRS, ""),
+            ("ngram_jaccard", SQL_DEDUP_NGRAM_JACCARD, ""),
+            ("prefix_exact", SQL_DEDUP_PREFIX_JACCARD, ""),
+            ("simhash_banded", SQL_DEDUP_SIMHASH_PAIRS, ""),
+            ("snm", SQL_DEDUP_SNM, ""),
         ]
     )
     + "\n) ORDER BY method"
@@ -2938,6 +2981,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_report": q_ann_recall_report,
     "label_spread": q_label_spread,
     "dedup_snm": q_dedup_snm,
+    "dedup_method_report": q_dedup_method_report,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3007,4 +3051,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "ann_recall_report": SQL_ANN_RECALL_REPORT,
     "label_spread": SQL_LABEL_SPREAD,
     "dedup_snm": SQL_DEDUP_SNM,
+    "dedup_method_report": SQL_DEDUP_METHOD_REPORT,
 }
