@@ -2487,6 +2487,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
+    "hybrid_retrieval",
     "dedup_method_report",
     "dedup_snm",
     "label_spread",

@@ -1820,6 +1820,62 @@ LIMIT {_BM25_K}
 """
 
 
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al. 2009)
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: the sparse BM25 top-15
+    and the dense cosine top-20 (vec ids align with doc ids in the
+    synthetic corpus) fused as Σ 1/(60 + rank) over the lists a doc
+    appears in — the standard first-stage pattern of a RAG pipeline,
+    robust to the two scorers' incomparable scales because only RANKS
+    enter the fusion. Deterministic end to end: both input rankings are
+    oracle-checked queries and the fusion is a two-term double sum."""
+    sparse = q_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("int").alias("r_sparse")
+    )
+    from pyspark.sql import Window
+
+    dense_raw = q_ann_cosine_topk(spark, sf_dir)
+    dense = dense_raw.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+        .cast("int")
+        .alias("r_dense"),
+    )
+    fused = sparse.join(dense, on="doc_id", how="full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("r_sparse")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "r_sparse", "r_dense", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+SQL_HYBRID_RETRIEVAL = f"""
+WITH sparse AS (
+  SELECT doc_id, CAST(rank AS INT) AS r_sparse FROM ({SQL_BM25_TOPK})
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS r_dense
+  FROM ({SQL_ANN_COSINE_TOPK})
+)
+SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       s.r_sparse, d.r_dense,
+       round(COALESCE(1.0 / ({_RRF_K} + s.r_sparse), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + d.r_dense), 0.0), 6) AS rrf
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 _PR_ITERS = 3
 _PR_DAMPING = 0.85
 
@@ -2982,6 +3038,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_spread": q_label_spread,
     "dedup_snm": q_dedup_snm,
     "dedup_method_report": q_dedup_method_report,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3052,4 +3109,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "label_spread": SQL_LABEL_SPREAD,
     "dedup_snm": SQL_DEDUP_SNM,
     "dedup_method_report": SQL_DEDUP_METHOD_REPORT,
+    "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
 }

@@ -46,3 +46,32 @@ def test_bm25_rank_is_dense_and_ordered(docs):
 def test_bm25_empty_terms_rejected(docs):
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_hybrid_rrf_semantics(spark, sf_dir):
+    """Docs in both lists outrank docs in one; ranks and fusion agree with
+    a driver-side recomputation."""
+    from scala_etl_test_spark.plans.queries_data import (
+        q_ann_cosine_topk,
+        q_bm25_topk,
+        q_hybrid_retrieval,
+    )
+
+    sparse = {r["doc_id"]: r["rank"] for r in q_bm25_topk(spark, sf_dir).collect()}
+    dense_rows = q_ann_cosine_topk(spark, sf_dir).collect()
+    dense = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(
+            sorted(dense_rows, key=lambda r: (-r["cosine"], r["vec_id"]))
+        )
+    }
+    expect = {}
+    for d in set(sparse) | set(dense):
+        expect[d] = round(
+            (1.0 / (60 + sparse[d]) if d in sparse else 0.0)
+            + (1.0 / (60 + dense[d]) if d in dense else 0.0),
+            6,
+        )
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["rrf"]) for r in q_hybrid_retrieval(spark, sf_dir).collect()]
+    assert got == top
