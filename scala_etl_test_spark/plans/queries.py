@@ -2343,6 +2343,166 @@ FROM merged GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# Event-sequence analytics: Markov transitions + session attribution
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for every
+    (event_type → next event_type) step inside a user's timeline, the count
+    and the row-normalized probability P(to | from) — the input to
+    next-action prediction, funnel-shape monitoring, and bot detection
+    (near-deterministic rows are automation fingerprints).
+
+    Shape: one ``lead`` window partitioned by user (the SAME user_id
+    shuffle every sequence feature in this file reuses), then a groupBy on
+    the (from, to) pair — whose cardinality is |types|² (25 here), so the
+    second shuffle moves a few dozen partially-aggregated rows per
+    partition no matter the corpus size. The row-normalizing total is a
+    window over the 25-row aggregate, not over events. Last event of a
+    user has no successor and is excluded (lead is NULL), matching the
+    standard open-boundary convention."""
+    ev = _t(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("to_type", F.lead("event_type").over(by_time))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+    row_total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_steps",
+        F.round(F.col("n_steps") / F.sum("n_steps").over(row_total), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+  FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_steps,
+       round(n_steps / CAST(SUM(n_steps) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution over gap-sessionized journeys:
+    each session's purchase revenue is credited to the session's FIRST
+    event type (first-touch) and separately to its LAST event type
+    (last-touch); the per-type report contrasts the two models — the
+    standard acquisition-vs-closing channel comparison.
+
+    Shape: the 30-min sessionize window (one user_id shuffle), then ONE
+    groupBy (user, session) computing first type, last type, and revenue
+    in the same pass via min_by/max_by on the (ts, event_id) total order —
+    no second window, no self-join. Two 5-row aggregates (one per model)
+    full-outer-join on type; nulls mean a type never opened (resp. closed)
+    a session. Revenue sums in decimal for cross-engine bit-stability."""
+    ev = _t(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(by_time) > 1800 * 1_000_000, 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_time.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # (ts, event_id) is a total order; a single struct key makes min_by /
+    # max_by deterministic and keeps everything in one aggregate pass.
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", ord_key).alias("first_type"),
+        F.max_by("event_type", ord_key).alias("last_type"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _dec("value")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("revenue"),
+    )
+    first = per_session.groupBy(F.col("first_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("sessions_opened"),
+        F.sum("revenue").cast("double").alias("first_touch_revenue"),
+    )
+    last = per_session.groupBy(F.col("last_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("sessions_closed"),
+        F.sum("revenue").cast("double").alias("last_touch_revenue"),
+    )
+    return (
+        first.join(last, on="event_type", how="full_outer")
+        .select(
+            "event_type",
+            "sessions_opened",
+            F.round("first_touch_revenue", 2).alias("first_touch_revenue"),
+            "sessions_closed",
+            F.round("last_touch_revenue", 2).alias("last_touch_revenue"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SESSION_ATTRIBUTION = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn_asc,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM sessions
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN rn_asc = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rn_desc = 1 THEN event_type END) AS last_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS revenue
+  FROM ranked GROUP BY user_id, session_id
+),
+first_touch AS (
+  SELECT first_type AS event_type, CAST(COUNT(*) AS BIGINT) AS sessions_opened,
+         CAST(SUM(revenue) AS DOUBLE) AS first_touch_revenue
+  FROM per_session GROUP BY first_type
+),
+last_touch AS (
+  SELECT last_type AS event_type, CAST(COUNT(*) AS BIGINT) AS sessions_closed,
+         CAST(SUM(revenue) AS DOUBLE) AS last_touch_revenue
+  FROM per_session GROUP BY last_type
+)
+SELECT COALESCE(f.event_type, l.event_type) AS event_type,
+       f.sessions_opened, round(f.first_touch_revenue, 2) AS first_touch_revenue,
+       l.sessions_closed, round(l.last_touch_revenue, 2) AS last_touch_revenue
+FROM first_touch f FULL OUTER JOIN last_touch l ON f.event_type = l.event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2395,6 +2555,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_status": q_scd2_customer_status,
     "scd2_asof_enrich": q_scd2_asof_enrich,
     "events_trimmed_stats": q_events_trimmed_stats,
+    "event_transitions": q_event_transitions,
+    "session_attribution": q_session_attribution,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2466,6 +2628,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_user_gaps": SQL_EVENTS_USER_GAPS,
     "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "session_attribution": SQL_SESSION_ATTRIBUTION,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -2483,7 +2647,10 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # round 1, in r1 order (stalest first).  Everything checked green in r2
 # sorts last.
 _GATE_PRIORITY: list[str] = [
-    # changed-this-round
+    # new round-4 queries (no driver row yet)
+    "event_transitions",
+    "session_attribution",
+    # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",
     # new round-3 queries (no driver row yet), newest first
