@@ -755,3 +755,95 @@ def sorted_neighborhood_pairs(
     return jaccard_for_pairs(cands, df, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Exact edit-distance near-dup pairs: every unordered pair of docs
+    whose NORMALIZED texts are within ``max_dist`` Levenshtein edits —
+    the character-level dedup family member (typo/OCR/near-verbatim
+    variants that token-level Jaccard treats as distant when the edit
+    splits words).
+
+    Two EXACT filters bound the quadratic verify, neither can drop a
+    true pair:
+
+    1. **Length band** — ``lev(a,b) ≥ |len(a) − len(b)|``, so only pairs
+       within ``max_dist`` length difference meet. Implemented as a
+       bucket join (width ``max_dist+1``; a row probes its own and the
+       next bucket), so candidates are bounded by per-bucket occupancy,
+       never n².
+    2. **Pigeonhole chunk filter** — split ``a`` into ``max_dist+1``
+       contiguous chunks; ``max_dist`` edits touch ≤ ``max_dist`` chunks,
+       so at least one chunk survives VERBATIM as a substring of ``b``
+       (PartEnum/Ed-Join family). A ``locate`` over ``max_dist+1`` chunks
+       replaces Levenshtein on ~99% of length-band candidates.
+
+    Survivors get one ``levenshtein`` call with Spark's ``threshold``
+    early-exit (O(len·k), returns −1 past the bound). Docs whose
+    normalized text is shorter than ``max_dist+1`` chars are excluded
+    (degenerate chunks; at that length "near-duplicate" is meaningless).
+
+    Scale: the bucket join shuffles on the length bucket — uniform by
+    construction when lengths are spread; a length-spike corpus (fixed-
+    width records) degrades to blocked n² and should use LSH instead.
+    Returns (id_a, id_b, dist), id_a < id_b.
+    """
+    n_chunks = max_dist + 1
+    base = (
+        df.select(F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t"))
+        .withColumn("_len", F.length("_t"))
+        .filter(F.col("_len") >= n_chunks)
+        .withColumn("_bkt", (F.col("_len") / n_chunks).cast("long"))
+    )
+    # probe my own bucket and the next: covers every |Δlen| <= max_dist pair
+    # exactly once per direction; least/greatest + distinct canonicalizes.
+    a = base.select(
+        F.col("_id").alias("_ida"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("_la"),
+        F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_bkt"),
+    )
+    b = base.select(
+        F.col("_id").alias("_idb"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("_lb"),
+        "_bkt",
+    )
+    chunk_len = (F.col("_la") / n_chunks).cast("long")
+    chunk_hit = None
+    for i in range(n_chunks):
+        start = F.lit(1) + F.lit(i) * chunk_len
+        # last chunk absorbs the remainder
+        ln = chunk_len if i < n_chunks - 1 else F.col("_la") - F.lit(i) * chunk_len
+        hit = F.contains(F.col("_tb"), F.substring(F.col("_ta"), start, ln))
+        chunk_hit = hit if chunk_hit is None else (chunk_hit | hit)
+    # canonicalize pair AND its texts before distinct: a same-bucket pair
+    # meets the join in both orders; without text canonicalization the two
+    # orders survive distinct as two rows of the same (id_a, id_b).
+    a_first = F.col("_ida") < F.col("_idb")
+    cands = (
+        a.join(b, on="_bkt")
+        .filter(
+            (F.col("_ida") != F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .filter(chunk_hit)
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.when(a_first, F.col("_ta")).otherwise(F.col("_tb")).alias("_t1"),
+            F.when(a_first, F.col("_tb")).otherwise(F.col("_ta")).alias("_t2"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("_t1"), F.col("_t2"), max_dist)
+    return (
+        cands.select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

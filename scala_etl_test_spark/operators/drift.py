@@ -103,3 +103,89 @@ def psi_drift(
             (F.col("psi") > threshold).alias("drifted"),
         )
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group unigram KL divergence KL(P_group ‖ P_corpus) in bits —
+    the vocabulary-drift twin of :func:`psi_drift` (which watches a
+    NUMERIC metric; this watches the word distribution itself). The
+    question it answers on a training mix: "how far does each source's
+    language deviate from the blend?" — the signal behind DoReMi-style
+    reweighting and new-source admission checks.
+
+    Model: q(w) = corpus MLE (every vocab word has count ≥ 1, no
+    smoothing needed); p_g(w) = (c_g(w) + α) / (n_g + α|V|), additive
+    smoothing over the CORPUS vocab so KL is finite for words the group
+    never uses.
+
+    Scale shape — the naive Σ over (group × vocab) is a grid join that
+    explodes exactly when vocab is large; instead the absent-word mass is
+    folded into two corpus-level scalars. With p0 = α/(n_g + α|V|) (the
+    smoothed probability of any ABSENT word):
+
+        KL_g = Σ_present [p_g·log2(p_g/q) − p0·log2(p0/q)]
+             + |V|·p0·log2(p0) − p0·S,  where S = Σ_vocab log2 q(w)
+
+    so per-group work is proportional to the words the group actually
+    contains, and (|V|, S) ride along as one broadcast row. Algebra:
+    Σ_absent p0·log2(p0/q) = Σ_vocab p0·log2(p0/q) − Σ_present p0·log2(p0/q),
+    and the vocab-wide sum collapses to |V|·p0·log2(p0) − p0·S.
+
+    Returns (group, n_tokens, n_distinct_words, kl_bits) — kl_bits
+    rounded; double-sum order differs across engines but the rounding
+    sits far above the accumulated ~1e-13 error."""
+    from scala_etl_test_spark.operators.dedup import words
+
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    tok = tok.persist()
+    # corpus model: q(w), plus the two scalars the absent-mass fold needs
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    corpus = freq.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("v_size")
+    )
+    q_tbl = freq.crossJoin(F.broadcast(corpus)).select(
+        "word", (F.col("c") / F.col("n_corpus")).alias("q")
+    )
+    scalars = q_tbl.agg(
+        F.count(F.lit(1)).alias("v_size"),
+        F.sum(F.log2("q")).alias("sum_log2_q"),
+    )
+    # per-(group, word) counts joined to q — rows only for PRESENT words
+    gw = tok.groupBy("grp", "word").agg(F.count(F.lit(1)).alias("c_g"))
+    g_tot = gw.groupBy("grp").agg(
+        F.sum("c_g").alias("n_g"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    j = (
+        gw.join(q_tbl, on="word")
+        .join(F.broadcast(g_tot), on="grp")
+        .join(F.broadcast(scalars))
+    )
+    p0 = F.lit(alpha) / (F.col("n_g") + F.lit(alpha) * F.col("v_size"))
+    p_g = (F.col("c_g") + F.lit(alpha)) / (F.col("n_g") + F.lit(alpha) * F.col("v_size"))
+    present_term = p_g * F.log2(p_g / F.col("q")) - p0 * F.log2(p0 / F.col("q"))
+    per_group = j.groupBy("grp").agg(
+        F.max("n_g").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct_words"),
+        F.sum(present_term).alias("present_sum"),
+    )
+    out = per_group.join(F.broadcast(scalars))
+    p0o = F.lit(alpha) / (F.col("n_tokens") + F.lit(alpha) * F.col("v_size"))
+    kl = (
+        F.col("present_sum")
+        + F.col("v_size") * p0o * F.log2(p0o)
+        - p0o * F.col("sum_log2_q")
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.round(kl, round_digits).alias("kl_bits"),
+    )

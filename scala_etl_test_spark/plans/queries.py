@@ -2650,6 +2650,8 @@ _GATE_PRIORITY: list[str] = [
     # new round-4 queries (no driver row yet)
     "event_transitions",
     "session_attribution",
+    "source_kl_divergence",
+    "dedup_edit_distance",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",

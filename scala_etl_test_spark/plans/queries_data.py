@@ -2912,6 +2912,108 @@ LIMIT 10
 )
 
 
+_EDIT_MAX_DIST = 4
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact near-dup pairs within Levenshtein distance 4
+    (operators/dedup.py:edit_distance_pairs) — the edit-distance member of
+    the dedup family (typo/OCR variants that word-level Jaccard misses
+    when edits split tokens). Length-band bucket join + pigeonhole chunk
+    filter bound the quadratic verify; both filters are exact, so the
+    oracle is the same algebra, not a recall check."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(
+        docs, "text", "doc_id", max_dist=_EDIT_MAX_DIST
+    ).orderBy("id_a", "id_b")
+
+
+def _edit_chunk_filter_sql(k: int) -> str:
+    """OR over the k+1 pigeonhole chunks of the smaller-id text, searched
+    verbatim in the other text (mirrors the Spark operator exactly)."""
+    n = k + 1
+    conds = []
+    for i in range(n):
+        ln = f"length(t1) // {n}" if i < n - 1 else f"length(t1) - {n - 1} * (length(t1) // {n})"
+        conds.append(f"position(substr(t1, 1 + {i} * (length(t1) // {n}), {ln}) IN t2) > 0")
+    return "(" + "\n     OR ".join(conds) + ")"
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH n AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+),
+b AS (SELECT doc_id, t, length(t) AS len FROM n WHERE length(t) >= {_EDIT_MAX_DIST + 1}),
+cand AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.t AS t1, c.t AS t2
+  FROM b a JOIN b c
+    ON a.doc_id < c.doc_id AND abs(a.len - c.len) <= {_EDIT_MAX_DIST}
+),
+-- MATERIALIZED: without the fence DuckDB is free to evaluate the outer
+-- levenshtein predicate against every length-band candidate (quadratic in
+-- text length) instead of only the ~1% that survive the chunk filter.
+filt AS MATERIALIZED (
+  SELECT * FROM cand WHERE {{chunk_filter}}
+)
+SELECT id_a, id_b, CAST(levenshtein(t1, t2) AS BIGINT) AS dist
+FROM filt
+WHERE levenshtein(t1, t2) <= {_EDIT_MAX_DIST}
+ORDER BY id_a, id_b
+""".format(chunk_filter=_edit_chunk_filter_sql(_EDIT_MAX_DIST))
+
+
+_KL_ALPHA = 0.5
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL(P_source ‖ P_corpus)
+    (operators/drift.py:source_kl_divergence) — vocabulary drift per
+    source, the lexical twin of the numeric events_drift_psi gate. The
+    absent-word smoothing mass is folded into two corpus scalars so no
+    (source × vocab) grid is ever materialized."""
+    from scala_etl_test_spark.operators.drift import source_kl_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(docs, "text", "source", alpha=_KL_ALPHA).orderBy(
+        "source"
+    )
+
+
+SQL_SOURCE_KL_DIVERGENCE = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({_WORDS_SQL}) AS word FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE word <> ''),
+freq AS (SELECT word, COUNT(*) AS c FROM t2 GROUP BY word),
+corpus AS (SELECT SUM(c) AS n_corpus FROM freq),
+q_tbl AS (SELECT word, c / CAST(n_corpus AS DOUBLE) AS q FROM freq CROSS JOIN corpus),
+scalars AS (SELECT COUNT(*) AS v_size, SUM(log2(q)) AS sum_log2_q FROM q_tbl),
+gw AS (SELECT grp, word, COUNT(*) AS c_g FROM t2 GROUP BY grp, word),
+g_tot AS (SELECT grp, SUM(c_g) AS n_g, COUNT(*) AS n_distinct FROM gw GROUP BY grp),
+terms AS (
+  SELECT gw.grp, gw.c_g, q_tbl.q, g_tot.n_g, g_tot.n_distinct,
+         {_KL_ALPHA} / (g_tot.n_g + {_KL_ALPHA} * s.v_size) AS p0,
+         (gw.c_g + {_KL_ALPHA}) / (g_tot.n_g + {_KL_ALPHA} * s.v_size) AS p_g
+  FROM gw JOIN q_tbl USING (word) JOIN g_tot USING (grp) CROSS JOIN scalars s
+),
+per_group AS (
+  SELECT grp, MAX(n_g) AS n_tokens, MAX(n_distinct) AS n_distinct_words,
+         SUM(p_g * log2(p_g / q) - p0 * log2(p0 / q)) AS present_sum
+  FROM terms GROUP BY grp
+)
+SELECT grp AS source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       round(present_sum
+             + s.v_size * ({_KL_ALPHA} / (n_tokens + {_KL_ALPHA} * s.v_size))
+               * log2({_KL_ALPHA} / (n_tokens + {_KL_ALPHA} * s.v_size))
+             - ({_KL_ALPHA} / (n_tokens + {_KL_ALPHA} * s.v_size)) * s.sum_log2_q,
+             6) AS kl_bits
+FROM per_group CROSS JOIN scalars s
+ORDER BY source
+"""
+
+
 def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation-as-artifact for the dedup family: pair counts found by
     each blocking strategy at its configured threshold, in one gated
@@ -3038,6 +3140,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_spread": q_label_spread,
     "dedup_snm": q_dedup_snm,
     "dedup_method_report": q_dedup_method_report,
+    "source_kl_divergence": q_source_kl_divergence,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "hybrid_retrieval": q_hybrid_retrieval,
 }
 
@@ -3109,5 +3213,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "label_spread": SQL_LABEL_SPREAD,
     "dedup_snm": SQL_DEDUP_SNM,
     "dedup_method_report": SQL_DEDUP_METHOD_REPORT,
+    "source_kl_divergence": SQL_SOURCE_KL_DIVERGENCE,
+    "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
 }

@@ -335,3 +335,83 @@ class TestSortedNeighborhood:
             for r in prefix_jaccard_join(docs, "text", "doc_id", 0.5).collect()
         }
         assert snm == exact
+
+
+class TestEditDistancePairs:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_finds_pairs_within_k_and_excludes_beyond(self, spark):
+        from scala_etl_test_spark.operators.dedup import edit_distance_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base.replace("quick", "quack")),          # 1 substitution
+            (3, base + " more"),                          # 5 inserts -> beyond k=4
+            (4, base.replace("brown", "blown")),          # 1 substitution
+            (5, "completely different content about spark shuffles and joins"),
+        ]
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(self._df(spark, rows), "text", "doc_id").collect()
+        }
+        assert got[(1, 2)] == 1 and got[(1, 4)] == 1 and got[(2, 4)] == 2
+        assert (1, 3) not in got and (1, 5) not in got
+
+    def test_matches_bruteforce_reference(self, spark):
+        """Blocked plan == unblocked python Levenshtein on normalized text."""
+        from scala_etl_test_spark.operators.dedup import edit_distance_pairs
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        import re
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zetas",
+            "alpha beta gamma delta epsilon",
+            "Alpha, beta; GAMMA delta epsilon zeta!",  # normalizes to row 0
+            "totally unrelated words here friend",
+            "totally unrelated words here friends",
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        norm = [re.sub(r"[^a-z0-9]+", " ", t.lower()).strip() for t in texts]
+        want = {
+            (i, j): lev(norm[i], norm[j])
+            for i in range(len(norm))
+            for j in range(i + 1, len(norm))
+            if lev(norm[i], norm[j]) <= 4
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(self._df(spark, rows), "text", "doc_id").collect()
+        }
+        assert got == want
+
+    def test_each_pair_emitted_once(self, spark):
+        from scala_etl_test_spark.operators.dedup import edit_distance_pairs
+
+        rows = [(i, "same length text block number %d here" % i) for i in range(6)]
+        out = edit_distance_pairs(self._df(spark, rows), "text", "doc_id").collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs))
+        assert all(a < b for a, b in pairs)
+
+    def test_short_docs_excluded(self, spark):
+        from scala_etl_test_spark.operators.dedup import edit_distance_pairs
+
+        rows = [(1, "abc"), (2, "abd"), (3, "abcde"), (4, "abcdf")]
+        got = {
+            (r["id_a"], r["id_b"]) for r in
+            edit_distance_pairs(self._df(spark, rows), "text", "doc_id").collect()
+        }
+        # len-3 docs are below the k+1=5 floor; len-5 docs participate
+        assert got == {(3, 4)}

@@ -113,3 +113,71 @@ def test_unbalanced_halves_count_empty_bins(spark):
         ]
     )
     assert abs(r["psi"] - round(expect, 6)) < 1e-9
+
+
+class TestSourceKlDivergence:
+    def _brute(self, docs, alpha=0.5):
+        """Full-grid reference KL (no absent-mass fold): per group, sum the
+        smoothed-p * log2(p/q) term over the ENTIRE corpus vocab."""
+        import math, re
+        from collections import Counter
+
+        tok = {}
+        corpus = Counter()
+        for g, text in docs:
+            ws = [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split() if w]
+            tok.setdefault(g, Counter()).update(ws)
+            corpus.update(ws)
+        n = sum(corpus.values())
+        vocab = sorted(corpus)
+        out = {}
+        for g, cnt in tok.items():
+            n_g = sum(cnt.values())
+            kl = 0.0
+            for w in vocab:
+                p = (cnt.get(w, 0) + alpha) / (n_g + alpha * len(vocab))
+                q = corpus[w] / n
+                kl += p * math.log2(p / q)
+            out[g] = (n_g, len(cnt), kl)
+        return out
+
+    def test_matches_full_grid_reference(self, spark):
+        """The folded absent-mass algebra equals the naive (group × vocab)
+        sum, including groups missing most of the vocab."""
+        from scala_etl_test_spark.operators.drift import source_kl_divergence
+
+        docs = [
+            ("a", "the cat sat on the mat"),
+            ("a", "the dog sat on the log"),
+            ("b", "quantum flux capacitors need plutonium cores"),
+            ("c", "the the the the"),
+        ]
+        df = spark.createDataFrame(docs, "src string, text string")
+        got = {
+            r["src"]: (r["n_tokens"], r["n_distinct_words"], r["kl_bits"])
+            for r in source_kl_divergence(df, "text", "src").collect()
+        }
+        want = self._brute(docs)
+        assert set(got) == set(want)
+        for g in want:
+            n_g, nd, kl = want[g]
+            assert got[g][0] == n_g and got[g][1] == nd
+            assert abs(got[g][2] - kl) < 1e-6, (g, got[g][2], kl)
+
+    def test_identical_groups_near_zero(self, spark):
+        """Groups with the corpus distribution diverge only by smoothing."""
+        from scala_etl_test_spark.operators.drift import source_kl_divergence
+
+        docs = [("a", "x y z"), ("b", "x y z")]
+        df = spark.createDataFrame(docs, "src string, text string")
+        rows = source_kl_divergence(df, "text", "src").collect()
+        assert all(abs(r["kl_bits"]) < 0.01 for r in rows)
+
+    def test_divergent_group_scores_higher(self, spark):
+        from scala_etl_test_spark.operators.drift import source_kl_divergence
+
+        base = [("a", "common words shared by every source " * 3)] * 3
+        odd = [("b", "zygomorphic quixotic phlogiston xenoliths")]
+        df = spark.createDataFrame(base + odd, "src string, text string")
+        kl = {r["src"]: r["kl_bits"] for r in source_kl_divergence(df, "text", "src").collect()}
+        assert kl["b"] > kl["a"]
