@@ -2652,6 +2652,8 @@ _GATE_PRIORITY: list[str] = [
     "session_attribution",
     "source_kl_divergence",
     "dedup_edit_distance",
+    "entity_resolution",
+    "item_cf_neighbors",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",

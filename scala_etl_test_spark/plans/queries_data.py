@@ -2912,6 +2912,149 @@ LIMIT 10
 )
 
 
+_CF_MIN_SUPPORT = 3
+_CF_TOP_K = 5
+
+
+def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-kNN collaborative filtering (operators/recsys.py): top-5 cosine
+    neighbors per part from order-basket co-occurrence — the precomputed
+    similarity table an item-based recommender serves from, vs
+    copurchase_pairs' support/lift screen over the same baskets."""
+    from scala_etl_test_spark.operators.recsys import item_item_cosine
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_item_cosine(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_support=_CF_MIN_SUPPORT,
+        top_k=_CF_TOP_K,
+    ).orderBy("item", "rank")
+
+
+SQL_ITEM_CF_NEIGHBORS = f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+co AS (
+  SELECT a.i AS i, c.i AS j, CAST(COUNT(*) AS BIGINT) AS co_baskets
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CF_MIN_SUPPORT}
+),
+item_n AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
+sym AS (
+  SELECT i, j, co_baskets FROM co
+  UNION ALL
+  SELECT j AS i, i AS j, co_baskets FROM co
+),
+ranked AS (
+  SELECT s.i AS item, s.j AS neighbor, s.co_baskets,
+         round(s.co_baskets / sqrt(CAST(a.n AS DOUBLE) * b.n), 6) AS cosine
+  FROM sym s JOIN item_n a ON s.i = a.i JOIN item_n b ON s.j = b.i
+),
+topk AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor) AS INT)
+           AS rank
+  FROM ranked
+)
+SELECT item, neighbor, co_baskets, cosine, rank
+FROM topk WHERE rank <= {_CF_TOP_K}
+ORDER BY item, rank
+"""
+
+
+# Fellegi–Sunter weights (declared m/u estimates, see operators/linkage.py):
+# name agree is near-conclusive (+10 / −1), segment is weak (+2 / −4),
+# balance proximity is moderate (+3 / −3). Thresholds split match ≥ 8,
+# possible ≥ 3.5, else non-match.
+_FS_W = {"name": (10.0, -1.0), "segment": (2.0, -4.0), "bal": (3.0, -3.0)}
+_FS_UPPER, _FS_LOWER = 8.0, 3.5
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (operators/linkage.py) evaluated as an
+    artifact: link the customer table against a deterministically-degraded
+    twin of itself (keyless: every third name typo'd, every fifth segment
+    wiped, balances rounded), blocking on nation, and report per decision
+    bucket how many pairs landed there and how many are TRUE links (the
+    twin secretly remembers its source key). The evaluation-as-gated-query
+    pattern of ann_recall_report applied to entity resolution."""
+    from scala_etl_test_spark.operators.linkage import blocked_pairs, fellegi_sunter_score
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("true_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmer"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.floor("c_acctbal").cast("double").alias("bal"),
+    )
+    pairs = blocked_pairs(cust, dirty, ["c_nationkey"])
+    scored = fellegi_sunter_score(
+        pairs,
+        [
+            ("name", F.col("l_c_name") == F.col("r_name"), *_FS_W["name"]),
+            ("segment", F.col("l_c_mktsegment") == F.col("r_segment"), *_FS_W["segment"]),
+            ("bal", F.abs(F.col("l_c_acctbal") - F.col("r_bal")) < 1.0, *_FS_W["bal"]),
+        ],
+        upper=_FS_UPPER,
+        lower=_FS_LOWER,
+    )
+    return (
+        scored.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("l_c_custkey") == F.col("r_true_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_true_links"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decision")
+    )
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH dirty AS (
+  SELECT c_custkey AS true_id,
+         CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, 'Customer', 'Custmer')
+              ELSE c_name END AS name,
+         c_nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+         CAST(floor(c_acctbal) AS DOUBLE) AS bal
+  FROM customer
+),
+scored AS (
+  SELECT c.c_custkey, d.true_id,
+         (CASE WHEN c.c_name = d.name THEN {_FS_W["name"][0]} ELSE {_FS_W["name"][1]} END
+          + CASE WHEN c.c_mktsegment = d.segment THEN {_FS_W["segment"][0]} ELSE {_FS_W["segment"][1]} END
+          + CASE WHEN abs(c.c_acctbal - d.bal) < 1.0 THEN {_FS_W["bal"][0]} ELSE {_FS_W["bal"][1]} END
+         ) AS score
+  FROM customer c JOIN dirty d ON c.c_nationkey = d.c_nationkey
+)
+SELECT CASE WHEN score >= {_FS_UPPER} THEN 'match'
+            WHEN score >= {_FS_LOWER} THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c_custkey = true_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_links,
+       round(MIN(score), 6) AS min_score,
+       round(MAX(score), 6) AS max_score
+FROM scored
+GROUP BY 1
+ORDER BY decision
+"""
+
+
 _EDIT_MAX_DIST = 4
 
 
@@ -3142,6 +3285,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_method_report": q_dedup_method_report,
     "source_kl_divergence": q_source_kl_divergence,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "entity_resolution": q_entity_resolution,
+    "item_cf_neighbors": q_item_cf_neighbors,
     "hybrid_retrieval": q_hybrid_retrieval,
 }
 
@@ -3215,5 +3360,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_method_report": SQL_DEDUP_METHOD_REPORT,
     "source_kl_divergence": SQL_SOURCE_KL_DIVERGENCE,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "item_cf_neighbors": SQL_ITEM_CF_NEIGHBORS,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
 }
