@@ -2503,6 +2503,125 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Temporal regularization + two-sample inference
+# --------------------------------------------------------------------------
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(user, day) calendar grid with LOCF fill
+    (operators/timeseries.py:gap_fill_daily): silent-absence days become
+    explicit rows (n_events 0, day_value NULL ≠ observed zero) and
+    filled_value carries the last observed daily sum forward — the
+    regularization step before any per-user forecasting/feature join."""
+    ev = _t(spark, sf_dir, "events")
+    from scala_etl_test_spark.operators.timeseries import gap_fill_daily
+
+    return gap_fill_daily(ev, "ts", "user_id", "value").orderBy("user_id", "day")
+
+
+SQL_EVENTS_GAPFILL = """
+WITH obs AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(12,2))) AS day_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+),
+keys AS (SELECT DISTINCT user_id AS key FROM events),
+grid AS (SELECT k.key, d.day FROM keys k CROSS JOIN days d),
+j AS (
+  SELECT g.key, g.day, o.n_events, o.day_value
+  FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.day = o.day
+)
+SELECT key AS user_id,
+       CAST(day AS VARCHAR) AS day,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       round(CAST(day_value AS DOUBLE), 2) AS day_value,
+       round(CAST(last_value(day_value IGNORE NULLS) OVER (
+                PARTITION BY key ORDER BY day ROWS UNBOUNDED PRECEDING
+             ) AS DOUBLE), 2) AS filled_value
+FROM j
+ORDER BY user_id, day
+"""
+
+
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the early and late halves of the
+    stream, per event type — the significance companion to the PSI drift
+    gate (events_drift_psi flags SHAPE movement; this tests whether the
+    MEAN value moved more than sampling noise explains). One scan: the
+    midpoint comes from a broadcast min/max row, then a single grouped
+    aggregate computes both halves' (n, mean, s²) side by side; t and the
+    Welch–Satterthwaite df are row-local arithmetic on the 5-row result."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t_us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(t_us).alias("_t0"), F.max(t_us).alias("_t1"))
+    tagged = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (t_us * 2 < F.col("_t0") + F.col("_t1")).alias("early"),
+    )
+    half = lambda flag, f, c: f(F.when(F.col("early") == flag, F.col(c)))  # noqa: E731
+    g = tagged.groupBy("event_type").agg(
+        half(True, F.count, "value").alias("n1"),
+        half(True, F.avg, "value").alias("m1"),
+        half(True, F.var_samp, "value").alias("s1"),
+        half(False, F.count, "value").alias("n2"),
+        half(False, F.avg, "value").alias("m2"),
+        half(False, F.var_samp, "value").alias("s2"),
+    )
+    se2 = F.col("s1") / F.col("n1") + F.col("s2") / F.col("n2")
+    t_stat = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df_ws = (se2 * se2) / (
+        (F.col("s1") / F.col("n1")) * (F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("s2") / F.col("n2")) * (F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_early"),
+        F.col("n2").cast("long").alias("n_late"),
+        F.round("m1", 6).alias("mean_early"),
+        F.round("m2", 6).alias("mean_late"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df_ws, 2).alias("welch_df"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_AB_WELCH = """
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM ev),
+tagged AS (
+  SELECT event_type, value, (epoch_us(ts) * 2 < b.t0 + b.t1) AS early
+  FROM ev CROSS JOIN bounds b
+),
+g AS (
+  SELECT event_type,
+         COUNT(CASE WHEN early THEN value END) AS n1,
+         AVG(CASE WHEN early THEN value END) AS m1,
+         var_samp(CASE WHEN early THEN value END) AS s1,
+         COUNT(CASE WHEN NOT early THEN value END) AS n2,
+         AVG(CASE WHEN NOT early THEN value END) AS m2,
+         var_samp(CASE WHEN NOT early THEN value END) AS s2
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_early,
+       CAST(n2 AS BIGINT) AS n_late,
+       round(m1, 6) AS mean_early,
+       round(m2, 6) AS mean_late,
+       round((m1 - m2) / sqrt(s1 / n1 + s2 / n2), 6) AS t_stat,
+       round(((s1 / n1 + s2 / n2) * (s1 / n1 + s2 / n2))
+             / ((s1 / n1) * (s1 / n1) / (n1 - 1) + (s2 / n2) * (s2 / n2) / (n2 - 1)),
+             2) AS welch_df
+FROM g
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2557,6 +2676,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trimmed_stats": q_events_trimmed_stats,
     "event_transitions": q_event_transitions,
     "session_attribution": q_session_attribution,
+    "events_gapfill": q_events_gapfill,
+    "events_ab_welch": q_events_ab_welch,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2630,6 +2751,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "session_attribution": SQL_SESSION_ATTRIBUTION,
+    "events_gapfill": SQL_EVENTS_GAPFILL,
+    "events_ab_welch": SQL_EVENTS_AB_WELCH,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -2654,6 +2777,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_edit_distance",
     "entity_resolution",
     "item_cf_neighbors",
+    "graph_triangles",
+    "events_gapfill",
+    "events_ab_welch",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",

@@ -2912,6 +2912,70 @@ LIMIT 10
 )
 
 
+_TRI_MIN_SUPPORT = 2
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_count) over
+    the co-purchase graph (part pairs ordered together ≥ 2 times) — the
+    clustering-coefficient building block, via degree orientation so hub
+    parts cannot generate quadratic wedges. Top-50 by count."""
+    from scala_etl_test_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    edges = (
+        a.join(b, on="ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(50)
+    )
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+edges AS (
+  SELECT a.pk AS a, c.pk AS b
+  FROM li a JOIN li c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS hi
+  FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+),
+closed AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.hi = e2.lo
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.lo = e1.lo AND o.hi = e2.hi)
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM closed
+  UNION ALL SELECT y FROM closed
+  UNION ALL SELECT z FROM closed
+) GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 50
+"""
+
+
 _CF_MIN_SUPPORT = 3
 _CF_TOP_K = 5
 
@@ -3287,6 +3351,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "entity_resolution": q_entity_resolution,
     "item_cf_neighbors": q_item_cf_neighbors,
+    "graph_triangles": q_graph_triangles,
     "hybrid_retrieval": q_hybrid_retrieval,
 }
 
@@ -3362,5 +3427,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "item_cf_neighbors": SQL_ITEM_CF_NEIGHBORS,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
 }

@@ -54,3 +54,46 @@ def test_bad_iters_rejected(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         pagerank(edges, num_iters=0)
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        from scala_etl_test_spark.operators.graph import triangle_count
+
+        # K4 on {1,2,3,4}: every node in C(3,2)=3 triangles; 5 dangles off 1
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        from scala_etl_test_spark.operators.graph import triangle_count
+
+        rng = random.Random(7)
+        nodes = list(range(30))
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+        )
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        assert got == want
+
+    def test_duplicate_and_self_edges_canonicalized(self, spark):
+        from scala_etl_test_spark.operators.graph import triangle_count
+
+        edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
