@@ -56,6 +56,11 @@ HEADLINE = [
     "bm25_topk",
     "graph_pagerank",
     "contrastive_negatives",
+    # round-4 additions: sequence analytics, recsys, graph, char-level dedup
+    "event_transitions",
+    "item_cf_neighbors",
+    "graph_triangles",
+    "dedup_edit_distance",
 ]
 
 

@@ -62,3 +62,77 @@ def ngram_contamination(
         )
         .filter(F.col("n_shared_ngrams") >= min_shared)
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 14,
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Sketch-based contamination screen: the benchmark's n-gram set is
+    compressed into a Bloom filter of ``m_bits`` bits with ``k`` hash
+    functions, and corpus shingles probe the filter — the scale path when
+    even the DISTINCT benchmark shingle table is too wide to broadcast
+    (the filter is a fixed ``m_bits`` bits regardless of benchmark size).
+
+    One-sided guarantee, exactly Bloom's: every doc
+    :func:`ngram_contamination` flags is flagged here too (NO false
+    negatives — a set bit can never be unset); a doc can be flagged
+    spuriously when all ``k`` probe positions of one of its shingles
+    collide with set bits. Size ``m_bits ≳ 20×`` the benchmark's distinct
+    shingle count to keep the doc-level FP count near zero.
+
+    The filter is built RELATIONALLY: position_i(s) = md5("i|" || s) mod
+    m, and the "filter" broadcast to the probe side is the distinct
+    occupied-position table (≤ k · |bench shingles| ints, ≤ m_bits). A
+    byte-array bitset behaves identically; the relational form keeps every
+    bit of the FP behavior reproducible cross-engine (md5 is the portable
+    hash family used by every sketch in this repo — swap xxhash64 in
+    production for speed). A shingle "hits" iff ALL ``k`` positions are
+    occupied (count of DISTINCT matched seeds = k; two seeds of the same
+    shingle may collide on one position, so seeds are counted, not rows).
+
+    Returns (id, n_bloom_shingles): corpus docs whose bloom-hit shingle
+    count ≥ ``min_shared``.
+    """
+    seeds = list(range(k))
+
+    def positions(col):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(str(s)), col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for s in seeds
+        ]
+
+    bench = _doc_shingles(benchmark, text_col, id_col, n)
+    bits = (
+        bench.select(
+            F.explode(F.array(*positions(F.col("shingle")))).alias("bit")
+        ).distinct()
+    )
+    corp = _doc_shingles(corpus, text_col, id_col, n, distinct=False)
+    probes = corp.select(
+        F.col(id_col),
+        "shingle",
+        F.posexplode(F.array(*positions(F.col("shingle")))),
+    ).select(F.col(id_col), "shingle", F.col("pos").alias("seed"), F.col("col").alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bits), on="bit")
+        .groupBy(id_col, "shingle")
+        .agg(F.count_distinct("seed").alias("_k_hit"))
+        .filter(F.col("_k_hit") == k)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_shingles"))
+        .filter(F.col("n_bloom_shingles") >= min_shared)
+    )

@@ -2780,6 +2780,7 @@ _GATE_PRIORITY: list[str] = [
     "graph_triangles",
     "events_gapfill",
     "events_ab_welch",
+    "decontaminate_bloom_audit",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",

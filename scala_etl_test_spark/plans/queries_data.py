@@ -1579,6 +1579,98 @@ HAVING COUNT(DISTINCT c.shingle) >= 1
 """
 
 
+_BLOOM_M = 1 << 14
+_BLOOM_K = 3
+
+
+def q_decontaminate_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen audited against the exact n-gram
+    join (operators/contamination.py:bloom_decontaminate): one summary row
+    with both methods' flagged-doc counts, the measured false-positive
+    count, and the no-false-negative guarantee as a checked column — the
+    sketch's one-sided error surfaced in-band, the same
+    evaluation-as-artifact pattern as ann_recall_report."""
+    from scala_etl_test_spark.operators.contamination import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = ngram_contamination(corpus, bench, "text", "doc_id", n=5).select(
+        F.col("doc_id"), F.lit(True).alias("_e")
+    )
+    bloom = bloom_decontaminate(
+        corpus, bench, "text", "doc_id", n=5, m_bits=_BLOOM_M, k=_BLOOM_K
+    ).select(F.col("doc_id"), F.lit(True).alias("_b"))
+    j = exact.join(bloom, on="doc_id", how="full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("long").alias("n_flagged_exact"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_flagged_bloom"),
+        F.sum(F.when(F.col("_b") & F.col("_e").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (F.sum(F.when(F.col("_e") & F.col("_b").isNull(), 1).otherwise(0)) == 0).alias(
+            "no_false_negatives"
+        ),
+    )
+
+
+def _bloom_pos_sql(col: str, seed: int, m: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{seed}' || '|' || {col}), 1, 15)) AS BIGINT) % {m}"
+    )
+
+
+SQL_DECONTAMINATE_BLOOM_AUDIT = f"""
+WITH shingled AS (
+  SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+       LATERAL (SELECT {_shingles_sql(5)} AS sh) AS s
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shingle FROM shingled WHERE doc_id % 97 <> 0),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{", ".join(_bloom_pos_sql("shingle", s, _BLOOM_M) for s in range(_BLOOM_K))}]) AS bit
+    FROM bench
+  )
+),
+probes AS (
+  SELECT doc_id, shingle, seed, bit FROM (
+    SELECT doc_id, shingle,
+           unnest([{", ".join(str(s) for s in range(_BLOOM_K))}]) AS seed,
+           unnest([{", ".join(_bloom_pos_sql("shingle", s, _BLOOM_M) for s in range(_BLOOM_K))}]) AS bit
+    FROM corpus
+  )
+),
+bloom_hits AS (
+  SELECT doc_id, shingle
+  FROM probes JOIN bits USING (bit)
+  GROUP BY doc_id, shingle
+  HAVING COUNT(DISTINCT seed) = {_BLOOM_K}
+),
+bloom_docs AS (SELECT doc_id, COUNT(*) AS n FROM bloom_hits GROUP BY doc_id HAVING COUNT(*) >= 1),
+exact_docs AS (
+  SELECT c.doc_id
+  FROM corpus c JOIN (SELECT shingle FROM shingled WHERE doc_id % 97 = 0) b
+    ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT c.shingle) >= 1
+),
+j AS (
+  SELECT e.doc_id AS e_id, bd.doc_id AS b_id
+  FROM exact_docs e FULL OUTER JOIN bloom_docs bd ON e.doc_id = bd.doc_id
+)
+SELECT CAST(SUM(CASE WHEN e_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
+       CAST(SUM(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_bloom,
+       CAST(SUM(CASE WHEN b_id IS NOT NULL AND e_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       SUM(CASE WHEN e_id IS NOT NULL AND b_id IS NULL THEN 1 ELSE 0 END) = 0 AS no_false_negatives
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # sequence packing
 # --------------------------------------------------------------------------
@@ -3352,6 +3444,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution": q_entity_resolution,
     "item_cf_neighbors": q_item_cf_neighbors,
     "graph_triangles": q_graph_triangles,
+    "decontaminate_bloom_audit": q_decontaminate_bloom_audit,
     "hybrid_retrieval": q_hybrid_retrieval,
 }
 
@@ -3428,5 +3521,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "item_cf_neighbors": SQL_ITEM_CF_NEIGHBORS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "decontaminate_bloom_audit": SQL_DECONTAMINATE_BLOOM_AUDIT,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
 }

@@ -42,3 +42,48 @@ def test_min_shared_threshold(spark):
     # doc 1 shares exactly 1 distinct 5-gram; min_shared=2 filters it out
     assert ngram_contamination(corpus, bench, "text", "doc_id", n=5, min_shared=2).count() == 0
     assert ngram_contamination(corpus, bench, "text", "doc_id", n=5).count() == 1
+
+
+class TestBloomDecontaminate:
+    def _dfs(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the secret eval question about spark internals one two")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "totally clean document with its own words entirely"),
+                (2, "contains the secret eval question about spark internals verbatim"),
+                (3, "another clean one nothing shared with the benchmark set"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_superset_of_exact_and_flags_contaminated(self, spark):
+        from scala_etl_test_spark.operators.contamination import (
+            bloom_decontaminate,
+            ngram_contamination,
+        )
+
+        corpus, bench = self._dfs(spark)
+        exact = {r["doc_id"] for r in ngram_contamination(corpus, bench, "text", "doc_id").collect()}
+        bloom = {r["doc_id"] for r in bloom_decontaminate(corpus, bench, "text", "doc_id").collect()}
+        assert 2 in exact
+        assert exact <= bloom  # the one-sided guarantee
+
+    def test_tiny_filter_still_no_false_negatives(self, spark):
+        """Even a pathologically small filter (every probe collides) keeps
+        the no-false-negative guarantee — it only over-flags."""
+        from scala_etl_test_spark.operators.contamination import (
+            bloom_decontaminate,
+            ngram_contamination,
+        )
+
+        corpus, bench = self._dfs(spark)
+        exact = {r["doc_id"] for r in ngram_contamination(corpus, bench, "text", "doc_id").collect()}
+        tiny = {r["doc_id"] for r in bloom_decontaminate(
+            corpus, bench, "text", "doc_id", m_bits=2
+        ).collect()}
+        assert exact <= tiny
+        assert tiny == {1, 2, 3}  # m=2 bits: everything collides -> all flagged
