@@ -164,10 +164,11 @@ def triangle_count(
         on=["x", "z"],
         how="left_semi",
     )
+    # one explode pass, NOT a 3-way union: a union would re-run the wedge
+    # join once per branch (closed is unpersisted lineage, by far the most
+    # expensive subtree here)
     per_node = (
-        closed.select(F.col("x").alias("node"))
-        .unionAll(closed.select(F.col("y").alias("node")))
-        .unionAll(closed.select(F.col("z").alias("node")))
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

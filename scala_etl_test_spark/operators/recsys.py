@@ -64,9 +64,17 @@ def item_item_cosine(
         .filter(F.col("co_baskets") >= min_support)
     )
     item_n = kept.groupBy("_i").agg(F.count(F.lit(1)).alias("n"))
-    sym = co.unionByName(
-        co.select(F.col("j").alias("i"), F.col("i").alias("j"), "co_baskets")
-    )
+    # symmetrize with one explode pass — a union of co with its swap would
+    # run the pair-counting self-join twice (co is unpersisted lineage)
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i"), F.col("j")),
+                F.struct(F.col("j").alias("i"), F.col("i").alias("j")),
+            )
+        ).alias("_e"),
+        "co_baskets",
+    ).select(F.col("_e.i").alias("i"), F.col("_e.j").alias("j"), "co_baskets")
     j = (
         sym.join(item_n.select(F.col("_i").alias("i"), F.col("n").alias("n_i")), on="i")
         .join(item_n.select(F.col("_i").alias("j"), F.col("n").alias("n_j")), on="j")
