@@ -2503,6 +2503,143 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Governance + stream-health audits
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, coarsened balance band): how many
+    quasi-identifier groups exist, how many fall below k=5, and how many
+    ROWS sit in those re-identifiable groups — the release gate a
+    governance pipeline runs before sharing a "de-identified" extract.
+    One groupBy on the quasi-id tuple, then a 1-row rollup; the banding
+    (floor(bal/1000)) is the generalization knob — rerun with coarser
+    bands until n_rows_at_risk is acceptable."""
+    cust = _t(spark, sf_dir, "customer")
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    groups = qid.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )
+
+
+SQL_KANON_AUDIT = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+FROM groups
+"""
+
+
+def q_events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — THE input to choosing a streaming
+    watermark: an event is late when its event time is behind the running
+    max event time among everything that ARRIVED before it; the per-type
+    report gives the late fraction and the max/p95 lateness in seconds,
+    i.e. the watermark delay that would have admitted 100% / 95% of this
+    history. The generator's stream is perfectly ordered (event_id order
+    == time order, all-zero lateness), so arrival is simulated with a
+    DETERMINISTIC md5-derived network jitter of 0–300 s per event — the
+    md5 hash family every sketch in this repo uses, so both engines see
+    the identical arrival permutation and the audit hash-checks.
+
+    The running max is one global window over arrival order (the same
+    single-task-at-gate-scale / two-pass-parallel-prefix-at-stream-scale
+    tradeoff documented on sessions_max_concurrency); p95 is the exact
+    interpolating quantile (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the repo convention)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 300_000_000
+    )
+    arr = (us + jitter).alias("_arr")
+    arrival = Window.orderBy(F.col("_arr"), F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = ev.select("event_type", "event_id", us.alias("_t"), arr).select(
+        "event_type",
+        (F.max("_t").over(arrival) - F.col("_t")).alias("_late_us"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_late_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.round(
+                F.sum(F.when(F.col("_late_us") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("late_frac"),
+            (F.max("_late_us") / F.lit(1_000_000.0)).alias("max_late_s"),
+            (F.expr("percentile(_late_us, 0.95)") / F.lit(1_000_000.0)).alias(
+                "p95_late_s"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            "late_frac",
+            F.round("max_late_s", 6).alias("max_late_s"),
+            F.round("p95_late_s", 6).alias("p95_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_LATENESS_AUDIT = """
+WITH arr AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t,
+         epoch_us(ts)
+           + CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 300000000
+           AS arr_us
+  FROM events
+),
+flagged AS (
+  SELECT event_type,
+         MAX(t) OVER (ORDER BY arr_us, event_id ROWS UNBOUNDED PRECEDING) - t AS late_us
+  FROM arr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS late_frac,
+       round(MAX(late_us) / 1000000.0, 6) AS max_late_s,
+       round(quantile_cont(late_us, 0.95) / 1000000.0, 6) AS p95_late_s
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Temporal regularization + two-sample inference
 # --------------------------------------------------------------------------
 
@@ -2678,6 +2815,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_attribution": q_session_attribution,
     "events_gapfill": q_events_gapfill,
     "events_ab_welch": q_events_ab_welch,
+    "kanon_audit": q_kanon_audit,
+    "events_lateness_audit": q_events_lateness_audit,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2753,6 +2892,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "session_attribution": SQL_SESSION_ATTRIBUTION,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_ab_welch": SQL_EVENTS_AB_WELCH,
+    "kanon_audit": SQL_KANON_AUDIT,
+    "events_lateness_audit": SQL_EVENTS_LATENESS_AUDIT,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -2781,6 +2922,8 @@ _GATE_PRIORITY: list[str] = [
     "events_gapfill",
     "events_ab_welch",
     "decontaminate_bloom_audit",
+    "kanon_audit",
+    "events_lateness_audit",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",
