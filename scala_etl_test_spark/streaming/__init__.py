@@ -31,6 +31,7 @@ from scala_etl_test_spark.streaming.sketches import (
     stream_absorb_cms,
     streaming_heavy_hitters,
 )
+from scala_etl_test_spark.streaming.transitions import stateful_transitions
 from scala_etl_test_spark.streaming.sources import (
     run_available_now,
     stream_documents_parquet,
@@ -50,6 +51,7 @@ __all__ = [
     "sliding_rollup",
     "stream_incremental_dedup",
     "session_windows",
+    "stateful_transitions",
     "stateful_user_sessions",
     "stream_documents_parquet",
     "stream_events_parquet",

@@ -60,7 +60,9 @@ def stream_orders_csv(
     return reader.csv(path)
 
 
-def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+def stream_events_parquet(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming read of the events table (directory of parquet files).
 
     Streaming sources need a declared schema, but the generator's physical
@@ -79,8 +81,14 @@ def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
         probed = spark.read.parquet(path).schema["ts"].dataType
     except AnalysisException:  # empty dir / no readable footer yet
         probed = T.LongType()
+    def _reader(schema):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r
+
     if isinstance(probed, T.LongType):
-        df = spark.readStream.schema(EVENTS_NANOS_SCHEMA).parquet(path)
+        df = _reader(EVENTS_NANOS_SCHEMA).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if isinstance(probed, T.TimestampNTZType):
         ntz_schema = T.StructType(
@@ -89,9 +97,9 @@ def stream_events_parquet(spark: SparkSession, path: str) -> DataFrame:
                 for f in EVENTS_SCHEMA.fields
             ]
         )
-        df = spark.readStream.schema(ntz_schema).parquet(path)
+        df = _reader(ntz_schema).parquet(path)
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return _reader(EVENTS_SCHEMA).parquet(path)
 
 
 DOCUMENTS_SCHEMA = T.StructType(

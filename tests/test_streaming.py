@@ -488,3 +488,55 @@ def test_stream_cms_replay_overwrites_not_doubles(spark, sf_dir, tmp_path):
     _write_delta(agg, state, 0, single_file=True)  # at-least-once replay
     _, total = read_merged_cms(spark, state)
     assert total == ev.count()  # replayed batch replaced, not doubled
+
+
+def test_stateful_transitions_match_batch_across_batches(spark, sf_dir, tmp_path):
+    """Cross-batch transition counting: events split into 3 time-ordered
+    files ingested one per micro-batch (maxFilesPerTrigger=1); the summed
+    per-batch deltas equal the batch Markov counts — the boundary step
+    between a user's last event of batch N and first of batch N+1 is the
+    part a stateless window cannot see."""
+    from scala_etl_test_spark.plans.queries import q_event_transitions
+    from scala_etl_test_spark.streaming.transitions import stateful_transitions
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    d = tmp_path / "ev_stream"
+    d.mkdir()
+    third = len(ev) // 3
+    chunks = [ev[:third], ev[third : 2 * third], ev[2 * third :]]
+    schema = read_table(spark, sf_dir, "events").schema
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"chunk{i}"))
+    # flatten into one dir of files, names preserving time order
+    files = sorted(d.glob("chunk*/part-*.parquet"))
+    stream_dir = tmp_path / "ev_flat"
+    stream_dir.mkdir()
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"{i:03d}.parquet")
+
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    sdf = stateful_transitions(
+        stream_events_parquet(spark, str(stream_dir), max_files_per_trigger=1)
+    )
+    run_available_now(
+        sdf,
+        str(tmp_path / "ckpt_trans"),
+        output_mode="append",
+        query_name="stateful_transitions",
+    )
+    # the boundary logic must actually have run: one micro-batch per file
+    n_batches = len(list((tmp_path / "ckpt_trans" / "offsets").iterdir()))
+    assert n_batches >= 3
+    drained = spark.sql(
+        "SELECT from_type, to_type, CAST(SUM(n_steps) AS BIGINT) AS n_steps "
+        "FROM stateful_transitions GROUP BY 1, 2"
+    ).collect()
+    got = {(r["from_type"], r["to_type"]): r["n_steps"] for r in drained}
+    want = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in q_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
