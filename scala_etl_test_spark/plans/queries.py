@@ -2503,6 +2503,207 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Changepoint detection + one-pass correlation matrix
+# --------------------------------------------------------------------------
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type: the split day that
+    minimizes SSE_left + SSE_right of the daily mean-value series (the
+    binary-segmentation step of classic changepoint analysis / CUSUM's
+    offline twin) — "did this metric's level SHIFT, and when?", sharper
+    than the Welch gate's fixed midpoint split.
+
+    All from prefix sums: daily (n, Σv, Σv²) per type, cumulated by one
+    window; each candidate split's two-segment SSE is row-local algebra on
+    (prefix, total − prefix), and the argmin is a row_number over the
+    per-type day grid — the candidate axis is DAYS (bounded), never rows.
+    SSE = Σv² − (Σv)²/n per segment, in fixed decimal until the final
+    division so both engines agree bit-for-bit; ties break to the
+    earliest day."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.to_date("ts")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("s"),
+        F.sum(_dec("value") * _dec("value")).alias("s2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(w).alias("sl"),
+        F.sum("s2").over(w).alias("s2l"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("s").over(tot).alias("st"),
+        F.sum("s2").over(tot).alias("s2t"),
+    ).filter(F.col("nl") < F.col("nt"))  # split must leave a non-empty right
+    # decimal sums are exact; cast to double BEFORE multiplying — decimal
+    # multiplication at these widths overflows DuckDB's 38-digit cap and
+    # hits Spark's precision-loss rounding, while the doubles are exact
+    # (every sum is an integer number of cents far below 2^53)
+    sl_d = F.col("sl").cast("double")
+    sse_l = F.col("s2l").cast("double") - sl_d * sl_d / F.col("nl")
+    nr = F.col("nt") - F.col("nl")
+    sr_d = (F.col("st") - F.col("sl")).cast("double")
+    sse_r = (F.col("s2t") - F.col("s2l")).cast("double") - sr_d * sr_d / nr
+    scored = cum.select(
+        "event_type",
+        "day",
+        F.round(sse_l + sse_r, 4).alias("sse"),
+        F.round(sl_d / F.col("nl"), 6).alias("mean_left"),
+        F.round(sr_d / nr, 6).alias("mean_right"),
+    )
+    best = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("sse").asc(), F.col("day").asc())
+        ),
+    ).filter(F.col("_rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("day").cast("string").alias("change_day"),
+        "sse",
+        "mean_left",
+        "mean_right",
+        F.round(F.col("mean_right") - F.col("mean_left"), 6).alias("shift"),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         SUM(n)  OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(s)  OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS sl,
+         SUM(s2) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS s2l,
+         SUM(n)  OVER (PARTITION BY event_type) AS nt,
+         SUM(s)  OVER (PARTITION BY event_type) AS st,
+         SUM(s2) OVER (PARTITION BY event_type) AS s2t
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day,
+         round(CAST(s2l AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+               + CAST(s2t - s2l AS DOUBLE)
+               - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (nt - nl),
+               4) AS sse,
+         round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
+         round(CAST(st - sl AS DOUBLE) / (nt - nl), 6) AS mean_right
+  FROM cum WHERE nl < nt
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sse, day) AS rk
+  FROM scored
+)
+SELECT event_type, CAST(day AS VARCHAR) AS change_day, sse, mean_left, mean_right,
+       round(mean_right - mean_left, 6) AS shift
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem measures, ALL from
+    ONE aggregate pass: a single scan computes every co-moment
+    (n, Σx, Σx², Σxy for the 6 pairs) with map-side combine, and the
+    6-row long-form matrix is driver-free arithmetic on that one row —
+    the profiling query a feature-engineering pipeline runs per snapshot.
+    Population-correlation algebra shared with events_trend."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    one = li.agg(*aggs)
+
+    def _r(a: str, b: str) -> F.Column:
+        cov = F.col(f"sp_{a}_{b}") / F.col("n") - (F.col(f"s_{a}") / F.col("n")) * (
+            F.col(f"s_{b}") / F.col("n")
+        )
+        var_a = F.col(f"ss_{a}") / F.col("n") - (F.col(f"s_{a}") / F.col("n")) * (
+            F.col(f"s_{a}") / F.col("n")
+        )
+        var_b = F.col(f"ss_{b}") / F.col("n") - (F.col(f"s_{b}") / F.col("n")) * (
+            F.col(f"s_{b}") / F.col("n")
+        )
+        return F.round(cov / F.sqrt(var_a * var_b), 6)
+
+    # one explode over literal structs, NOT a 6-way union of selects over
+    # `one` — each union branch would re-run the scan + aggregate
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), _r(a, b).alias("pearson_r")
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("_p"))
+        .select("_p.col_a", "_p.col_b", "_p.pearson_r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         round((sp_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))
+               / sqrt((ss_{a} / n - (s_{a} / n) * (s_{a} / n))
+                      * (ss_{b} / n - (s_{b} / n) * (s_{b} / n))), 6) AS pearson_r
+  FROM one"""
+
+
+SQL_LINEITEM_CORR_MATRIX = (
+    """
+WITH one AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+"""
+    + ",\n".join(
+        f"         SUM({c}) AS s_{c}, SUM({c} * {c}) AS ss_{c}" for c in _CORR_COLS
+    )
+    + ",\n"
+    + ",\n".join(
+        f"         SUM({a} * {b}) AS sp_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + """
+  FROM lineitem
+)
+SELECT * FROM ("""
+    + "\n  UNION ALL".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + """
+) ORDER BY col_a, col_b
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Governance + stream-health audits
 # --------------------------------------------------------------------------
 
@@ -2817,6 +3018,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_welch": q_events_ab_welch,
     "kanon_audit": q_kanon_audit,
     "events_lateness_audit": q_events_lateness_audit,
+    "events_changepoint": q_events_changepoint,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -2894,6 +3097,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_ab_welch": SQL_EVENTS_AB_WELCH,
     "kanon_audit": SQL_KANON_AUDIT,
     "events_lateness_audit": SQL_EVENTS_LATENESS_AUDIT,
+    "events_changepoint": SQL_EVENTS_CHANGEPOINT,
+    "lineitem_corr_matrix": SQL_LINEITEM_CORR_MATRIX,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -2924,6 +3129,8 @@ _GATE_PRIORITY: list[str] = [
     "decontaminate_bloom_audit",
     "kanon_audit",
     "events_lateness_audit",
+    "events_changepoint",
+    "lineitem_corr_matrix",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",
