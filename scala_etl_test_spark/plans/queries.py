@@ -3116,21 +3116,6 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # round 1, in r1 order (stalest first).  Everything checked green in r2
 # sorts last.
 _GATE_PRIORITY: list[str] = [
-    # new round-4 queries (no driver row yet)
-    "event_transitions",
-    "session_attribution",
-    "source_kl_divergence",
-    "dedup_edit_distance",
-    "entity_resolution",
-    "item_cf_neighbors",
-    "graph_triangles",
-    "events_gapfill",
-    "events_ab_welch",
-    "decontaminate_bloom_audit",
-    "kanon_audit",
-    "events_lateness_audit",
-    "events_changepoint",
-    "lineitem_corr_matrix",
     # round-3 state: changed-that-round (r3 gate never ran, so still first)
     "multimodal_features",
     "approx_distinct_users",
@@ -3179,6 +3164,23 @@ _GATE_PRIORITY: list[str] = [
     "scd2_asof_enrich",
     "events_trimmed_stats",
     "full_outer_reconcile",
+    # new round-4 queries (gated AFTER the round-3 backlog: the driver
+    # checks ~50 entries per round and closing the oldest no-row backlog
+    # first is the standing verdict priority)
+    "event_transitions",
+    "session_attribution",
+    "source_kl_divergence",
+    "dedup_edit_distance",
+    "entity_resolution",
+    "item_cf_neighbors",
+    "graph_triangles",
+    "events_gapfill",
+    "events_ab_welch",
+    "decontaminate_bloom_audit",
+    "kanon_audit",
+    "events_lateness_audit",
+    "events_changepoint",
+    "lineitem_corr_matrix",
     # stale since round 1
     "inner_join_using",
     "window_sum",
