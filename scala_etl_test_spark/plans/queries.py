@@ -2436,25 +2436,32 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("revenue"),
     )
-    first = per_session.groupBy(F.col("first_type").alias("event_type")).agg(
-        F.count(F.lit(1)).alias("sessions_opened"),
-        F.sum("revenue").cast("double").alias("first_touch_revenue"),
+    # ONE pass over per_session (whose lineage holds the scan + two windows
+    # + groupBy — running it once per attribution model would double the
+    # dominant cost): explode each session into a (model, type) pair and
+    # pivot the two models back out in a single aggregate. NULL-safe
+    # conditional sums keep a type that never opened (resp. closed) a
+    # session at NULL, matching the former full-outer-join semantics.
+    touched = per_session.select(
+        "revenue",
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("model"), F.col("first_type").alias("event_type")),
+                F.struct(F.lit("last").alias("model"), F.col("last_type").alias("event_type")),
+            )
+        ).alias("_t"),
+    ).select("revenue", "_t.model", "_t.event_type")
+    agg = touched.groupBy("event_type").agg(
+        F.sum(F.when(F.col("model") == "first", 1)).cast("long").alias("sessions_opened"),
+        F.round(
+            F.sum(F.when(F.col("model") == "first", F.col("revenue"))).cast("double"), 2
+        ).alias("first_touch_revenue"),
+        F.sum(F.when(F.col("model") == "last", 1)).cast("long").alias("sessions_closed"),
+        F.round(
+            F.sum(F.when(F.col("model") == "last", F.col("revenue"))).cast("double"), 2
+        ).alias("last_touch_revenue"),
     )
-    last = per_session.groupBy(F.col("last_type").alias("event_type")).agg(
-        F.count(F.lit(1)).alias("sessions_closed"),
-        F.sum("revenue").cast("double").alias("last_touch_revenue"),
-    )
-    return (
-        first.join(last, on="event_type", how="full_outer")
-        .select(
-            "event_type",
-            "sessions_opened",
-            F.round("first_touch_revenue", 2).alias("first_touch_revenue"),
-            "sessions_closed",
-            F.round("last_touch_revenue", 2).alias("last_touch_revenue"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.orderBy("event_type")
 
 
 SQL_SESSION_ATTRIBUTION = """

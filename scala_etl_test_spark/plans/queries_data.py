@@ -1605,15 +1605,28 @@ def q_decontaminate_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, "text", "doc_id", n=5, m_bits=_BLOOM_M, k=_BLOOM_K
     ).select(F.col("doc_id"), F.lit(True).alias("_b"))
     j = exact.join(bloom, on="doc_id", how="full_outer")
+    # coalesce every aggregate: on a clean corpus j is EMPTY and sum()
+    # over zero rows is NULL — the release-gate verdict must read
+    # (0, 0, 0, true) in exactly the all-clear case, not NULLs
+    zero = F.lit(0).cast("long")
     return j.agg(
-        F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("long").alias("n_flagged_exact"),
-        F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_flagged_bloom"),
-        F.sum(F.when(F.col("_b") & F.col("_e").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_false_pos"),
-        (F.sum(F.when(F.col("_e") & F.col("_b").isNull(), 1).otherwise(0)) == 0).alias(
-            "no_false_negatives"
+        F.coalesce(F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("long"), zero).alias(
+            "n_flagged_exact"
         ),
+        F.coalesce(F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long"), zero).alias(
+            "n_flagged_bloom"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_b") & F.col("_e").isNull(), 1).otherwise(0)).cast("long"),
+            zero,
+        ).alias("n_false_pos"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("_e") & F.col("_b").isNull(), 1).otherwise(0)).cast("long"),
+                zero,
+            )
+            == 0
+        ).alias("no_false_negatives"),
     )
 
 
@@ -1663,10 +1676,10 @@ j AS (
   SELECT e.doc_id AS e_id, bd.doc_id AS b_id
   FROM exact_docs e FULL OUTER JOIN bloom_docs bd ON e.doc_id = bd.doc_id
 )
-SELECT CAST(SUM(CASE WHEN e_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
-       CAST(SUM(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_bloom,
-       CAST(SUM(CASE WHEN b_id IS NOT NULL AND e_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-       SUM(CASE WHEN e_id IS NOT NULL AND b_id IS NULL THEN 1 ELSE 0 END) = 0 AS no_false_negatives
+SELECT CAST(COALESCE(SUM(CASE WHEN e_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged_exact,
+       CAST(COALESCE(SUM(CASE WHEN b_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged_bloom,
+       CAST(COALESCE(SUM(CASE WHEN b_id IS NOT NULL AND e_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false_pos,
+       COALESCE(SUM(CASE WHEN e_id IS NOT NULL AND b_id IS NULL THEN 1 ELSE 0 END), 0) = 0 AS no_false_negatives
 FROM j
 """
 
@@ -3086,11 +3099,23 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         min_support=_CF_MIN_SUPPORT,
         top_k=_CF_TOP_K,
+        basket_cap=_CF_BASKET_CAP,
     ).orderBy("item", "rank")
 
 
+_CF_BASKET_CAP = 1000
+
+
 SQL_ITEM_CF_NEIGHBORS = f"""
-WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH bi0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+-- basket_cap: the Spark operator excludes baskets wider than the cap
+-- BEFORE pair generation and computes item totals over the capped set;
+-- the oracle must encode the same recall tradeoff or diverge the moment
+-- a basket exceeds the cap
+bi AS (
+  SELECT b, i FROM bi0
+  WHERE b IN (SELECT b FROM bi0 GROUP BY b HAVING COUNT(*) <= {{cap}})
+),
 co AS (
   SELECT a.i AS i, c.i AS j, CAST(COUNT(*) AS BIGINT) AS co_baskets
   FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
@@ -3117,7 +3142,7 @@ topk AS (
 SELECT item, neighbor, co_baskets, cosine, rank
 FROM topk WHERE rank <= {_CF_TOP_K}
 ORDER BY item, rank
-"""
+""".format(cap=_CF_BASKET_CAP)
 
 
 # Fellegi–Sunter weights (declared m/u estimates, see operators/linkage.py):

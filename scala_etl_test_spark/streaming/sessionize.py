@@ -82,10 +82,14 @@ def _update_user_sessions(
         last_ts_us, n_sessions, n_events = state.get
     else:
         last_ts_us, n_sessions, n_events = None, 0, 0
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
+    # collect ALL Arrow chunks before sorting: a group larger than
+    # arrow.maxRecordsPerBatch arrives as several pandas frames in
+    # arbitrary post-shuffle order — sorting each chunk independently
+    # would interleave event time across chunks and miscount gaps
+    chunks = [pdf for pdf in batches if not pdf.empty]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ts_us = (whole["ts"].astype("int64") // 1000).sort_values()
         for t in ts_us:
             if last_ts_us is None or (t - last_ts_us) > SESSION_GAP_SECONDS * 1_000_000:
                 n_sessions += 1

@@ -60,9 +60,13 @@ def _update_transitions(
     else:
         last_ts_us, last_event_id, last_type = None, None, None
     counts: dict[tuple[str, str], int] = {}
-    for pdf in batches:
-        if pdf.empty:
-            continue
+    # collect ALL Arrow chunks before the single sort: a group larger than
+    # arrow.maxRecordsPerBatch arrives as several pandas frames in
+    # arbitrary post-shuffle order — sorting per chunk would leave
+    # inter-chunk event-time order broken and miscount steps
+    chunks = [pdf for pdf in batches if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         types = pdf["event_type"].tolist()
         prev = last_type

@@ -513,8 +513,17 @@ def test_stateful_transitions_match_batch_across_batches(spark, sf_dir, tmp_path
     files = sorted(d.glob("chunk*/part-*.parquet"))
     stream_dir = tmp_path / "ev_flat"
     stream_dir.mkdir()
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 100
     for i, f in enumerate(files):
-        shutil.copy(f, stream_dir / f"{i:03d}.parquet")
+        dst = stream_dir / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders files by modification time; copies made in
+        # the same clock tick would tie and ingest in arbitrary order,
+        # breaking the "batches arrive time-ordered" contract under test
+        _os.utime(dst, (base + i * 10, base + i * 10))
 
     from scala_etl_test_spark.streaming.sources import stream_events_parquet
 
@@ -535,6 +544,46 @@ def test_stateful_transitions_match_batch_across_batches(spark, sf_dir, tmp_path
         "FROM stateful_transitions GROUP BY 1, 2"
     ).collect()
     got = {(r["from_type"], r["to_type"]): r["n_steps"] for r in drained}
+    want = {
+        (r["from_type"], r["to_type"]): r["n_steps"]
+        for r in q_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stateful_transitions_multichunk_groups(spark, sf_dir, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch reaches the stateful
+    function as SEVERAL pandas chunks; the operator must restore event-time
+    order across chunks (concat then one sort), not per chunk."""
+    from scala_etl_test_spark.plans.queries import q_event_transitions
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+    from scala_etl_test_spark.streaming.transitions import stateful_transitions
+
+    d = tmp_path / "mc_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "000.parquet")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        sdf = stateful_transitions(stream_events_parquet(spark, str(d)))
+        run_available_now(
+            sdf,
+            str(tmp_path / "ckpt_mc"),
+            output_mode="append",
+            query_name="stateful_transitions_mc",
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in spark.sql(
+                "SELECT from_type, to_type, CAST(SUM(n_steps) AS BIGINT) AS n "
+                "FROM stateful_transitions_mc GROUP BY 1, 2"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     want = {
         (r["from_type"], r["to_type"]): r["n_steps"]
         for r in q_event_transitions(spark, sf_dir).collect()
