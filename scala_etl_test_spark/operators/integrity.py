@@ -1,0 +1,60 @@
+"""Content-integrity checksums for replica / migration validation.
+
+The question after every copy, engine swap, compaction, or bucketing
+rewrite is "is the data still EXACTLY the same?" — and the answer must
+not depend on row order, partitioning, or file layout. The checksum here
+is an ORDER-INDEPENDENT pair of aggregates over a per-row digest:
+
+- ``xor60`` — bitwise XOR of each row's 60-bit md5 digest. Associative,
+  commutative, overflow-free; any single changed/extra/missing row flips
+  it. Weakness: a row duplicated an EVEN number of times cancels out.
+- ``sum31`` — sum of the digest's low 31 bits, covering exactly the XOR
+  blind spot (duplicate multiplicity moves the sum). 2⁶³/2³¹ ≈ 4·10⁹ rows
+  fit before signed-64 overflow; shift to sum-mod-2⁶³ arithmetic (or
+  split sums) beyond that.
+
+Together with the row count, matching (n_rows, xor60, sum31) between two
+tables is a strong (not cryptographic) equality check that computes in
+one scan per side with map-side partial aggregation — each exchange
+carries ONE row per task, so the comparison costs two table scans and
+nothing else, at any scale.
+
+The row digest hashes a CALLER-CANONICALIZED string encoding: the caller
+formats every column to a cross-engine-stable string (decimals with fixed
+scale, timestamps via strftime — see q_orders_checksum) and NULLs are
+encoded distinctly from empty strings via a printable sentinel (a column
+whose actual string value equals the sentinel collides with NULL — pick a
+sentinel outside the data's alphabet for such columns). md5 is the repo's
+portable hash family (swap xxhash64 in production for speed).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+NULL_SENTINEL = "<NULL>"
+
+
+def row_digest(cols: Sequence[Column | str]) -> Column:
+    """60-bit md5 digest of the '|'-joined, NULL-sentineled row encoding."""
+    parts = [
+        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(NULL_SENTINEL))
+        for c in cols
+    ]
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def table_checksum(df: DataFrame, cols: Sequence[Column | str]) -> DataFrame:
+    """One-row (n_rows, xor60, sum31) content checksum over ``cols``."""
+    h = row_digest(cols).alias("_h")
+    return df.select(h).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).cast("long").alias("xor60"),
+        F.coalesce(F.sum(F.col("_h") % F.lit(1 << 31)), F.lit(0))
+        .cast("long")
+        .alias("sum31"),
+    )

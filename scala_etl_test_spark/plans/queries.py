@@ -2510,6 +2510,52 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Content-integrity checksum
+# --------------------------------------------------------------------------
+
+
+def q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the orders table
+    (operators/integrity.py:table_checksum) — the one-scan equality
+    certificate run on both sides of any copy/compaction/engine migration
+    (including this repo's own sinks). Every column is canonicalized to a
+    cross-engine-stable string first: decimals at fixed scale, the
+    timestamp via an explicit strftime (raw timestamp→string rendering
+    differs between engines)."""
+    from scala_etl_test_spark.operators.integrity import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        _dec("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    ]
+    return table_checksum(o, cols)
+
+
+SQL_ORDERS_CHECKSUM = """
+WITH digest AS (
+  SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+           COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'),
+           COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
+           COALESCE(o_orderstatus, '<NULL>'),
+           COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '<NULL>'),
+           COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>'),
+           COALESCE(o_orderpriority, '<NULL>')
+         )), 1, 15)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor60,
+       CAST(COALESCE(SUM(h % 2147483648), 0) AS BIGINT) AS sum31
+FROM digest
+"""
+
+
+# --------------------------------------------------------------------------
 # Changepoint detection + one-pass correlation matrix
 # --------------------------------------------------------------------------
 
@@ -3027,6 +3073,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lateness_audit": q_events_lateness_audit,
     "events_changepoint": q_events_changepoint,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "orders_checksum": q_orders_checksum,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -3106,6 +3153,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_lateness_audit": SQL_EVENTS_LATENESS_AUDIT,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "lineitem_corr_matrix": SQL_LINEITEM_CORR_MATRIX,
+    "orders_checksum": SQL_ORDERS_CHECKSUM,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -3188,6 +3236,7 @@ _GATE_PRIORITY: list[str] = [
     "events_lateness_audit",
     "events_changepoint",
     "lineitem_corr_matrix",
+    "orders_checksum",
     # stale since round 1
     "inner_join_using",
     "window_sum",

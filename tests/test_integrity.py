@@ -1,0 +1,53 @@
+"""Order-independent table checksums (operators/integrity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators.integrity import table_checksum
+
+
+def _cs(df, cols):
+    return tuple(table_checksum(df, cols).collect()[0])
+
+
+def test_invariant_under_partitioning_and_order(spark):
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(500)], "id long, name string, v double"
+    )
+    cols = ["id", "name", "v"]
+    a = _cs(df, cols)
+    b = _cs(df.repartition(13, "name").sortWithinPartitions("v"), cols)
+    c = _cs(df.orderBy(F.col("id").desc()), cols)
+    assert a == b == c and a[0] == 500
+
+
+def test_detects_single_value_change(spark):
+    base = [(1, "a"), (2, "b"), (3, "c")]
+    df1 = spark.createDataFrame(base, "id long, s string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, s string")
+    assert _cs(df1, ["id", "s"]) != _cs(df2, ["id", "s"])
+
+
+def test_sum31_catches_even_duplicate_cancellation(spark):
+    """XOR alone is blind to a row duplicated twice; the sum component
+    moves — the (xor, sum) pair must differ."""
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (2, "b")], "id long, s string"
+    )
+    n1, x1, s1 = _cs(df1, ["id", "s"])
+    n2, x2, s2 = _cs(df2, ["id", "s"])
+    assert x1 == x2  # the documented XOR blind spot...
+    assert (n1, s1) != (n2, s2)  # ...covered by count and sum
+
+
+def test_null_distinct_from_empty_string(spark):
+    df1 = spark.createDataFrame([(1, None)], "id long, s string")
+    df2 = spark.createDataFrame([(1, "")], "id long, s string")
+    assert _cs(df1, ["id", "s"]) != _cs(df2, ["id", "s"])
+
+
+def test_empty_table_checksums_to_zero(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    assert _cs(df, ["id", "s"]) == (0, 0, 0)
