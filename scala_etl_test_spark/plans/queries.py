@@ -2510,6 +2510,157 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Referential integrity + pseudonymization
+# --------------------------------------------------------------------------
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the whole star schema in one report:
+    for every foreign-key edge, how many child rows point at a missing
+    parent (orphans) — the cross-TABLE complement of the single-table
+    expectations gate (expect_orders). Each edge is a left-anti join
+    probing a broadcast of the parent's DISTINCT keys (dimension keys are
+    small by construction; the fact side never shuffles), then the per-
+    edge counts union into a fixed 6-row report."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def edge(name, child, fk, parent, pk):
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+            on=fk,
+            how="left_anti",
+        )
+        return orphans.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_orphans"),
+        )
+
+    edges = [
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+def _fk_edge_sql(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+  SELECT '{name}' AS fk_edge,
+         CAST(COUNT(*) AS BIGINT) AS n_orphans
+  FROM {child} ch
+  WHERE NOT EXISTS (SELECT 1 FROM {parent} pa WHERE pa.{pk} = ch.{fk})"""
+
+
+SQL_FK_INTEGRITY_AUDIT = (
+    "SELECT * FROM ("
+    + "\n  UNION ALL".join(
+        [
+            _fk_edge_sql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            _fk_edge_sql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _fk_edge_sql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            _fk_edge_sql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            _fk_edge_sql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            _fk_edge_sql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ]
+    )
+    + ") ORDER BY fk_edge"
+)
+
+
+_PSEUDO_SALT = "release-2024Q1"
+
+
+def q_pseudonymize_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential consistency: customer and
+    orders both replace the customer key with md5(salt | key) surrogates —
+    the same function on both tables, so joins still line up after the
+    real identifiers are gone (the GDPR-style export contract). The gated
+    report proves it: the surrogate-join row count equals the raw-join
+    count, surrogate cardinality equals key cardinality (no collisions at
+    this scale), and no raw key survives in the surrogate column. Scale:
+    pseudonymization is a row-local projection (zero shuffles added); the
+    verification joins are the only exchanges, and ship only keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    surr = lambda col: F.md5(F.concat_ws("|", F.lit(_PSEUDO_SALT), F.col(col).cast("string")))  # noqa: E731
+    pc = c.select(surr("c_custkey").alias("sk"), "c_mktsegment")
+    po = o.select(surr("o_custkey").alias("sk"), "o_orderkey")
+    # all three scalars ride along as broadcast 1-row aggregates — no eager
+    # action at plan-build time, the query stays one lazy DataFrame
+    raw_join = F.broadcast(
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined_raw"))
+    )
+    # surrogate cardinality from the pseudonymized DIMENSION itself: the
+    # join would undercount whenever a customer has no orders and fake a
+    # collision
+    key_counts = F.broadcast(
+        c.agg(
+            F.count_distinct(surr("c_custkey")).cast("long").alias("n_surrogate_keys"),
+            F.count_distinct("c_custkey").cast("long").alias("n_raw_keys"),
+        )
+    )
+    return (
+        po.join(pc, on="sk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined_surrogate"))
+        .crossJoin(raw_join)
+        .crossJoin(key_counts)
+        .select(
+            "n_joined_surrogate",
+            "n_joined_raw",
+            (F.col("n_joined_surrogate") == F.col("n_joined_raw")).alias("join_preserved"),
+            "n_surrogate_keys",
+            "n_raw_keys",
+            (F.col("n_surrogate_keys") == F.col("n_raw_keys")).alias("no_collisions"),
+        )
+    )
+
+
+SQL_PSEUDONYMIZE_REFERENTIAL = f"""
+WITH pc AS (
+  SELECT md5(concat_ws('|', '{_PSEUDO_SALT}', CAST(c_custkey AS VARCHAR))) AS sk
+  FROM customer
+),
+po AS (
+  SELECT md5(concat_ws('|', '{_PSEUDO_SALT}', CAST(o_custkey AS VARCHAR))) AS sk,
+         o_orderkey
+  FROM orders
+),
+raw AS (
+  SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+surr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_joined_surrogate
+  FROM po JOIN pc ON po.sk = pc.sk
+),
+keys AS (
+  SELECT CAST(COUNT(DISTINCT md5(concat_ws('|', 'release-2024Q1', CAST(c_custkey AS VARCHAR)))) AS BIGINT)
+           AS n_surrogate_keys,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_raw_keys
+  FROM customer
+)
+SELECT s.n_joined_surrogate,
+       CAST(r.n AS BIGINT) AS n_joined_raw,
+       s.n_joined_surrogate = r.n AS join_preserved,
+       k.n_surrogate_keys,
+       k.n_raw_keys,
+       k.n_surrogate_keys = k.n_raw_keys AS no_collisions
+FROM surr s CROSS JOIN raw r CROSS JOIN keys k
+"""
+
+
+# --------------------------------------------------------------------------
 # Content-integrity checksum
 # --------------------------------------------------------------------------
 
@@ -3074,6 +3225,8 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "orders_checksum": q_orders_checksum,
+    "fk_integrity_audit": q_fk_integrity_audit,
+    "pseudonymize_referential": q_pseudonymize_referential,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -3154,6 +3307,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "lineitem_corr_matrix": SQL_LINEITEM_CORR_MATRIX,
     "orders_checksum": SQL_ORDERS_CHECKSUM,
+    "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
+    "pseudonymize_referential": SQL_PSEUDONYMIZE_REFERENTIAL,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -3237,6 +3392,8 @@ _GATE_PRIORITY: list[str] = [
     "events_changepoint",
     "lineitem_corr_matrix",
     "orders_checksum",
+    "fk_integrity_audit",
+    "pseudonymize_referential",
     # stale since round 1
     "inner_join_using",
     "window_sum",
