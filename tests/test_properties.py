@@ -138,3 +138,90 @@ def test_duplicate_spans_match_python_reference_on_random_corpora(spark):
             for r in duplicate_spans(df, k=k).collect()
         }
         assert got == want, (trial, k, sorted(got) != sorted(want))
+
+
+class TestRound4Properties:
+    def test_edit_distance_blocked_equals_bruteforce_random(self, spark):
+        """Seeded-random corpora: the length-band + pigeonhole plan finds
+        EXACTLY the brute-force Levenshtein-<=k pair set (the filters'
+        no-false-negative claim, stress-tested beyond the unit cases)."""
+        import re
+
+        from scala_etl_test_spark.operators.dedup import edit_distance_pairs
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(421)
+        words = ["alpha", "beta", "gamma", "delta", "omega", "zeta", "kappa"]
+        base_docs = [
+            " ".join(rng.choices(words, k=rng.randint(3, 8))) for _ in range(12)
+        ]
+        # edited variants: substitutions, deletes, inserts at random offsets
+        docs = list(base_docs)
+        for d in base_docs[:6]:
+            chars = list(d)
+            for _ in range(rng.randint(1, 5)):
+                op = rng.choice("sdi")
+                pos = rng.randrange(len(chars)) if chars else 0
+                if op == "s" and chars:
+                    chars[pos] = rng.choice("abcdefgh ")
+                elif op == "d" and chars:
+                    del chars[pos]
+                else:
+                    chars.insert(pos, rng.choice("abcdefgh "))
+            docs.append("".join(chars))
+        rows = [(i, t) for i, t in enumerate(docs)]
+        norm = [re.sub(r"[^a-z0-9]+", " ", t.lower()).strip() for t in docs]
+        want = {
+            (i, j): lev(norm[i], norm[j])
+            for i in range(len(norm))
+            for j in range(i + 1, len(norm))
+            if len(norm[i]) >= 5 and len(norm[j]) >= 5
+            and lev(norm[i], norm[j]) <= 4
+        }
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(df, "text", "doc_id").collect()
+        }
+        assert got == want
+        assert want  # the fixture must actually contain close pairs
+
+    def test_checksum_permutation_invariant_random(self, spark):
+        """Any permutation + any partitioning of the same multiset of rows
+        checksums identically; dropping one row never does."""
+        from scala_etl_test_spark.operators.integrity import table_checksum
+
+        rng = random.Random(77)
+        rows = [(rng.randrange(10), f"s{rng.randrange(5)}") for _ in range(300)]
+        perm = rows[:]
+        rng.shuffle(perm)
+        df1 = spark.createDataFrame(rows, "a long, s string").repartition(3)
+        df2 = spark.createDataFrame(perm, "a long, s string").repartition(11, "s")
+        df3 = spark.createDataFrame(rows[1:], "a long, s string")
+        cs = lambda d: tuple(table_checksum(d, ["a", "s"]).collect()[0])  # noqa: E731
+        assert cs(df1) == cs(df2)
+        assert cs(df1) != cs(df3)
+
+    def test_kl_nonnegative_and_zero_only_for_corpus_distribution(self, spark):
+        """KL(p||q) >= 0 on random corpora (Gibbs); near 0 when every group
+        IS the corpus distribution."""
+        from scala_etl_test_spark.operators.drift import source_kl_divergence
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(20)]
+        docs = [
+            (f"g{g}", " ".join(rng.choices(vocab, k=50)))
+            for g in range(4)
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame(docs, "src string, text string")
+        rows = source_kl_divergence(df, "text", "src").collect()
+        assert all(r["kl_bits"] >= -1e-9 for r in rows)
