@@ -2510,6 +2510,71 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Ranked-distribution window functions
+# --------------------------------------------------------------------------
+
+
+def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked-distribution window family in one pass per segment:
+    decile (ntile), percent_rank, and cume_dist of account balance within
+    each market segment — the per-cohort percentile placement behind
+    credit banding and fair-comparison features. One window shuffle on
+    the segment key serves all three functions (they share the same sort);
+    the output keeps one representative row per (segment, decile): the
+    decile's boundary customer (max balance), a bounded 5×10-row report.
+    (ts, id)-free total order: (balance, custkey) breaks ties."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    top_in_decile = Window.partitionBy("c_mktsegment", "decile").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").desc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(top_in_decile))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "c_mktsegment",
+            "decile",
+            F.col("c_custkey").alias("boundary_custkey"),
+            F.round("c_acctbal", 2).alias("boundary_balance"),
+            "pct_rank",
+            "cume",
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+SQL_CUSTOMER_BALANCE_NTILES = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ntile(10) OVER w AS decile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+),
+top_in_decile AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment, decile
+                               ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM ranked
+)
+SELECT c_mktsegment, decile, c_custkey AS boundary_custkey,
+       round(c_acctbal, 2) AS boundary_balance, pct_rank, cume
+FROM top_in_decile WHERE rn = 1
+ORDER BY c_mktsegment, decile
+"""
+
+
+# --------------------------------------------------------------------------
 # Referential integrity + pseudonymization
 # --------------------------------------------------------------------------
 
@@ -3225,6 +3290,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "orders_checksum": q_orders_checksum,
+    "customer_balance_ntiles": q_customer_balance_ntiles,
     "fk_integrity_audit": q_fk_integrity_audit,
     "pseudonymize_referential": q_pseudonymize_referential,
     "full_outer_reconcile": q_full_outer_reconcile,
@@ -3307,6 +3373,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
     "lineitem_corr_matrix": SQL_LINEITEM_CORR_MATRIX,
     "orders_checksum": SQL_ORDERS_CHECKSUM,
+    "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "pseudonymize_referential": SQL_PSEUDONYMIZE_REFERENTIAL,
     "merge_upsert": SQL_MERGE_UPSERT,
@@ -3392,6 +3459,7 @@ _GATE_PRIORITY: list[str] = [
     "events_changepoint",
     "lineitem_corr_matrix",
     "orders_checksum",
+    "customer_balance_ntiles",
     "fk_integrity_audit",
     "pseudonymize_referential",
     # stale since round 1
