@@ -31,6 +31,7 @@ from scala_etl_test_spark.streaming.sketches import (
     stream_absorb_cms,
     streaming_heavy_hitters,
 )
+from scala_etl_test_spark.streaming.cdc import read_state, stream_upsert
 from scala_etl_test_spark.streaming.transitions import stateful_transitions
 from scala_etl_test_spark.streaming.sources import (
     run_available_now,
@@ -45,11 +46,13 @@ __all__ = [
     "hourly_rollup",
     "init_index",
     "read_merged_cms",
+    "read_state",
     "run_available_now",
     "stream_absorb_cms",
     "streaming_heavy_hitters",
     "sliding_rollup",
     "stream_incremental_dedup",
+    "stream_upsert",
     "session_windows",
     "stateful_transitions",
     "stateful_user_sessions",

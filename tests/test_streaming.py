@@ -589,3 +589,69 @@ def test_stateful_transitions_multichunk_groups(spark, sf_dir, tmp_path):
         for r in q_event_transitions(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_cdc_upsert_matches_batch_latest(spark, sf_dir, tmp_path):
+    """foreachBatch CDC merge over two micro-batches == batch
+    latest-per-key over the whole feed; a restarted query with the same
+    checkpoint picks up ONLY new files (state stays correct, offsets grow
+    by exactly the new batch)."""
+    from scala_etl_test_spark.operators.merge import latest_per_key
+    from scala_etl_test_spark.streaming.cdc import read_state, stream_upsert
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    half = len(ev) // 2
+    schema = read_table(spark, sf_dir, "events").schema
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    import os as _os
+    import time as _time
+
+    def _add(chunk, name, mtime):
+        out = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(out)
+        )
+        f = next(out.glob("part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(f, dst)
+        _os.utime(dst, (mtime, mtime))
+
+    base = _time.time() - 100
+    _add(ev[:half], "000", base)
+
+    q = stream_upsert(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], "ts"
+    )
+    q.awaitTermination()
+    state1 = {r["user_id"]: r["event_id"] for r in read_state(spark, table).collect()}
+    want1 = {
+        r["user_id"]: r["event_id"]
+        for r in latest_per_key(
+            spark.createDataFrame(ev[:half], schema), ["user_id"], "ts"
+        ).collect()
+    }
+    assert state1 == want1
+
+    _add(ev[half:], "001", base + 10)
+    q = stream_upsert(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], "ts"
+    )
+    q.awaitTermination()
+    state2 = {r["user_id"]: r["event_id"] for r in read_state(spark, table).collect()}
+    want2 = {
+        r["user_id"]: r["event_id"]
+        for r in latest_per_key(
+            spark.createDataFrame(ev, schema), ["user_id"], "ts"
+        ).collect()
+    }
+    assert state2 == want2
+    # exactly-once bookkeeping: the restart processed ONE new batch
+    import pathlib as _pl
+
+    batches = [f for f in _pl.Path(ckpt, "offsets").iterdir() if f.name.isdigit()]
+    assert len(batches) == 2
