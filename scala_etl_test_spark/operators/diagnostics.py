@@ -32,21 +32,29 @@ def skew_report(df: DataFrame) -> Row:
     avg_rows, skew_ratio) where skew_ratio = max/avg over NON-EMPTY
     partitions (the straggler factor: how much longer the worst task runs
     than the average). Empty partitions are reported separately — they
-    dilute avg and hide skew if mixed in. Collects ONE small row."""
-    stats = partition_stats(df)
-    n_parts = df.rdd.getNumPartitions()
-    row = stats.agg(
-        F.count(F.lit(1)).alias("n_nonempty"),
-        F.min("n_rows").alias("min_rows"),
-        F.max("n_rows").alias("max_rows"),
-        F.avg("n_rows").alias("avg_rows"),
-    ).collect()[0]
-    n_nonempty = row["n_nonempty"] or 0
+    dilute avg and hide skew if mixed in.
+
+    Measured with ONE ``mapPartitions`` pass over a single pinned RDD plan
+    — one of the rare legitimate RDD uses: the DataFrame route would plan
+    the counting job and ``getNumPartitions`` independently, and with AQE
+    the two executions can disagree on the partition count (n_empty could
+    even go negative). The collect ships one int per partition."""
+    counts = (
+        df.rdd.mapPartitions(lambda it: iter([sum(1 for _ in it)])).collect()
+    )
+    n_parts = len(counts)
+    nonempty = [c for c in counts if c > 0]
+    if not nonempty:
+        return Row(
+            n_partitions=n_parts, n_empty=n_parts, min_rows=0, max_rows=0,
+            avg_rows=0.0, skew_ratio=0.0,
+        )
+    avg = sum(nonempty) / len(nonempty)
     return Row(
         n_partitions=n_parts,
-        n_empty=n_parts - n_nonempty,
-        min_rows=row["min_rows"] if n_nonempty else 0,
-        max_rows=row["max_rows"] if n_nonempty else 0,
-        avg_rows=float(row["avg_rows"]) if n_nonempty else 0.0,
-        skew_ratio=(row["max_rows"] / row["avg_rows"]) if n_nonempty else 0.0,
+        n_empty=n_parts - len(nonempty),
+        min_rows=min(nonempty),
+        max_rows=max(nonempty),
+        avg_rows=avg,
+        skew_ratio=max(nonempty) / avg,
     )

@@ -38,14 +38,20 @@ NULL_SENTINEL = "<NULL>"
 
 
 def row_digest(cols: Sequence[Column | str]) -> Column:
-    """60-bit md5 digest of the '|'-joined, NULL-sentineled row encoding."""
+    """60-bit md5 digest of the row: each column is md5-hashed FIRST and
+    the fixed-width hex digests concatenate — a delimiter-joined encoding
+    would be injectable (('a|b','c') and ('a','b|c') alias); fixed-width
+    per-column digests cannot shift content across column boundaries."""
     parts = [
-        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(NULL_SENTINEL))
+        F.md5(
+            F.coalesce(
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+                F.lit(NULL_SENTINEL),
+            )
+        )
         for c in cols
     ]
-    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
-        "long"
-    )
+    return F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast("long")
 
 
 def table_checksum(df: DataFrame, cols: Sequence[Column | str]) -> DataFrame:

@@ -2519,7 +2519,11 @@ def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile (ntile), percent_rank, and cume_dist of account balance within
     each market segment — the per-cohort percentile placement behind
     credit banding and fair-comparison features. One window shuffle on
-    the segment key serves all three functions (they share the same sort);
+    the segment key serves all three functions (they share the same sort).
+    Scale caveat (same as customer_revenue_quartiles): 5 segments means
+    each window partition funnels ~20% of the table through one task's
+    sort — fine to hundreds of millions of customers, beyond that switch
+    the rank basis to percentile_approx bands (segmentation_rules' plan);
     the output keeps one representative row per (segment, decile): the
     decile's boundary customer (max balance), a bounded 5×10-row report.
     (ts, id)-free total order: (balance, custkey) breaks ties."""
@@ -2583,10 +2587,12 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of the whole star schema in one report:
     for every foreign-key edge, how many child rows point at a missing
     parent (orphans) — the cross-TABLE complement of the single-table
-    expectations gate (expect_orders). Each edge is a left-anti join
-    probing a broadcast of the parent's DISTINCT keys (dimension keys are
-    small by construction; the fact side never shuffles), then the per-
-    edge counts union into a fixed 6-row report."""
+    expectations gate (expect_orders). Dimension-parent edges are
+    left-anti probes against a BROADCAST of the parent's distinct keys
+    (the fact side never shuffles); the one fact-parent edge
+    (lineitem→orders, billions of keys at scale) is a shuffle anti-join
+    on the key instead — broadcasting a fact would blow the limit. The
+    per-edge counts union into a fixed 6-row report."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
@@ -2594,12 +2600,13 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
 
-    def edge(name, child, fk, parent, pk):
-        orphans = child.join(
-            F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
-            on=fk,
-            how="left_anti",
-        )
+    def edge(name, child, fk, parent, pk, broadcast_parent=True):
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        # broadcast only DIMENSION parents; a fact-scale parent (orders,
+        # at billions of keys) would blow the broadcast limit — its edge
+        # runs as a shuffle anti-join on the key instead
+        build = F.broadcast(keys) if broadcast_parent else keys
+        orphans = child.join(build, on=fk, how="left_anti")
         return orphans.agg(
             F.lit(name).alias("fk_edge"),
             F.count(F.lit(1)).cast("long").alias("n_orphans"),
@@ -2607,7 +2614,8 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = [
         edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
-        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey",
+             broadcast_parent=False),
         edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
         edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
         edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
@@ -2710,7 +2718,7 @@ surr AS (
   FROM po JOIN pc ON po.sk = pc.sk
 ),
 keys AS (
-  SELECT CAST(COUNT(DISTINCT md5(concat_ws('|', 'release-2024Q1', CAST(c_custkey AS VARCHAR)))) AS BIGINT)
+  SELECT CAST(COUNT(DISTINCT md5(concat_ws('|', '{_PSEUDO_SALT}', CAST(c_custkey AS VARCHAR)))) AS BIGINT)
            AS n_surrogate_keys,
          CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_raw_keys
   FROM customer
@@ -2754,13 +2762,13 @@ def q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ORDERS_CHECKSUM = """
 WITH digest AS (
-  SELECT CAST(concat('0x', substr(md5(concat_ws('|',
-           COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'),
-           COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'),
-           COALESCE(o_orderstatus, '<NULL>'),
-           COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '<NULL>'),
-           COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>'),
-           COALESCE(o_orderpriority, '<NULL>')
+  SELECT CAST(concat('0x', substr(md5(concat(
+           md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>')),
+           md5(COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>')),
+           md5(COALESCE(o_orderstatus, '<NULL>')),
+           md5(COALESCE(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '<NULL>')),
+           md5(COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '<NULL>')),
+           md5(COALESCE(o_orderpriority, '<NULL>'))
          )), 1, 15)) AS BIGINT) AS h
   FROM orders
 )

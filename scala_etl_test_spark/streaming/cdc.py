@@ -5,8 +5,14 @@ This is the standard Structured-Streaming pattern for sinks without
 native MERGE (plain parquet here; Delta/Iceberg swap in transparently):
 each micro-batch's changes collapse to latest-per-key and merge into the
 persisted table, and the CHECKPOINT makes the composition exactly-once —
-a replayed batch re-merges the same collapsed updates, and SCD-1 merge is
-idempotent for identical inputs (same keys replaced with same rows).
+a replayed batch re-merges the same collapsed updates idempotently.
+
+With a ``version_col`` the merge is VERSION-AWARE (state ∪ batch →
+latest-per-key): a late micro-batch carrying older versions cannot
+regress state, so the final table equals latest-per-key over the whole
+feed in ANY arrival order. Without one, arrival order wins (plain SCD-1
+batch-replaces-base), the honest contract when the feed carries no
+ordering information.
 
 Two-generation table layout: ``foreachBatch`` cannot overwrite the
 directory it is reading as the merge base (the read is lazy; overwriting
@@ -77,7 +83,18 @@ def stream_upsert(
             merged = collapsed
         else:
             base = spark.read.parquet(_gen_dir(table_dir, current_gen))
-            merged = upsert(base, collapsed, key_cols, version_col)
+            if version_col is not None:
+                # version-aware: the state row's version competes with the
+                # batch's — a LATE micro-batch (older versions arriving
+                # after newer state) must NOT regress the state, which
+                # plain upsert's batch-always-wins replace would do
+                merged = latest_per_key(
+                    base.unionByName(collapsed), key_cols, version_col
+                )
+            else:
+                # no version column: arrival order IS the order (SCD-1
+                # batch-wins), the documented at-least-once contract
+                merged = upsert(base, collapsed, key_cols, version_col)
         new_gen = current_gen + 1
         merged.write.mode("overwrite").parquet(_gen_dir(table_dir, new_gen))
         _write_manifest(table_dir, new_gen)

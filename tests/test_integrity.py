@@ -51,3 +51,11 @@ def test_null_distinct_from_empty_string(spark):
 def test_empty_table_checksums_to_zero(spark):
     df = spark.createDataFrame([], "id long, s string")
     assert _cs(df, ["id", "s"]) == (0, 0, 0)
+
+
+def test_delimiter_injection_does_not_alias(spark):
+    """('a|b','c') and ('a','b|c') must checksum differently — per-column
+    fixed-width digests close the joined-encoding injection."""
+    df1 = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    df2 = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert _cs(df1, ["x", "y"]) != _cs(df2, ["x", "y"])

@@ -225,3 +225,12 @@ class TestRound4Properties:
         df = spark.createDataFrame(docs, "src string, text string")
         rows = source_kl_divergence(df, "text", "src").collect()
         assert all(r["kl_bits"] >= -1e-9 for r in rows)
+        # the "zero only at the corpus distribution" half: groups with
+        # IDENTICAL composition sit at (near-)zero, smaller than any of
+        # the random groups above
+        same = [("a", "x y z w"), ("b", "x y z w"), ("c", "x y z w")]
+        rows2 = source_kl_divergence(
+            spark.createDataFrame(same, "src string, text string"), "text", "src"
+        ).collect()
+        assert all(abs(r["kl_bits"]) < 0.01 for r in rows2)
+        assert max(abs(r["kl_bits"]) for r in rows2) < min(r["kl_bits"] for r in rows)

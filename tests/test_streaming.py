@@ -655,3 +655,45 @@ def test_streaming_cdc_upsert_matches_batch_latest(spark, sf_dir, tmp_path):
 
     batches = [f for f in _pl.Path(ckpt, "offsets").iterdir() if f.name.isdigit()]
     assert len(batches) == 2
+
+
+def test_streaming_cdc_late_batch_cannot_regress_state(spark, tmp_path):
+    """A micro-batch arriving AFTER newer state but carrying OLDER versions
+    must not win: the version-aware merge keeps the newest version per key
+    in any arrival order."""
+    import os as _os
+    import time as _time
+
+    from scala_etl_test_spark.streaming.cdc import read_state, stream_upsert
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    schema = read_table(spark, "/root/testdata/sf0.001", "events").schema
+    import datetime as _dt
+
+    def row(eid, ts_day, uid, etype):
+        return (eid, _dt.datetime(2024, 1, ts_day), uid, etype, 1.0, "{}")
+
+    newer = [row(10, 20, 1, "new"), row(11, 20, 2, "new")]
+    older = [row(1, 5, 1, "old"), row(2, 25, 2, "newest")]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = _time.time() - 100
+
+    def _add(rows, name, mtime):
+        out = tmp_path / f"_st_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(out))
+        dst = src / f"{name}.parquet"
+        shutil.copy(next(out.glob("part-*.parquet")), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    table, ckpt = str(tmp_path / "late_table"), str(tmp_path / "late_ckpt")
+    _add(newer, "000", base)
+    stream_upsert(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], "ts"
+    ).awaitTermination()
+    _add(older, "001", base + 10)  # late file: user 1 older, user 2 newer
+    stream_upsert(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], "ts"
+    ).awaitTermination()
+    state = {r["user_id"]: r["event_type"] for r in read_state(spark, table).collect()}
+    assert state == {1: "new", 2: "newest"}
