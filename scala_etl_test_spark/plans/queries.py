@@ -2510,6 +2510,179 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Event-series smoothing, conversion latency, path mining
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.5
+_EWMA_WINDOW = 7
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day windowed EWMA of the daily revenue series per event type —
+    the smoothing behind every ops dashboard's trend line. The bounded
+    window makes the recursion EXACT and engine-portable: ewma_t =
+    Σ_{j=0..6} αʲ·v_{t−j} / Σ_{j present} αʲ, unrolled as 7 lag() terms
+    over one (type, day) window (an unbounded EWMA is a true recursion —
+    not expressible as a window aggregate, and α^t rescaling explodes
+    numerically; the 7-term truncation is standard and its tail weight is
+    α⁷ < 1%). Missing leading days contribute nothing AND drop out of the
+    normalizer, so the series starts unbiased."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_WINDOW):
+        term = F.lag("v", j).over(w)
+        num = num + F.coalesce(term * F.lit(_EWMA_ALPHA**j), F.lit(0.0))
+        den = den + F.when(term.isNotNull(), F.lit(_EWMA_ALPHA**j)).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round("v", 2).alias("day_value"),
+        F.round(num / den, 6).alias("ewma7"),
+    ).orderBy("event_type", "day")
+
+
+SQL_EVENTS_EWMA = (
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, round(v, 2) AS day_value,
+       round(("""
+    + " + ".join(
+        f"COALESCE(lag(v, {j}) OVER w * {_EWMA_ALPHA**j!r}, 0.0)"
+        for j in range(_EWMA_WINDOW)
+    )
+    + ") / ("
+    + " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN {_EWMA_ALPHA**j!r} ELSE 0.0 END"
+        for j in range(_EWMA_WINDOW)
+    )
+    + """), 6) AS ewma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+)
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the delay from FIRST signup to the first
+    purchase AFTER it; the report is conversion count + exact
+    median/p90 delay in hours — the latency half of the funnel (the
+    events_funnel count tells how many convert, this tells how fast).
+    Two min-aggregates on the user shuffle (no window needed: first
+    signup = min ts over signups, first purchase after = min ts over
+    purchases past it), then a 1-row exact-quantile rollup."""
+    ev = _t(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    joined = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, on="user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    delays = joined.select(
+        ((F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")) / 3_600_000_000.0).alias(
+            "delay_h"
+        )
+    )
+    return delays.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delay_h, 0.5)"), 6).alias("median_hours"),
+        F.round(F.expr("percentile(delay_h, 0.9)"), 6).alias("p90_hours"),
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, s.signup_ts, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id, s.signup_ts
+),
+delays AS (
+  SELECT (epoch_us(purchase_ts) - epoch_us(signup_ts)) / 3600000000.0 AS delay_h FROM conv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(delay_h, 0.5), 6) AS median_hours,
+       round(quantile_cont(delay_h, 0.9), 6) AS p90_hours
+FROM delays
+"""
+
+
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 20 most common 3-event sequences inside a user's
+    30-min session — the second-order upgrade of event_transitions (which
+    sees only adjacent pairs): common trigrams surface scripted flows and
+    UX loops that pair counts blur. Two lead() calls on the SAME
+    (user, session) window (no extra shuffle), trigrams crossing a
+    session boundary excluded, then one small groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(by_time) > 1800 * 1_000_000, 1).otherwise(0).cast("long"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_time.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    in_session = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(in_session).alias("e2"),
+        F.lead("event_type", 2).over(in_session).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+SQL_EVENT_PATH_TRIGRAMS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Ranked-distribution window functions
 # --------------------------------------------------------------------------
 
@@ -3299,6 +3472,9 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "orders_checksum": q_orders_checksum,
     "customer_balance_ntiles": q_customer_balance_ntiles,
+    "events_ewma": q_events_ewma,
+    "funnel_latency": q_funnel_latency,
+    "event_path_trigrams": q_event_path_trigrams,
     "fk_integrity_audit": q_fk_integrity_audit,
     "pseudonymize_referential": q_pseudonymize_referential,
     "full_outer_reconcile": q_full_outer_reconcile,
@@ -3382,6 +3558,9 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "lineitem_corr_matrix": SQL_LINEITEM_CORR_MATRIX,
     "orders_checksum": SQL_ORDERS_CHECKSUM,
     "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "funnel_latency": SQL_FUNNEL_LATENCY,
+    "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "pseudonymize_referential": SQL_PSEUDONYMIZE_REFERENTIAL,
     "merge_upsert": SQL_MERGE_UPSERT,
@@ -3468,6 +3647,9 @@ _GATE_PRIORITY: list[str] = [
     "lineitem_corr_matrix",
     "orders_checksum",
     "customer_balance_ntiles",
+    "events_ewma",
+    "funnel_latency",
+    "event_path_trigrams",
     "fk_integrity_audit",
     "pseudonymize_referential",
     # stale since round 1
