@@ -118,3 +118,39 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
         if not d.endswith("l_returnflag=R"):
             shutil.rmtree(d)
     assert back.count() == exact
+
+
+class TestBigQuerySink:
+    def test_options_shape(self):
+        from scala_etl_test_spark.sources.sinks import bigquery_options
+
+        opts = bigquery_options(
+            "ds.clients", project="p1", temporary_gcs_bucket="tmp-bkt"
+        )
+        assert opts == {
+            "table": "ds.clients",
+            "writeMethod": "indirect",
+            "parentProject": "p1",
+            "temporaryGcsBucket": "tmp-bkt",
+        }
+        direct = bigquery_options("ds.t", write_method="direct")
+        assert direct == {"table": "ds.t", "writeMethod": "direct"}
+
+    def test_indirect_requires_bucket_and_method_validated(self):
+        import pytest as _pytest
+
+        from scala_etl_test_spark.sources.sinks import bigquery_options
+
+        with _pytest.raises(ValueError, match="temporary_gcs_bucket"):
+            bigquery_options("ds.t")
+        with _pytest.raises(ValueError, match="direct|indirect"):
+            bigquery_options("ds.t", write_method="streaming")
+
+    def test_write_raises_actionable_error_without_connector(self, spark):
+        import pytest as _pytest
+
+        from scala_etl_test_spark.sources.sinks import write_bigquery
+
+        df = spark.range(3)
+        with _pytest.raises(RuntimeError, match="--packages com.google.cloud.spark"):
+            write_bigquery(df, "ds.t", write_method="direct")
