@@ -2510,6 +2510,64 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Mergeable-sketch workflow: daily HLL partials unioned to a period total
+# --------------------------------------------------------------------------
+
+_HLL_LG_K = 12  # Datasketches HLL: rsd ≈ 1.04 / sqrt(2^lgK) ≈ 1.6%
+_HLL_BOUND = 5 * 1.04 / (2**_HLL_LG_K) ** 0.5
+
+
+def q_approx_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-AGGREGATED sketch workflow behind every 100 TB distinct-count
+    dashboard: one Datasketches HLL partial per (type, day) — the shape a
+    daily rollup job persists — then hll_union_agg merges the partials into
+    the 30-day total WITHOUT rescanning events (mergeability is the whole
+    point: the daily table is ~(types × days) rows, the reunion never
+    touches raw data). approx_distinct_users checks one global sketch;
+    this checks the merge algebra.
+
+    Gate shape (same as approx_distinct_users): the estimate itself is
+    engine-specific, so the hashed output carries the exact count and the
+    IN-BAND verdict |merged/exact − 1| ≤ 5·rsd; the oracle reproduces the
+    exact side and pins the verdict TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).cast("long").alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        merged.join(exact, on="event_type")
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            "n_exact",
+            (F.abs(F.col("est") / F.col("n_exact") - 1) <= _HLL_BOUND).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_APPROX_DISTINCT_SKETCH_MERGE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Event-series smoothing, conversion latency, path mining
 # --------------------------------------------------------------------------
 
@@ -3473,6 +3531,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_checksum": q_orders_checksum,
     "customer_balance_ntiles": q_customer_balance_ntiles,
     "events_ewma": q_events_ewma,
+    "approx_distinct_sketch_merge": q_approx_distinct_sketch_merge,
     "funnel_latency": q_funnel_latency,
     "event_path_trigrams": q_event_path_trigrams,
     "fk_integrity_audit": q_fk_integrity_audit,
@@ -3559,6 +3618,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "orders_checksum": SQL_ORDERS_CHECKSUM,
     "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
     "events_ewma": SQL_EVENTS_EWMA,
+    "approx_distinct_sketch_merge": SQL_APPROX_DISTINCT_SKETCH_MERGE,
     "funnel_latency": SQL_FUNNEL_LATENCY,
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
@@ -3648,6 +3708,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_checksum",
     "customer_balance_ntiles",
     "events_ewma",
+    "approx_distinct_sketch_merge",
     "funnel_latency",
     "event_path_trigrams",
     "fk_integrity_audit",
