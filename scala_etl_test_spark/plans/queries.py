@@ -2567,6 +2567,76 @@ ORDER BY event_type
 """
 
 
+_THETA_BOUND = 0.05  # intersection/difference error ≥ plain-union rsd; generous
+
+
+def q_approx_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability HLL lacks: estimate the
+    distinct-user INTERSECTION (clicked AND purchased) and DIFFERENCE
+    (clicked, never purchased) from two independently-built sketches, no
+    raw-data rejoin — audience-overlap analysis over pre-aggregated
+    per-segment sketch tables at 100 TB. In-band contract like the HLL
+    rows: hashed output carries the exact counts and the
+    |est/exact − 1| ≤ 5% verdicts; the oracle reproduces the exact sides
+    and pins the verdicts TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    clicks = sk.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_click")
+    )
+    buys = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_buy")
+    )
+    ests = clicks.crossJoin(buys).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_click", "sk_buy")
+        ).alias("est_both"),
+        F.theta_sketch_estimate(F.theta_difference("sk_click", "sk_buy")).alias(
+            "est_click_only"
+        ),
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u")
+    ).distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u")
+    ).distinct()
+    exact = (
+        clickers.join(buyers, on="u", how="left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .crossJoin(
+            clickers.join(buyers, on="u", how="left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("n_click_only")
+            )
+        )
+    )
+    def _ok(est, n):
+        # exact side can be 0 (every clicker buys at small SF): then the
+        # sketch must estimate 0 too; try_divide keeps ANSI mode happy
+        return F.when(F.col(n) == 0, F.col(est) == 0.0).otherwise(
+            F.abs(F.try_divide(F.col(est), F.col(n)) - 1) <= _THETA_BOUND
+        )
+
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "n_both",
+        "n_click_only",
+        _ok("est_both", "n_both").alias("both_within_bound"),
+        _ok("est_click_only", "n_click_only").alias("diff_within_bound"),
+    )
+
+
+SQL_APPROX_OVERLAP_SKETCH = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT COUNT(*) FROM clickers c WHERE EXISTS
+              (SELECT 1 FROM buyers b WHERE b.user_id = c.user_id)) AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM clickers c WHERE NOT EXISTS
+              (SELECT 1 FROM buyers b WHERE b.user_id = c.user_id)) AS BIGINT) AS n_click_only,
+       TRUE AS both_within_bound,
+       TRUE AS diff_within_bound
+"""
+
+
 # --------------------------------------------------------------------------
 # Event-series smoothing, conversion latency, path mining
 # --------------------------------------------------------------------------
@@ -3532,6 +3602,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_balance_ntiles": q_customer_balance_ntiles,
     "events_ewma": q_events_ewma,
     "approx_distinct_sketch_merge": q_approx_distinct_sketch_merge,
+    "approx_overlap_sketch": q_approx_overlap_sketch,
     "funnel_latency": q_funnel_latency,
     "event_path_trigrams": q_event_path_trigrams,
     "fk_integrity_audit": q_fk_integrity_audit,
@@ -3619,6 +3690,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "customer_balance_ntiles": SQL_CUSTOMER_BALANCE_NTILES,
     "events_ewma": SQL_EVENTS_EWMA,
     "approx_distinct_sketch_merge": SQL_APPROX_DISTINCT_SKETCH_MERGE,
+    "approx_overlap_sketch": SQL_APPROX_OVERLAP_SKETCH,
     "funnel_latency": SQL_FUNNEL_LATENCY,
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
@@ -3709,6 +3781,7 @@ _GATE_PRIORITY: list[str] = [
     "customer_balance_ntiles",
     "events_ewma",
     "approx_distinct_sketch_merge",
+    "approx_overlap_sketch",
     "funnel_latency",
     "event_path_trigrams",
     "fk_integrity_audit",
