@@ -2567,6 +2567,95 @@ ORDER BY event_type
 """
 
 
+_PIT_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    primitive: one row per PURCHASE event (the label) with features
+    computed STRICTLY BEFORE the label's timestamp: the user's
+    trailing-7-day event count, click count, and value sum, plus the
+    static customer dimension. The leakage guard is the window frame
+    itself — ``range (-7d, -1µs]`` can never see the label row or
+    anything after it, which is the property every offline/online-skew
+    postmortem traces back to.
+
+    Shape: ONE range window on the user timeline computes every trailing
+    feature (no per-feature self-joins), then the label filter and a
+    broadcast dimension join. At 100 TB this is the same plan per
+    feature group; features materialize once per entity timeline, not
+    once per label."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_PIT_WINDOW_US, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        _dec("value").alias("_v"),
+        F.count(F.lit(1)).over(w).alias("f_events_7d"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("f_clicks_7d"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w),
+            F.lit(0).cast("decimal(12,2)"),
+        )
+        .cast("double")
+        .alias("f_value_7d"),
+    )
+    labels = feat.filter(F.col("event_type") == "purchase")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("f_segment")
+    )
+    return (
+        labels.join(F.broadcast(dim), on="user_id", how="left")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+            F.col("_v").cast("double").alias("label_value"),
+            "f_events_7d",
+            "f_clicks_7d",
+            F.round("f_value_7d", 2).alias("f_value_7d"),
+            "f_segment",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_TRAINING_SET_PIT = f"""
+WITH feat AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         COUNT(*) OVER w AS f_events_7d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS f_clicks_7d,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))) OVER w,
+                       CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS f_value_7d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_PIT_WINDOW_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT f.user_id, f.event_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+       CAST(f.v AS DOUBLE) AS label_value,
+       f.f_events_7d, f.f_clicks_7d,
+       round(f.f_value_7d, 2) AS f_value_7d,
+       c.c_mktsegment AS f_segment
+FROM feat f LEFT JOIN customer c ON f.user_id = c.c_custkey
+WHERE f.event_type = 'purchase'
+ORDER BY f.user_id, f.event_id
+"""
+
+
 _THETA_BOUND = 0.05  # intersection/difference error ≥ plain-union rsd; generous
 
 
@@ -3603,6 +3692,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma": q_events_ewma,
     "approx_distinct_sketch_merge": q_approx_distinct_sketch_merge,
     "approx_overlap_sketch": q_approx_overlap_sketch,
+    "training_set_pit": q_training_set_pit,
     "funnel_latency": q_funnel_latency,
     "event_path_trigrams": q_event_path_trigrams,
     "fk_integrity_audit": q_fk_integrity_audit,
@@ -3691,6 +3781,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_ewma": SQL_EVENTS_EWMA,
     "approx_distinct_sketch_merge": SQL_APPROX_DISTINCT_SKETCH_MERGE,
     "approx_overlap_sketch": SQL_APPROX_OVERLAP_SKETCH,
+    "training_set_pit": SQL_TRAINING_SET_PIT,
     "funnel_latency": SQL_FUNNEL_LATENCY,
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
@@ -3782,6 +3873,7 @@ _GATE_PRIORITY: list[str] = [
     "events_ewma",
     "approx_distinct_sketch_merge",
     "approx_overlap_sketch",
+    "training_set_pit",
     "funnel_latency",
     "event_path_trigrams",
     "fk_integrity_audit",
