@@ -61,6 +61,8 @@ HEADLINE = [
     "item_cf_neighbors",
     "graph_triangles",
     "dedup_edit_distance",
+    # round-4 capstone: PIT feature assembly (range-window heavy)
+    "training_set_pit",
 ]
 
 
