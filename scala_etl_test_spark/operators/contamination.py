@@ -136,3 +136,65 @@ def bloom_decontaminate(
         .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_shingles"))
         .filter(F.col("n_bloom_shingles") >= min_shared)
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Cross-source leakage matrix: for every unordered pair of corpus
+    sources, the number of distinct word ``shingle_n``-grams present in
+    BOTH, plus the Jaccard similarity of the two sources' shingle sets.
+    The provenance dashboard for a multi-source corpus — a high-overlap
+    pair means one feed is mirroring (or scraping) the other, and the
+    dedup budget should be spent there first.
+
+    All ``C(n_sources, 2)`` pairs are emitted (zero-overlap pairs
+    included) so the matrix shape is independent of what the data happens
+    to contain.
+
+    Scale shape: the corpus-sized work is ONE distinct over (shingle,
+    source) — a single partial-aggregated shuffle keyed by the shingle
+    hash. The self-join then meets at most ``n_sources`` rows per shingle
+    (post-distinct), so its per-key fanout is bounded by ``n_sources²``
+    regardless of corpus size, and every later join handles ≤ n_sources²
+    rows (driver-scale; broadcast).
+    """
+    sh = (
+        df.select(F.col(source_col).alias("_src"), words(text_col).alias("_w"))
+        .select("_src", F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    per_source = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n_sh"))
+    overlap = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    univ = df.select(F.col(source_col).alias("_s")).distinct()
+    pairs = (
+        univ.select(F.col("_s").alias("source_a"))
+        .join(univ.select(F.col("_s").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    n_shared = F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long")
+    denom = F.col("_na") + F.col("_nb") - n_shared
+    return (
+        pairs.join(F.broadcast(overlap), on=["source_a", "source_b"], how="left")
+        .join(F.broadcast(per_source.select(F.col("_src").alias("source_a"), F.col("_n_sh").alias("_na"))), on="source_a", how="left")
+        .join(F.broadcast(per_source.select(F.col("_src").alias("source_b"), F.col("_n_sh").alias("_nb"))), on="source_b", how="left")
+        .select(
+            "source_a",
+            "source_b",
+            n_shared.alias("n_shared_shingles"),
+            F.round(
+                F.when(denom > 0, n_shared.cast("double") / denom.cast("double")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+    )

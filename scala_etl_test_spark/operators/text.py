@@ -637,3 +637,55 @@ def negative_sampling_table(
         start.alias("slot_start"),
         end.alias("slot_end"),
     )
+
+
+def quality_filter_sweep(
+    df: DataFrame,
+    text_col: str,
+    thresholds: tuple[float, ...] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> DataFrame:
+    """Filter-calibration sweep: for each candidate quality threshold, how
+    many documents (and how much character mass) a ``quality_score >= t``
+    gate would RETAIN, as absolute counts and corpus shares. This is the
+    table a curation run consults to pick the threshold that hits a token
+    budget — compute it once, not one full filter pass per candidate.
+
+    Scale shape: the only corpus-sized work is ONE partial-aggregated
+    groupBy on the (few-valued) score — the sweep itself runs on that
+    handful of bucket rows joined against the literal threshold list, so
+    adding thresholds costs nothing. Shares divide by the corpus totals
+    (same bucket rows re-aggregated; broadcast 1-row join).
+    """
+    spark = df.sparkSession
+    scored = df.select(
+        quality_score(text_col).alias("_score"),
+        F.length(text_col).cast("long").alias("_nc"),
+    )
+    buckets = scored.groupBy("_score").agg(
+        F.count(F.lit(1)).alias("_nd"), F.sum("_nc").alias("_bc")
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    totals = buckets.agg(
+        F.sum("_nd").alias("_td"), F.sum("_bc").alias("_tc")
+    )
+    retained = (
+        th.join(buckets, on=F.col("_score") >= F.col("threshold"), how="left")
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum("_nd"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("_bc"), F.lit(0)).cast("long").alias("n_chars_retained"),
+        )
+    )
+    share = lambda num, tot: F.round(  # noqa: E731
+        F.when(F.col(tot) > 0, F.col(num).cast("double") / F.col(tot).cast("double")).otherwise(F.lit(0.0)),
+        6,
+    )
+    return retained.join(F.broadcast(totals)).select(
+        "threshold",
+        "n_docs",
+        "n_chars_retained",
+        share("n_docs", "_td").alias("doc_share"),
+        share("n_chars_retained", "_tc").alias("char_share"),
+    )

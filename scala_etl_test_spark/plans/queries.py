@@ -3878,6 +3878,8 @@ _GATE_PRIORITY: list[str] = [
     "event_path_trigrams",
     "fk_integrity_audit",
     "pseudonymize_referential",
+    "source_overlap_matrix",
+    "quality_filter_sweep",
     # stale since round 1
     "inner_join_using",
     "window_sum",

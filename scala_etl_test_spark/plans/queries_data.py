@@ -3338,6 +3338,76 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# corpus governance: cross-source leakage matrix + filter calibration sweep
+# --------------------------------------------------------------------------
+
+_OVERLAP_SHINGLE_N = 5
+_SWEEP_THRESHOLDS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-shingle leakage matrix
+    (operators/contamination.py:cross_source_overlap): all source pairs
+    with their distinct shared 5-gram count and shingle-set Jaccard."""
+    from scala_etl_test_spark.operators.contamination import cross_source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, "text", "source", shingle_n=_OVERLAP_SHINGLE_N)
+
+
+SQL_SOURCE_OVERLAP_MATRIX = f"""
+WITH sh AS (
+  SELECT DISTINCT d.source, unnest(sh) AS shingle
+  FROM (SELECT source, text, {_WORDS_SQL} AS w FROM documents) AS d(source, text, w),
+       LATERAL (SELECT {_shingles_sql(_OVERLAP_SHINGLE_N)} AS sh) AS s
+),
+per_source AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+univ AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM univ a JOIN univ b ON a.source < b.source
+),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(coalesce(ov.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+       round(CASE WHEN pa.n_sh + pb.n_sh - coalesce(ov.n_shared, 0) > 0
+                  THEN CAST(coalesce(ov.n_shared, 0) AS DOUBLE)
+                       / (pa.n_sh + pb.n_sh - coalesce(ov.n_shared, 0))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+LEFT JOIN ov ON ov.source_a = p.source_a AND ov.source_b = p.source_b
+LEFT JOIN per_source pa ON pa.source = p.source_a
+LEFT JOIN per_source pb ON pb.source = p.source_b
+"""
+
+
+def q_quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate calibration (operators/text.py:quality_filter_sweep):
+    docs/char mass retained at each candidate quality_score threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_filter_sweep(docs, "text", thresholds=_SWEEP_THRESHOLDS)
+
+
+SQL_QUALITY_FILTER_SWEEP = f"""
+WITH q AS ({{quality_sql}}),
+t(threshold) AS (VALUES {", ".join(f"({t!r})" for t in _SWEEP_THRESHOLDS)}),
+tot AS (SELECT COUNT(*) AS td, coalesce(SUM(n_chars), 0) AS tc FROM q)
+SELECT t.threshold,
+       CAST(COUNT(q.doc_id) AS BIGINT) AS n_docs,
+       CAST(coalesce(SUM(q.n_chars), 0) AS BIGINT) AS n_chars_retained,
+       round(CASE WHEN tot.td > 0 THEN CAST(COUNT(q.doc_id) AS DOUBLE) / tot.td ELSE 0.0 END, 6) AS doc_share,
+       round(CASE WHEN tot.tc > 0 THEN CAST(coalesce(SUM(q.n_chars), 0) AS DOUBLE) / tot.tc ELSE 0.0 END, 6) AS char_share
+FROM t CROSS JOIN tot LEFT JOIN q ON q.quality_score >= t.threshold
+GROUP BY t.threshold, tot.td, tot.tc
+"""
+SQL_QUALITY_FILTER_SWEEP = SQL_QUALITY_FILTER_SWEEP.replace("{quality_sql}", SQL_TEXT_QUALITY)
+
+
 def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation-as-artifact for the dedup family: pair counts found by
     each blocking strategy at its configured threshold, in one gated
@@ -3471,6 +3541,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "decontaminate_bloom_audit": q_decontaminate_bloom_audit,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "quality_filter_sweep": q_quality_filter_sweep,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3548,4 +3620,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "decontaminate_bloom_audit": SQL_DECONTAMINATE_BLOOM_AUDIT,
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
+    "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
+    "quality_filter_sweep": SQL_QUALITY_FILTER_SWEEP,
 }

@@ -87,3 +87,34 @@ class TestBloomDecontaminate:
         ).collect()}
         assert exact <= tiny
         assert tiny == {1, 2, 3}  # m=2 bits: everything collides -> all flagged
+
+
+class TestCrossSourceOverlap:
+    def test_matrix_counts_and_zero_pairs(self, spark):
+        from scala_etl_test_spark.operators.contamination import cross_source_overlap
+
+        rows = [
+            (1, "alpha beta gamma delta common tail words here", "s1"),
+            (2, "alpha beta gamma delta other ending entirely now", "s2"),
+            (3, "totally disjoint vocabulary nothing shared at all ever", "s3"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {(r["source_a"], r["source_b"]): r for r in cross_source_overlap(df, "text", "source", shingle_n=4).collect()}
+        # full matrix: C(3,2) pairs, zero-overlap pairs included
+        assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+        # s1/s2 share exactly the 4-gram 'alpha beta gamma delta'
+        assert out[("s1", "s2")]["n_shared_shingles"] == 1
+        # each doc has 5 distinct 4-grams -> jaccard 1/9
+        assert out[("s1", "s2")]["jaccard"] == round(1 / 9, 6)
+        assert out[("s1", "s3")]["n_shared_shingles"] == 0
+        assert out[("s1", "s3")]["jaccard"] == 0.0
+
+    def test_short_docs_fall_back_to_whole_text(self, spark):
+        from scala_etl_test_spark.operators.contamination import cross_source_overlap
+
+        rows = [(1, "tiny doc", "a"), (2, "tiny doc", "b")]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = cross_source_overlap(df, "text", "source", shingle_n=5).collect()
+        assert len(out) == 1
+        assert out[0]["n_shared_shingles"] == 1
+        assert out[0]["jaccard"] == 1.0

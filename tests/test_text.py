@@ -255,3 +255,31 @@ def test_negative_sampling_huge_counts_no_wraparound(spark):
     by = {r["word"]: r["wq"] for r in w}
     assert by["big"] > by["small"] > 0
     assert by["big"] == round(5_000_000**0.75 * 1_000_000)
+
+
+class TestQualityFilterSweep:
+    def test_retention_monotone_and_shares(self, docs):
+        out = {r["threshold"]: r for r in X.quality_filter_sweep(docs, "text").collect()}
+        assert set(out) == {0.0, 0.25, 0.5, 0.75, 1.0}
+        # threshold 0 retains everything
+        assert out[0.0]["n_docs"] == 5
+        assert out[0.0]["doc_share"] == 1.0
+        assert out[0.0]["char_share"] == 1.0
+        total_chars = out[0.0]["n_chars_retained"]
+        # retention is non-increasing in the threshold
+        ordered = [out[t] for t in sorted(out)]
+        for lo, hi in zip(ordered, ordered[1:]):
+            assert hi["n_docs"] <= lo["n_docs"]
+            assert hi["n_chars_retained"] <= lo["n_chars_retained"]
+        # doc 1 scores 1.0 (see test_text_stats_ratios) so the top bucket
+        # keeps at least that doc, and shares stay consistent with counts
+        assert out[1.0]["n_docs"] >= 1
+        assert out[1.0]["char_share"] == round(out[1.0]["n_chars_retained"] / total_chars, 6)
+
+    def test_empty_threshold_rows_survive(self, spark):
+        # a corpus where nothing reaches 1.0 still emits every threshold row
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        out = {r["threshold"]: r for r in X.quality_filter_sweep(df, "text").collect()}
+        assert set(out) == {0.0, 0.25, 0.5, 0.75, 1.0}
+        assert out[1.0]["n_docs"] == 0
+        assert out[1.0]["doc_share"] == 0.0
