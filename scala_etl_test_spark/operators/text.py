@@ -661,9 +661,12 @@ def quality_filter_sweep(
         quality_score(text_col).alias("_score"),
         F.length(text_col).cast("long").alias("_nc"),
     )
+    # persist: the bucket table is a handful of rows but costs a corpus
+    # scan to build, and BOTH consumers (threshold join, totals) need it —
+    # without the persist each lineage re-scans the corpus
     buckets = scored.groupBy("_score").agg(
         F.count(F.lit(1)).alias("_nd"), F.sum("_nc").alias("_bc")
-    )
+    ).persist()
     th = spark.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )

@@ -274,3 +274,28 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_source_overlap_corpus_work_is_one_distinct(q):
+    """The leakage matrix's only corpus-sized stage is the (shingle, source)
+    distinct; every matrix-side join is a broadcast over ≤ sources² rows —
+    no sort-merge join and no cartesian product anywhere."""
+    p = plan(q("source_overlap_matrix"), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    # the shingle table is persisted: one explode+distinct feeds all consumers
+    assert "InMemoryTableScan" in p, p
+
+
+def test_quality_sweep_single_corpus_aggregation(q):
+    """The sweep's corpus-sized work is ONE map-side-combined groupBy on the
+    score; the threshold theta-join and the totals join run over the
+    persisted bucket rows (broadcast), never re-scanning the corpus."""
+    p = plan(q("quality_filter_sweep"), mode="simple")
+    assert "partial_count" in p, p
+    assert "SortMergeJoin" not in p, p
+    # both consumers (threshold join, totals) read the persisted buckets —
+    # explain re-prints the cached subtree under each InMemoryTableScan, so
+    # count cache hits, not FileScans
+    assert p.count("InMemoryTableScan") == 2, p
