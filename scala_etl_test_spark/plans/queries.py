@@ -3124,6 +3124,43 @@ FROM surr s CROSS JOIN raw r CROSS JOIN keys k
 
 
 # --------------------------------------------------------------------------
+# Join-cardinality profile (pre-flight join sizing)
+# --------------------------------------------------------------------------
+
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight sizing of the M:N events ⋈ orders join on the user key
+    (operators/diagnostics.py:join_cardinality_profile): the exact output
+    cardinality from Σ cnt·cnt — computed WITHOUT running the join — plus
+    the 10 keys contributing the most output rows. The diagnostic you run
+    before any join whose output size you cannot bound a priori."""
+    from scala_etl_test_spark.operators.diagnostics import join_cardinality_profile
+
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    return join_cardinality_profile(ev, o, "user_id", "o_custkey", top_k=10)
+
+
+SQL_JOIN_SIZE_PROFILE = """
+WITH lc AS (SELECT user_id AS join_key, COUNT(*) AS n_left FROM events GROUP BY 1),
+rc AS (SELECT o_custkey AS join_key, COUNT(*) AS n_right FROM orders GROUP BY 1),
+per AS (
+  SELECT join_key, n_left, n_right, n_left * n_right AS n_pairs
+  FROM lc JOIN rc USING (join_key)
+),
+tot AS (SELECT SUM(n_pairs) AS total_join_rows FROM per)
+SELECT per.join_key,
+       CAST(per.n_left AS BIGINT) AS n_left,
+       CAST(per.n_right AS BIGINT) AS n_right,
+       CAST(per.n_pairs AS BIGINT) AS n_pairs,
+       CAST(tot.total_join_rows AS BIGINT) AS total_join_rows
+FROM per CROSS JOIN tot
+ORDER BY per.n_pairs DESC, per.join_key
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Content-integrity checksum
 # --------------------------------------------------------------------------
 
@@ -3697,6 +3734,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_path_trigrams": q_event_path_trigrams,
     "fk_integrity_audit": q_fk_integrity_audit,
     "pseudonymize_referential": q_pseudonymize_referential,
+    "join_size_profile": q_join_size_profile,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -3786,6 +3824,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "pseudonymize_referential": SQL_PSEUDONYMIZE_REFERENTIAL,
+    "join_size_profile": SQL_JOIN_SIZE_PROFILE,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -3880,6 +3919,7 @@ _GATE_PRIORITY: list[str] = [
     "pseudonymize_referential",
     "source_overlap_matrix",
     "quality_filter_sweep",
+    "join_size_profile",
     # stale since round 1
     "inner_join_using",
     "window_sum",
