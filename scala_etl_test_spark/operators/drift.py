@@ -189,3 +189,66 @@ def source_kl_divergence(
         F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
         F.round(kl, round_digits).alias("kl_bits"),
     )
+
+
+def ks_two_sample(
+    tagged: DataFrame,
+    group_col: str,
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D per group, between the rows
+    where ``flag_col`` is true (sample 1) and false (sample 2) — the
+    distribution-free drift statistic (PSI needs bins, Welch assumes the
+    mean is what moved; KS bounds the max CDF gap with no parameters).
+
+    Exactness under ties: both ECDFs are evaluated with a RANGE window
+    frame — every row equal to the current value sits inside the frame,
+    which IS the right-continuous ECDF at each pooled jump point. A ROWS
+    frame would split ties arbitrarily and overstate D.
+
+    Plan: ONE shuffle (the per-group value window); the per-group totals
+    ride the same window partition, and the final max reuses that
+    partitioning. One group's values order through one task at gate scale
+    — the standard two-pass parallel prefix replaces it at stream scale.
+
+    Returns (group, n_true, n_false, ks_stat, ks_crit_05, drifted) with
+    the 5%-level decision in-band: D > 1.358·√((n1+n2)/(n1·n2)).
+    """
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    flag = lambda b: F.when(F.col(flag_col) == b, 1).otherwise(0)  # noqa: E731
+    stepped = tagged.select(
+        F.col(group_col),
+        F.sum(flag(True)).over(w_cum).alias("_c1"),
+        F.sum(flag(False)).over(w_cum).alias("_c2"),
+        F.sum(flag(True)).over(w_all).alias("_n1"),
+        F.sum(flag(False)).over(w_all).alias("_n2"),
+    )
+    gap = F.abs(
+        F.col("_c1").cast("double") / F.col("_n1").cast("double")
+        - F.col("_c2").cast("double") / F.col("_n2").cast("double")
+    )
+    g = stepped.groupBy(group_col).agg(
+        F.max("_n1").cast("long").alias("n_true"),
+        F.max("_n2").cast("long").alias("n_false"),
+        F.max(gap).alias("_d"),
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_true") + F.col("n_false")).cast("double")
+        / (F.col("n_true") * F.col("n_false")).cast("double")
+    )
+    return g.select(
+        group_col,
+        "n_true",
+        "n_false",
+        F.round("_d", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        (F.col("_d") > crit).alias("drifted"),
+    )

@@ -3663,6 +3663,79 @@ ORDER BY event_type
 """
 
 
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D between the early and late
+    halves of the stream, per event type — the DISTRIBUTION-FREE member of
+    the drift family (PSI needs binning, Welch assumes a mean shift
+    matters; KS catches any shape change with no parameters at all).
+
+    Exactness under ties: both empirical CDFs are evaluated with a RANGE
+    window frame (all rows equal to the current value are inside the
+    frame), which is the right-continuous ECDF — the textbook D over the
+    pooled jump points, not a row-frame approximation.
+
+    Plan: one scan, one broadcast min/max midpoint row, ONE shuffle (the
+    per-type window), and the final max reuses the window's partitioning
+    (no second exchange). Values within one type order through a single
+    task at gate scale — same note as the other per-type global windows:
+    at stream scale this becomes the standard two-pass parallel prefix.
+    The 5%-level decision is in-band: D > 1.358·√((n1+n2)/(n1·n2))."""
+    from scala_etl_test_spark.operators.drift import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t_us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(t_us).alias("_t0"), F.max(t_us).alias("_t1"))
+    tagged = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        (t_us * 2 < F.col("_t0") + F.col("_t1")).alias("early"),
+    )
+    ks = ks_two_sample(tagged, "event_type", "value", "early")
+    return ks.select(
+        "event_type",
+        F.col("n_true").alias("n_early"),
+        F.col("n_false").alias("n_late"),
+        "ks_stat",
+        "ks_crit_05",
+        "drifted",
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_KS_DRIFT = """
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+bounds AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM ev),
+tagged AS (
+  SELECT event_type, value, (epoch_us(ts) * 2 < b.t0 + b.t1) AS early
+  FROM ev CROSS JOIN bounds b
+),
+stepped AS (
+  SELECT event_type,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY value
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY value
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) OVER (PARTITION BY event_type) AS n1,
+         SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) OVER (PARTITION BY event_type) AS n2
+  FROM tagged
+),
+g AS (
+  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+         MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)) AS d
+  FROM stepped GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_early,
+       CAST(n2 AS BIGINT) AS n_late,
+       round(d, 6) AS ks_stat,
+       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS ks_crit_05,
+       d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS drifted
+FROM g
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3720,6 +3793,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_attribution": q_session_attribution,
     "events_gapfill": q_events_gapfill,
     "events_ab_welch": q_events_ab_welch,
+    "events_ks_drift": q_events_ks_drift,
     "kanon_audit": q_kanon_audit,
     "events_lateness_audit": q_events_lateness_audit,
     "events_changepoint": q_events_changepoint,
@@ -3810,6 +3884,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "session_attribution": SQL_SESSION_ATTRIBUTION,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_ab_welch": SQL_EVENTS_AB_WELCH,
+    "events_ks_drift": SQL_EVENTS_KS_DRIFT,
     "kanon_audit": SQL_KANON_AUDIT,
     "events_lateness_audit": SQL_EVENTS_LATENESS_AUDIT,
     "events_changepoint": SQL_EVENTS_CHANGEPOINT,
@@ -3920,6 +3995,7 @@ _GATE_PRIORITY: list[str] = [
     "source_overlap_matrix",
     "quality_filter_sweep",
     "join_size_profile",
+    "events_ks_drift",
     # stale since round 1
     "inner_join_using",
     "window_sum",

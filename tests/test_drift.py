@@ -181,3 +181,34 @@ class TestSourceKlDivergence:
         df = spark.createDataFrame(base + odd, "src string, text string")
         kl = {r["src"]: r["kl_bits"] for r in source_kl_divergence(df, "text", "src").collect()}
         assert kl["b"] > kl["a"]
+
+
+class TestKsTwoSample:
+    def _run(self, spark, early, late):
+        from scala_etl_test_spark.operators.drift import ks_two_sample
+
+        rows = [("x", float(v), True) for v in early] + [("x", float(v), False) for v in late]
+        df = spark.createDataFrame(rows, ["g", "value", "early"])
+        return ks_two_sample(df, "g", "value", "early").collect()[0]
+
+    def test_hand_computed_d(self, spark):
+        # F1 jumps at 1,2,3; F2 at 2,3,4 -> max gap 1/3 at x in {1,2,3}
+        r = self._run(spark, [1, 2, 3], [2, 3, 4])
+        assert r["ks_stat"] == round(1 / 3, 6)
+        assert r["n_true"] == 3 and r["n_false"] == 3
+
+    def test_ties_use_right_continuous_ecdf(self, spark):
+        # pooled jump points {1,2}: |2/3-1/3| = 1/3, |1-1| = 0 -> D = 1/3;
+        # a ROWS frame would split the ties and report a larger D
+        r = self._run(spark, [1, 1, 2], [1, 2, 2])
+        assert r["ks_stat"] == round(1 / 3, 6)
+
+    def test_disjoint_samples_drift(self, spark):
+        r = self._run(spark, [0, 0, 0, 0], [10, 10, 10, 10])
+        assert r["ks_stat"] == 1.0
+        assert r["drifted"] is True
+
+    def test_identical_samples_do_not_drift(self, spark):
+        r = self._run(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+        assert r["ks_stat"] == 0.0
+        assert r["drifted"] is False
