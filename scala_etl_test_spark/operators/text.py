@@ -692,3 +692,64 @@ def quality_filter_sweep(
         share("n_docs", "_td").alias("doc_share"),
         share("n_chars_retained", "_tc").alias("char_share"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    ref_filter: Column,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a reference vocabulary
+    built from the ``ref_filter`` subset of the SAME corpus — the coverage
+    check run before trusting a tokenizer/LM trained on yesterday's data
+    with today's feed: what fraction of token occurrences (and of distinct
+    types) has the reference never seen?
+
+    Returns (group, n_tokens, n_oov_tokens, oov_token_rate, n_types,
+    n_oov_types, oov_type_rate); rates rounded to 6.
+
+    Scale shape: corpus-sized work is ONE (group, word) groupBy with
+    map-side combine — after it, everything is vocabulary-bounded: the
+    reference vocab is a distinct over the (filtered) aggregate, and the
+    membership probe joins two vocab-scale tables on the word (no
+    corpus-scale shuffle, no broadcast assumption about vocab size).
+    """
+    from scala_etl_test_spark.operators.dedup import words as _words
+
+    toks = df.select(
+        F.col(group_col).alias("_grp"),
+        ref_filter.alias("_is_ref"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    # ONE corpus pass: per-(group, word) occurrence counts with a ref flag
+    gw = toks.groupBy("_grp", "word").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.col("_is_ref").cast("int")).alias("_any_ref_row"),
+    )
+    # the reference vocabulary, derived from the SAME aggregate (a word is
+    # in-vocab iff ANY ref row in ANY group contains it)
+    vocab = (
+        gw.filter(F.col("_any_ref_row") == 1).select("word").distinct()
+        .withColumn("_in_vocab", F.lit(1))
+    )
+    probed = gw.join(vocab, on="word", how="left")
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    agg = probed.groupBy("_grp").agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.sum(F.col("_n") * oov).cast("long").alias("n_oov_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(oov).cast("long").alias("n_oov_types"),
+    )
+    rate = lambda num, den: F.round(  # noqa: E731
+        F.col(num).cast("double") / F.col(den).cast("double"), 6
+    )
+    return agg.select(
+        F.col("_grp").alias(group_col),
+        "n_tokens",
+        "n_oov_tokens",
+        rate("n_oov_tokens", "n_tokens").alias("oov_token_rate"),
+        "n_types",
+        "n_oov_types",
+        rate("n_oov_types", "n_types").alias("oov_type_rate"),
+    )

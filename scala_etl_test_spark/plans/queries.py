@@ -3996,6 +3996,7 @@ _GATE_PRIORITY: list[str] = [
     "quality_filter_sweep",
     "join_size_profile",
     "events_ks_drift",
+    "oov_rate",
     # stale since round 1
     "inner_join_using",
     "window_sum",

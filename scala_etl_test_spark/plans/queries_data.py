@@ -3408,6 +3408,40 @@ GROUP BY t.threshold, tot.td, tot.tc
 SQL_QUALITY_FILTER_SWEEP = SQL_QUALITY_FILTER_SWEEP.replace("{quality_sql}", SQL_TEXT_QUALITY)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against a vocabulary built from the even-doc_id
+    half of the corpus (operators/text.py:oov_rate) — the coverage gate a
+    tokenizer trained on yesterday's snapshot runs against today's feed."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.oov_rate(docs, "text", "source", (F.col("doc_id") % 2) == 0)
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT source, doc_id % 2 = 0 AS is_ref, unnest({_WORDS_SQL}) AS word FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE word <> ''),
+gw AS (
+  SELECT source, word, COUNT(*) AS n,
+         MAX(CASE WHEN is_ref THEN 1 ELSE 0 END) AS any_ref
+  FROM t2 GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT word FROM gw WHERE any_ref = 1),
+probed AS (
+  SELECT gw.*, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM gw LEFT JOIN vocab v USING (word)
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n * oov) AS BIGINT) AS n_oov_tokens,
+       round(CAST(SUM(n * oov) AS DOUBLE) / SUM(n), 6) AS oov_token_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(oov) AS BIGINT) AS n_oov_types,
+       round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_type_rate
+FROM probed GROUP BY source
+"""
+
+
 def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation-as-artifact for the dedup family: pair counts found by
     each blocking strategy at its configured threshold, in one gated
@@ -3543,6 +3577,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval": q_hybrid_retrieval,
     "source_overlap_matrix": q_source_overlap_matrix,
     "quality_filter_sweep": q_quality_filter_sweep,
+    "oov_rate": q_oov_rate,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3622,4 +3657,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "hybrid_retrieval": SQL_HYBRID_RETRIEVAL,
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "quality_filter_sweep": SQL_QUALITY_FILTER_SWEEP,
+    "oov_rate": SQL_OOV_RATE,
 }

@@ -283,3 +283,29 @@ class TestQualityFilterSweep:
         assert set(out) == {0.0, 0.25, 0.5, 0.75, 1.0}
         assert out[1.0]["n_docs"] == 0
         assert out[1.0]["doc_share"] == 0.0
+
+
+class TestOovRate:
+    def test_oov_against_reference_half(self, spark):
+        rows = [
+            (0, "alpha beta gamma", "s1"),   # ref: vocab = {alpha beta gamma delta}
+            (2, "delta alpha", "s1"),        # ref
+            (1, "alpha novel beta", "s1"),   # non-ref: 'novel' is OOV
+            (3, "unseen tokens only here", "s2"),  # non-ref, fully OOV
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {r["source"]: r for r in X.oov_rate(df, "text", "source", (F.col("doc_id") % 2) == 0).collect()}
+        s1 = out["s1"]
+        # s1: 8 occurrences, 1 OOV ('novel'); 5 types, 1 OOV type
+        assert s1["n_tokens"] == 8 and s1["n_oov_tokens"] == 1
+        assert s1["oov_token_rate"] == round(1 / 8, 6)
+        assert s1["n_types"] == 5 and s1["n_oov_types"] == 1
+        s2 = out["s2"]
+        assert s2["oov_token_rate"] == 1.0 and s2["oov_type_rate"] == 1.0
+
+    def test_vocab_is_global_across_groups(self, spark):
+        # a word referenced only in ANOTHER group's ref half is still in-vocab
+        rows = [(0, "shared word", "a"), (1, "shared other", "b")]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {r["source"]: r for r in X.oov_rate(df, "text", "source", (F.col("doc_id") % 2) == 0).collect()}
+        assert out["b"]["n_oov_tokens"] == 1  # 'other' OOV, 'shared' covered by a's ref doc
