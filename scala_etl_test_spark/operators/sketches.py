@@ -96,3 +96,108 @@ def cms_heavy_hitters(
     return spark.createDataFrame(
         out, "key long, exact_count long, within_bound boolean"
     )
+
+
+def histogram_quantile_merge(
+    df: DataFrame,
+    value_col: str,
+    day_col,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    nbins: int = 64,
+) -> DataFrame:
+    """Mergeable-quantile workflow — the quantile member of the bounded-
+    sketch family (HLL distinct / theta set-algebra / CMS frequency / GK
+    rank). Each day contributes a fixed equi-width histogram PARTIAL
+    (``nbins`` longs, bins cut from the global min/max); the period sketch
+    is the bin-wise SUM of partials — the merge is exact, associative, and
+    commutative, which is the whole point: day files union to week/month
+    totals without touching raw values again.
+
+    Per requested quantile q the sketch answers with the rank-q estimate
+    interpolated inside its bin; the histogram guarantee — the type-1
+    (rank-statistic) quantile lives in the SAME bin, so
+    ``|est − exact| ≤ bin_width`` — is checked IN-BAND (same pattern as
+    the HLL/CMS gates): the exact rank statistic flips ``within_bound``
+    on any violation. Degenerate range (min == max) collapses every
+    estimate to that value.
+
+    Returns (quantile, n, est_value, exact_value, bin_width, within_bound).
+
+    Scale shape: the sketch path is one scan into (day, bin) counts —
+    map-side combined, ≤ days·nbins rows — then a ≤ nbins-row merge and
+    driver-scale quantile solving on a broadcast of the cumulative bins.
+    The exact column is the AUDIT half (a global rank selection — one
+    total-order sort), sized for the gate sf; at 100 TB you ship only the
+    sketch path and drop the audit columns.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    day = day_col if not isinstance(day_col, str) else F.col(day_col)
+    v = F.col(value_col).cast("double")
+    ev = df.filter(v.isNotNull()).select(day.alias("_day"), v.alias("_v"))
+    bounds = ev.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    bin_of = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+            F.lit(nbins - 1),
+        )
+    )
+    # the mergeable daily partials (what a real pipeline persists per day)…
+    partials = (
+        ev.join(F.broadcast(bounds))
+        .select("_day", bin_of.alias("_bin"))
+        .groupBy("_day", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # …and their union to the period sketch: bin-wise SUM, nothing else
+    merged = partials.groupBy("_bin").agg(F.sum("_c").alias("_c"))
+    w_cum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "_bin", "_c", F.sum("_c").over(w_cum).alias("_cum")
+    )
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "quantile double")
+    # rank target: the type-1 quantile is the ceil(q·n)-th smallest value
+    target = F.ceil(F.col("quantile") * F.col("_n")).cast("long")
+    picked = (
+        qs.join(F.broadcast(bounds))
+        .join(
+            F.broadcast(cum),
+            on=(F.col("_cum") >= target) & ((F.col("_cum") - F.col("_c")) < target),
+        )
+    )
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + width * F.col("_bin").cast("double")
+        + width
+        * (
+            (target - (F.col("_cum") - F.col("_c"))).cast("double")
+            / F.col("_c").cast("double")
+        )
+    )
+    # audit half: the exact rank statistic via one global sort
+    w_rank = Window.orderBy("_v")
+    ranked = ev.select("_v", F.row_number().over(w_rank).alias("_rn"))
+    exact = (
+        qs.join(F.broadcast(bounds))
+        .select("quantile", target.alias("_rn"))
+        .join(ranked, on="_rn")
+        .select("quantile", F.col("_v").alias("_exact"))
+    )
+    bw = F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0)).otherwise(width)
+    return (
+        picked.select("quantile", F.col("_n").alias("n"), est.alias("_est"), bw.alias("_bw"))
+        .join(exact, on="quantile")
+        .select(
+            "quantile",
+            F.col("n").cast("long").alias("n"),
+            F.round("_est", 6).alias("est_value"),
+            F.round("_exact", 6).alias("exact_value"),
+            F.round("_bw", 6).alias("bin_width"),
+            (F.abs(F.col("_est") - F.col("_exact")) <= F.col("_bw") + F.lit(1e-9)).alias("within_bound"),
+        )
+    )

@@ -1345,6 +1345,75 @@ FROM events GROUP BY event_type
 """
 
 
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile workflow (operators/sketches.py:
+    histogram_quantile_merge): per-day equi-width histogram partials over
+    the event values union bin-wise into the period sketch, which answers
+    p50/p90/p99 with the histogram guarantee |est − exact| ≤ bin_width
+    checked in-band against the exact rank statistic — completing the
+    mergeable-sketch tier (HLL distinct / theta set-algebra / CMS
+    frequency / GK rank / histogram quantile)."""
+    from scala_etl_test_spark.operators.sketches import histogram_quantile_merge
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantile_merge(
+        ev, "value", F.to_date("ts"), quantiles=(0.5, 0.9, 0.99), nbins=64
+    ).orderBy("quantile")
+
+
+SQL_QUANTILE_SKETCH_MERGE = """
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v, CAST(ts AS DATE) AS day
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM ev),
+binned AS (
+  SELECT day,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(CAST(floor((v - b.lo) / ((b.hi - b.lo) / 64.0)) AS INT), 63)
+         END AS bin
+  FROM ev CROSS JOIN b
+),
+partials AS (SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+merged AS (SELECT bin, SUM(c) AS c FROM partials GROUP BY 1),
+cum AS (
+  SELECT bin, c,
+         SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM merged
+),
+qs(quantile) AS (
+  SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.9), (0.99)) v(x)
+),
+picked AS (
+  SELECT q.quantile, b.n, b.lo, b.hi, (b.hi - b.lo) / 64.0 AS w,
+         cum.bin, cum.c, cum.cum,
+         CAST(ceil(q.quantile * b.n) AS BIGINT) AS target
+  FROM qs q CROSS JOIN b
+  JOIN cum ON cum.cum >= ceil(q.quantile * b.n)
+          AND (cum.cum - cum.c) < ceil(q.quantile * b.n)
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ev),
+exact AS (
+  SELECT q.quantile, r.v AS exact_v
+  FROM qs q CROSS JOIN b
+  JOIN ranked r ON r.rn = CAST(ceil(q.quantile * b.n) AS BIGINT)
+)
+SELECT p.quantile,
+       CAST(p.n AS BIGINT) AS n,
+       round(CASE WHEN p.hi = p.lo THEN p.lo
+                  ELSE p.lo + p.w * p.bin + p.w * (CAST(p.target - (p.cum - p.c) AS DOUBLE) / p.c)
+             END, 6) AS est_value,
+       round(e.exact_v, 6) AS exact_value,
+       round(CASE WHEN p.hi = p.lo THEN 0.0 ELSE p.w END, 6) AS bin_width,
+       abs((CASE WHEN p.hi = p.lo THEN p.lo
+                 ELSE p.lo + p.w * p.bin + p.w * (CAST(p.target - (p.cum - p.c) AS DOUBLE) / p.c)
+            END) - e.exact_v)
+         <= (CASE WHEN p.hi = p.lo THEN 0.0 ELSE p.w END) + 1e-9 AS within_bound
+FROM picked p JOIN exact e USING (quantile)
+ORDER BY p.quantile
+"""
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch heavy hitters with both CMS guarantees checked
     in-band (operators/sketches.py:cms_heavy_hitters) — the frequency
@@ -3781,6 +3850,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_quantiles_events": q_approx_quantiles_events,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "quantile_sketch_merge": q_quantile_sketch_merge,
     "events_drift_psi": q_events_drift_psi,
     "sessions_max_concurrency": q_sessions_max_concurrency,
     "events_trend": q_events_trend,
@@ -3863,6 +3933,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "quantile_sketch_merge": SQL_QUANTILE_SKETCH_MERGE,
     "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
     "sessions_max_concurrency": SQL_SESSIONS_MAX_CONCURRENCY,
     "events_trend": SQL_EVENTS_TREND,
@@ -3997,6 +4068,7 @@ _GATE_PRIORITY: list[str] = [
     "join_size_profile",
     "events_ks_drift",
     "oov_rate",
+    "quantile_sketch_merge",
     # stale since round 1
     "inner_join_using",
     "window_sum",
