@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_edit_distance",
     # round-4 capstone: PIT feature assembly (range-window heavy)
     "training_set_pit",
+    # round-4 governance tier: distribution-free drift gate (window-heavy)
+    "events_ks_drift",
 ]
 
 
