@@ -3812,6 +3812,126 @@ ORDER BY event_type
 from scala_etl_test_spark.plans.queries_data import DATA_ORACLE_SQL, DATA_QUERIES
 from scala_etl_test_spark.plans.queries_tpch2 import TPCH2_ORACLE_SQL, TPCH2_QUERIES
 
+
+# --------------------------------------------------------------------------
+# Corpus release report (capstone: ship/no-ship governance dashboard)
+# --------------------------------------------------------------------------
+
+# release thresholds — named so the report and its oracle cannot drift apart
+_REL_DUP_RATE_MAX = 0.10       # exact-duplicate share of the corpus
+_REL_RETENTION_MIN = 0.50      # doc share surviving quality >= 0.75
+_REL_OOV_MAX = 0.20            # worst per-source OOV token rate
+_REL_JACCARD_MAX = 0.50        # worst cross-source shingle-set Jaccard
+
+
+def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship/no-ship release dashboard: the five corpus-governance gates
+    reduced to one row each — (check, value, passed) — in a single gated
+    result, the artifact a curation run logs (and a release pipeline
+    blocks on) per snapshot. Every input is an existing oracle-checked
+    query; this composes their 1-row reductions, so the report is itself
+    an oracle-checkable fact, same evaluation-as-artifact pattern as
+    dedup_method_report.
+
+    Scale: each branch is an aggregate of an already-scale-shaped query;
+    the union is five 1-row plans."""
+    dup = (
+        DATA_QUERIES["dedup_exact"](spark, sf_dir)
+        .agg(
+            (
+                F.sum(F.col("is_duplicate").cast("int"))
+                / F.count(F.lit(1))
+            ).alias("value")
+        )
+        .select(
+            F.lit("exact_dup_rate").alias("check"),
+            F.round("value", 6).alias("value"),
+            (F.col("value") < _REL_DUP_RATE_MAX).alias("passed"),
+        )
+    )
+    ret = (
+        DATA_QUERIES["quality_filter_sweep"](spark, sf_dir)
+        .filter(F.col("threshold") == 0.75)
+        .select(
+            F.lit("quality_retention_at_075").alias("check"),
+            F.col("doc_share").alias("value"),
+            (F.col("doc_share") >= _REL_RETENTION_MIN).alias("passed"),
+        )
+    )
+    oov = (
+        DATA_QUERIES["oov_rate"](spark, sf_dir)
+        .agg(F.max("oov_token_rate").alias("value"))
+        .select(
+            F.lit("oov_token_rate_max").alias("check"),
+            F.round("value", 6).alias("value"),
+            (F.col("value") < _REL_OOV_MAX).alias("passed"),
+        )
+    )
+    ks = (
+        q_events_ks_drift(spark, sf_dir)
+        .agg(F.sum(F.col("drifted").cast("int")).cast("double").alias("value"))
+        .select(
+            F.lit("ks_drifted_types").alias("check"),
+            F.round("value", 6).alias("value"),
+            (F.col("value") == 0).alias("passed"),
+        )
+    )
+    leak = (
+        DATA_QUERIES["source_overlap_matrix"](spark, sf_dir)
+        .agg(F.max("jaccard").alias("value"))
+        .select(
+            F.lit("cross_source_jaccard_max").alias("check"),
+            F.round("value", 6).alias("value"),
+            (F.col("value") < _REL_JACCARD_MAX).alias("passed"),
+        )
+    )
+    out = dup
+    for part in (ret, oov, ks, leak):
+        out = out.unionByName(part)
+    return out.orderBy("check")
+
+
+SQL_CORPUS_RELEASE_REPORT = f"""
+WITH dup AS (
+  SELECT 'exact_dup_rate' AS "check",
+         round(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS value,
+         SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) < {_REL_DUP_RATE_MAX} AS passed
+  FROM ({{dedup_exact}})
+),
+ret AS (
+  SELECT 'quality_retention_at_075' AS "check", doc_share AS value,
+         doc_share >= {_REL_RETENTION_MIN} AS passed
+  FROM ({{quality_filter_sweep}}) WHERE threshold = 0.75
+),
+oov AS (
+  SELECT 'oov_token_rate_max' AS "check", round(MAX(oov_token_rate), 6) AS value,
+         MAX(oov_token_rate) < {_REL_OOV_MAX} AS passed
+  FROM ({{oov_rate}})
+),
+ks AS (
+  SELECT 'ks_drifted_types' AS "check",
+         round(CAST(SUM(CASE WHEN drifted THEN 1 ELSE 0 END) AS DOUBLE), 6) AS value,
+         SUM(CASE WHEN drifted THEN 1 ELSE 0 END) = 0 AS passed
+  FROM ({{events_ks_drift}})
+),
+leak AS (
+  SELECT 'cross_source_jaccard_max' AS "check", round(MAX(jaccard), 6) AS value,
+         MAX(jaccard) < {_REL_JACCARD_MAX} AS passed
+  FROM ({{source_overlap_matrix}})
+)
+SELECT * FROM dup UNION ALL SELECT * FROM ret UNION ALL SELECT * FROM oov
+UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM leak
+ORDER BY "check"
+"""
+SQL_CORPUS_RELEASE_REPORT = (
+    SQL_CORPUS_RELEASE_REPORT
+    .replace("{dedup_exact}", DATA_ORACLE_SQL["dedup_exact"])
+    .replace("{quality_filter_sweep}", DATA_ORACLE_SQL["quality_filter_sweep"])
+    .replace("{oov_rate}", DATA_ORACLE_SQL["oov_rate"])
+    .replace("{events_ks_drift}", SQL_EVENTS_KS_DRIFT)
+    .replace("{source_overlap_matrix}", DATA_ORACLE_SQL["source_overlap_matrix"])
+)
+
 _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": q_scan_filter_project,
     "union_positional": q_union_positional,
@@ -3851,6 +3971,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_events": q_approx_quantiles_events,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "quantile_sketch_merge": q_quantile_sketch_merge,
+    "corpus_release_report": q_corpus_release_report,
     "events_drift_psi": q_events_drift_psi,
     "sessions_max_concurrency": q_sessions_max_concurrency,
     "events_trend": q_events_trend,
@@ -3934,6 +4055,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "approx_quantiles_events": SQL_APPROX_QUANTILES_EVENTS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "quantile_sketch_merge": SQL_QUANTILE_SKETCH_MERGE,
+    "corpus_release_report": SQL_CORPUS_RELEASE_REPORT,
     "events_drift_psi": SQL_EVENTS_DRIFT_PSI,
     "sessions_max_concurrency": SQL_SESSIONS_MAX_CONCURRENCY,
     "events_trend": SQL_EVENTS_TREND,
@@ -4069,6 +4191,7 @@ _GATE_PRIORITY: list[str] = [
     "events_ks_drift",
     "oov_rate",
     "quantile_sketch_merge",
+    "corpus_release_report",
     # stale since round 1
     "inner_join_using",
     "window_sum",
