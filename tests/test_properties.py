@@ -234,3 +234,112 @@ class TestRound4Properties:
         ).collect()
         assert all(abs(r["kl_bits"]) < 0.01 for r in rows2)
         assert max(abs(r["kl_bits"]) for r in rows2) < min(r["kl_bits"] for r in rows)
+
+
+class TestGovernanceTierProperties:
+    def test_ks_matches_bruteforce_on_random_tied_samples(self, spark):
+        """Seeded-random integer samples (heavy ties): KS from the RANGE
+        window must equal the brute-force sup|F1 - F2| over pooled values."""
+        from scala_etl_test_spark.operators.drift import ks_two_sample
+
+        rng = random.Random(11)
+        for _ in range(4):
+            a = [rng.randrange(8) for _ in range(rng.randint(2, 40))]
+            b = [rng.randrange(8) for _ in range(rng.randint(2, 40))]
+            want = max(
+                abs(
+                    sum(x <= v for x in a) / len(a)
+                    - sum(x <= v for x in b) / len(b)
+                )
+                for v in set(a) | set(b)
+            )
+            rows = [("g", float(v), True) for v in a] + [("g", float(v), False) for v in b]
+            df = spark.createDataFrame(rows, "g string, value double, early boolean")
+            got = ks_two_sample(df, "g", "value", "early").collect()[0]
+            assert got["ks_stat"] == round(want, 6), (a, b)
+
+    def test_join_profile_total_equals_join_count_random(self, spark):
+        from scala_etl_test_spark.operators.diagnostics import join_cardinality_profile
+
+        rng = random.Random(23)
+        for _ in range(3):
+            l = [(rng.randrange(6),) for _ in range(rng.randint(1, 50))]
+            r = [(rng.randrange(6),) for _ in range(rng.randint(1, 50))]
+            ldf = spark.createDataFrame(l, "k long")
+            rdf = spark.createDataFrame(r, "k long")
+            out = join_cardinality_profile(ldf, rdf, "k", "k", top_k=100).collect()
+            actual = ldf.join(rdf, on="k").count()
+            if actual == 0:
+                assert out == []
+            else:
+                assert out[0]["total_join_rows"] == actual
+                assert sum(row["n_pairs"] for row in out) == actual
+
+    def test_quantile_sketch_bound_and_exact_rank_random(self, spark):
+        """Random floats: the exact column IS the rank statistic, and the
+        histogram estimate never strays more than one bin width from it."""
+        from datetime import date
+
+        from pyspark.sql import functions as F
+        from scala_etl_test_spark.operators.sketches import histogram_quantile_merge
+
+        rng = random.Random(31)
+        import math
+
+        for _ in range(3):
+            vals = [round(rng.uniform(-50, 150), 3) for _ in range(rng.randint(5, 120))]
+            days = [date(2024, 2, rng.randint(1, 9)) for _ in vals]
+            df = spark.createDataFrame(list(zip(vals, days)), "value double, day date")
+            out = histogram_quantile_merge(
+                df, "value", F.col("day"), quantiles=(0.5, 0.9), nbins=16
+            ).collect()
+            s = sorted(vals)
+            for r in out:
+                want_exact = s[math.ceil(r["quantile"] * len(s)) - 1]
+                assert r["exact_value"] == round(want_exact, 6)
+                assert abs(r["est_value"] - r["exact_value"]) <= r["bin_width"] + 1e-6
+
+    def test_sweep_counts_equal_direct_filters_random(self, spark):
+        """The one-pass sweep must agree with literally filtering the corpus
+        at each threshold (Spark-vs-Spark consistency on random text)."""
+        from pyspark.sql import functions as F
+        from scala_etl_test_spark.operators.text import quality_filter_sweep, quality_score
+
+        rng = random.Random(41)
+        words = ["the", "und", "les", "data", "spark", "x1", "!!", "zz"]
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randint(1, 12))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["threshold"]: r for r in quality_filter_sweep(df, "text").collect()}
+        for t, r in out.items():
+            direct = df.filter(quality_score("text") >= t).count()
+            assert r["n_docs"] == direct, t
+
+    def test_cross_source_overlap_matches_python_sets_random(self, spark):
+        from scala_etl_test_spark.operators.contamination import cross_source_overlap
+
+        rng = random.Random(53)
+        vocab = [f"w{i}" for i in range(6)]
+        n = 3
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 15))), f"s{rng.randrange(4)}")
+            for i in range(25)
+        ]
+        sets: dict[str, set] = {}
+        for _, text, src in rows:
+            w = text.split()
+            sh = (
+                {tuple(w[i : i + n]) for i in range(len(w) - n + 1)}
+                if len(w) >= n
+                else {tuple([" ".join(w)])}
+            )
+            sets.setdefault(src, set()).update(sh)
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = cross_source_overlap(df, "text", "source", shingle_n=n).collect()
+        for r in got:
+            a, b = sets.get(r["source_a"], set()), sets.get(r["source_b"], set())
+            assert r["n_shared_shingles"] == len(a & b)
+            want_j = len(a & b) / len(a | b) if a | b else 0.0
+            assert r["jaccard"] == round(want_j, 6)
