@@ -54,6 +54,10 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # isolation: several queries persist intermediates; without this the
+        # replica accumulates every cache and later timings measure a
+        # different memory regime than a fresh driver run
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         status = "ok"
         rows = None
