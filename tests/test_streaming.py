@@ -697,3 +697,43 @@ def test_streaming_cdc_late_batch_cannot_regress_state(spark, tmp_path):
     ).awaitTermination()
     state = {r["user_id"]: r["event_type"] for r in read_state(spark, table).collect()}
     assert state == {1: "new", 2: "newest"}
+
+
+def test_stream_histogram_quantiles_match_batch_operator(spark, sf_dir, tmp_path):
+    """Histograms are linear sketches: the folded per-batch partials must
+    answer the SAME quantile estimates as the batch operator when the
+    declared domain equals the data's true bounds — exact est parity."""
+    from scala_etl_test_spark.operators.sketches import histogram_quantile_merge
+    from scala_etl_test_spark.streaming.sketches import (
+        stream_absorb_histogram,
+        streaming_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    src = tmp_path / "hist_src"
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "hist_state")
+    stream_absorb_histogram(
+        sdf, "value", state, str(tmp_path / "hist_ckpt"), lo=lo, hi=hi, nbins=32
+    )
+    assert spark.read.parquet(state).select("batch_id").distinct().count() >= 3
+    got = {
+        r["quantile"]: (r["n"], r["est_value"])
+        for r in streaming_quantiles(spark, state, lo=lo, hi=hi, nbins=32).collect()
+    }
+    want = {
+        r["quantile"]: (r["n"], r["est_value"])
+        for r in histogram_quantile_merge(
+            ev, "value", F.to_date("ts"), quantiles=(0.5, 0.9, 0.99), nbins=32
+        ).collect()
+    }
+    assert got == want
