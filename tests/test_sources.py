@@ -62,3 +62,27 @@ def test_api_source_file_url(spark, tmp_path):
     df = read_product_details_api(spark, f"file://{p}")
     assert df.count() == len(items)
     assert df.columns == ["product_name", "aisle", "department"]
+
+
+def test_parquet_schema_evolution_merge_and_pushdown(spark, tmp_path):
+    """Long-lived table directories accumulate file generations with added
+    columns; mergeSchema must unify them (old files read NULL for new
+    columns) and filters on the NEW column must still push to the scan."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+    # the evolved column is a first-class citizen of the scan: its filter
+    # reaches PushedFilters, not a post-scan Filter-only plan
+    plan = df.filter(F.col("score") > 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(score), GreaterThan(score,0.1)]" in plan, plan
