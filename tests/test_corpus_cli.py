@@ -84,3 +84,26 @@ def test_corpus_cli_tokenizer_stage(spark, sf_dir, tmp_path):
     # every encoded doc is packed, offsets stay inside the budget
     assert packed.count() == len(tok_ids)
     assert packed.filter(F.col("pack_offset") >= 128).count() == 0
+
+
+def test_corpus_cli_release_report(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus_rel")
+    main(["--data", sf_dir, "--out", out, "--release-report"])
+    rep = {r["check"]: r for r in spark.read.parquet(f"{out}/release_report").collect()}
+    assert set(rep) == {
+        "exact_dup_rate",
+        "quality_retention_at_075",
+        "oov_token_rate_max",
+        "cross_source_jaccard_max",
+    }
+    for r in rep.values():
+        assert r["value"] is not None and isinstance(r["passed"], bool)
+    # the document-corpus slice must agree with the registered gate query
+    from scala_etl_test_spark.plans.queries import QUERIES
+
+    full = {
+        r["check"]: (r["value"], r["passed"])
+        for r in QUERIES["corpus_release_report"](spark, sf_dir).collect()
+    }
+    for name, row in rep.items():
+        assert full[name] == (row["value"], row["passed"]), name
