@@ -45,3 +45,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in (names or TPCH_TABLES)}
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic file-format reader — the read-side twin of
+    ``sinks.write_table``: parquet/orc/csv/json through one declarative
+    surface. A declared ``schema`` skips the inference scan (mandatory for
+    json/csv at scale: schema inference reads the data once before the
+    real job does, and a schema drifting under inference is a silent
+    contract change); columnar formats (parquet/orc) carry their own
+    schema and get predicate pushdown + column pruning from the scan.
+    """
+    reader = spark.read.format(fmt).options(**(options or {}))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

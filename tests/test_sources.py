@@ -86,3 +86,29 @@ def test_parquet_schema_evolution_merge_and_pushdown(spark, tmp_path):
     # reaches PushedFilters, not a post-scan Filter-only plan
     plan = df.filter(F.col("score") > 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(score), GreaterThan(score,0.1)]" in plan, plan
+
+
+def test_format_matrix_round_trip(spark, tmp_path):
+    """write_table -> read_files round-trips the same rows through every
+    file format the sink surface offers; ORC (columnar) must also push
+    filters to its scan like parquet does."""
+    from scala_etl_test_spark.sources.parquet_source import read_files
+    from scala_etl_test_spark.sources.sinks import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "c", -2.25)],
+        "id long, name string, score double",
+    )
+    want = {tuple(r) for r in df.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        opts = {"header": "true"} if fmt == "csv" else {}
+        write_table(df, fmt, path=path, options=opts)
+        back = read_files(spark, path, fmt, schema=df.schema, options=opts)
+        assert {tuple(r) for r in back.collect()} == want, fmt
+    # columnar read path keeps pushdown
+    plan = (
+        read_files(spark, str(tmp_path / "rt_orc"), "orc", schema=df.schema)
+        .filter("id > 1")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan, plan
