@@ -3230,6 +3230,81 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Exact proration (largest-remainder allocation)
+# --------------------------------------------------------------------------
+
+
+def q_prorate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prorate each 1995-Q1 order's total back onto its lineitems
+    proportionally to extended price, in EXACT integer cents
+    (operators/allocate.py:largest_remainder_allocation) — the
+    billing/revenue-recognition allocation where Σ line allocations must
+    equal the order amount to the cent, floats not invited. All-int64
+    arithmetic makes the result bit-identical across engines."""
+    from scala_etl_test_spark.operators.allocate import largest_remainder_allocation
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_amt"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    joined = li.join(o, on=li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "_amt",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_w"),
+    )
+    return largest_remainder_allocation(
+        joined, "l_orderkey", F.col("_amt"), F.col("_w"), "l_linenumber"
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_PRORATE_ORDER_TOTALS = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amt
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+),
+base AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.amt,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS w,
+         SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+           OVER (PARTITION BY l.l_orderkey) AS wsum
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN wsum = 0 THEN 0 ELSE (amt * w) // wsum END AS base_c,
+         CASE WHEN wsum = 0 THEN 0 ELSE (amt * w) % wsum END AS rem
+  FROM base
+),
+ranked AS (
+  SELECT *,
+         SUM(base_c) OVER (PARTITION BY l_orderkey) AS floor_sum,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rk
+  FROM stepped
+)
+SELECT l_orderkey, l_linenumber,
+       w AS weight_cents,
+       CAST(CASE WHEN wsum = 0 THEN CASE WHEN rk = 1 THEN amt ELSE 0 END
+                 ELSE base_c + CASE WHEN rk <= amt - floor_sum THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_cents,
+       amt AS group_amount_cents
+FROM ranked
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
 # Content-integrity checksum
 # --------------------------------------------------------------------------
 
@@ -4000,6 +4075,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_integrity_audit": q_fk_integrity_audit,
     "pseudonymize_referential": q_pseudonymize_referential,
     "join_size_profile": q_join_size_profile,
+    "prorate_order_totals": q_prorate_order_totals,
     "full_outer_reconcile": q_full_outer_reconcile,
     "json_props_extract": q_json_props_extract,
     "window_moving_avg": q_window_moving_avg,
@@ -4093,6 +4169,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "pseudonymize_referential": SQL_PSEUDONYMIZE_REFERENTIAL,
     "join_size_profile": SQL_JOIN_SIZE_PROFILE,
+    "prorate_order_totals": SQL_PRORATE_ORDER_TOTALS,
     "merge_upsert": SQL_MERGE_UPSERT,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "lineitem_unpivot_measures": SQL_LINEITEM_UNPIVOT_MEASURES,
@@ -4192,6 +4269,7 @@ _GATE_PRIORITY: list[str] = [
     "oov_rate",
     "quantile_sketch_merge",
     "corpus_release_report",
+    "prorate_order_totals",
     # stale since round 1
     "inner_join_using",
     "window_sum",

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from scala_etl_test_spark.operators.allocate import largest_remainder_allocation
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "grp long, line int, amt long, w long")
+    return largest_remainder_allocation(
+        df, "grp", F.col("amt"), F.col("w"), "line"
+    ).collect()
+
+
+def test_hand_computed_allocation(spark):
+    # amount 100 cents over weights 1:1:1 -> floors 33,33,33, leftover 1
+    # goes to the largest remainder; remainders equal -> line 1 wins
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(1, 1, 100, 5), (1, 2, 100, 5), (1, 3, 100, 5)]
+    )}
+    assert out == {1: 34, 2: 33, 3: 33}
+
+
+def test_remainder_goes_to_largest_fraction(spark):
+    # amount 10 over weights 1,2: shares 3.33 and 6.67 -> floors 3,6;
+    # leftover 1 cent goes to line 2 (remainder 2/3 > 1/3)
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(1, 1, 10, 1), (1, 2, 10, 2)]
+    )}
+    assert out == {1: 3, 2: 7}
+
+
+def test_zero_weight_group_gives_all_to_first(spark):
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(1, 1, 55, 0), (1, 2, 55, 0)]
+    )}
+    assert out == {1: 55, 2: 0}
+
+
+def test_conservation_on_random_groups(spark):
+    """Σ alloc == amount EXACTLY for every random group; allocations differ
+    from naive rounding by at most one cent per member."""
+    rng = random.Random(9)
+    rows = []
+    amounts = {}
+    for g in range(15):
+        amt = rng.randrange(1, 10**7)
+        amounts[g] = amt
+        for line in range(rng.randint(1, 9)):
+            rows.append((g, line, amt, rng.randrange(0, 10**5)))
+    got = _run(spark, rows)
+    sums: dict[int, int] = {}
+    for r in got:
+        sums[r["grp"]] = sums.get(r["grp"], 0) + r["alloc_cents"]
+        assert r["alloc_cents"] >= 0
+    assert sums == amounts
