@@ -788,17 +788,34 @@ def edit_distance_pairs(
     normalized text is shorter than ``max_dist+1`` chars are excluded
     (degenerate chunks; at that length "near-duplicate" is meaningless).
 
+    Between the two, a third exact filter prunes the bulk of the
+    in-band candidates for a fraction of the chunk filter's cost:
+    **character-frequency bound** — one edit moves the character
+    histogram by at most 2 units of L1 (a substitution changes two
+    counts by one each), so ``lev(a,b) ≥ ⌈L1(hist_a, hist_b)/2⌉`` and
+    any pair with ``L1 > 2·max_dist`` is impossible. The 37-bin
+    histogram (a–z, 0–9, space) is computed once per DOC (O(corpus)),
+    and the per-pair check is 37 integer ops — versus the chunk
+    filter's ``max_dist+1`` substring searches over the full texts.
+
     Scale: the bucket join shuffles on the length bucket — uniform by
     construction when lengths are spread; a length-spike corpus (fixed-
-    width records) degrades to blocked n² and should use LSH instead.
-    Returns (id_a, id_b, dist), id_a < id_b.
+    width records) degrades to blocked n² and should use LSH instead
+    (the histogram bound cuts the verify cost of those bands, not their
+    candidate count). Returns (id_a, id_b, dist), id_a < id_b.
     """
     n_chunks = max_dist + 1
+    alphabet = F.array(*[F.lit(c) for c in "abcdefghijklmnopqrstuvwxyz0123456789 "])
+    # per-doc 37-bin histogram: count of char c == len - len(text with c removed)
+    hist = lambda t: F.transform(  # noqa: E731
+        alphabet, lambda ch: F.length(t) - F.length(F.replace(t, ch))
+    )
     base = (
         df.select(F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t"))
         .withColumn("_len", F.length("_t"))
         .filter(F.col("_len") >= n_chunks)
         .withColumn("_bkt", (F.col("_len") / n_chunks).cast("long"))
+        .withColumn("_h", hist(F.col("_t")))
     )
     # probe my own bucket and the next: covers every |Δlen| <= max_dist pair
     # exactly once per direction; least/greatest + distinct canonicalizes.
@@ -806,12 +823,14 @@ def edit_distance_pairs(
         F.col("_id").alias("_ida"),
         F.col("_t").alias("_ta"),
         F.col("_len").alias("_la"),
+        F.col("_h").alias("_ha"),
         F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_bkt"),
     )
     b = base.select(
         F.col("_id").alias("_idb"),
         F.col("_t").alias("_tb"),
         F.col("_len").alias("_lb"),
+        F.col("_h").alias("_hb"),
         "_bkt",
     )
     chunk_len = (F.col("_la") / n_chunks).cast("long")
@@ -826,12 +845,18 @@ def edit_distance_pairs(
     # meets the join in both orders; without text canonicalization the two
     # orders survive distinct as two rows of the same (id_a, id_b).
     a_first = F.col("_ida") < F.col("_idb")
+    l1 = F.aggregate(
+        F.zip_with("_ha", "_hb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     cands = (
         a.join(b, on="_bkt")
         .filter(
             (F.col("_ida") != F.col("_idb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
         )
+        .filter(l1 <= 2 * max_dist)
         .filter(chunk_hit)
         .select(
             F.least("_ida", "_idb").alias("id_a"),
