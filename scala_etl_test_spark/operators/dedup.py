@@ -802,7 +802,13 @@ def edit_distance_pairs(
     construction when lengths are spread; a length-spike corpus (fixed-
     width records) degrades to blocked n² and should use LSH instead
     (the histogram bound cuts the verify cost of those bands, not their
-    candidate count). Returns (id_a, id_b, dist), id_a < id_b.
+    candidate count). A second blocking dimension (space-count band,
+    same ±k pigeonhole) was MEASURED and rejected on this corpus: word
+    counts correlate ~1:1 with length here, so it divided nothing while
+    its 4-combo probe fanout doubled the shuffle — sf0.1 wall went 3.3 s
+    → 6.1 s. It becomes the right lever only when the second dimension
+    is genuinely independent of length. Returns (id_a, id_b, dist),
+    id_a < id_b.
     """
     n_chunks = max_dist + 1
     alphabet = F.array(*[F.lit(c) for c in "abcdefghijklmnopqrstuvwxyz0123456789 "])
