@@ -2249,6 +2249,85 @@ def q_customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARETO_PCTS = (50, 80, 90, 99)
+
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: for each coverage target (50/80/90/
+    99% of total revenue), the MINIMAL number of top customers whose
+    cumulative revenue reaches it, with their customer-share and the
+    exact revenue share actually covered — the 80/20 concentration
+    dashboard. All comparisons run in exact decimal (``cum·100 ≥
+    total·pct`` — no float thresholds), so the member counts are
+    engine-exact.
+
+    Scale: per-customer revenue is a post-aggregate table (≪ corpus);
+    the cumulative window is a single total order over it (same
+    single-task note as the ntile quartiles — percentile-bound join at
+    extreme cardinality), and the threshold probe is a broadcast 4-row
+    theta join reduced by one min/min_by aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    w = Window.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+    cum = rev.select(
+        F.row_number().over(w).alias("_rn"),
+        F.sum("_rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    tot = cum.agg(
+        F.max("_cum").alias("_total"), F.max("_rn").alias("_ncust")
+    )
+    th = spark.createDataFrame([(p,) for p in _PARETO_PCTS], "threshold_pct int")
+    probed = (
+        cum.join(F.broadcast(tot))
+        .join(
+            F.broadcast(th),
+            on=F.col("_cum") * 100 >= F.col("_total") * F.col("threshold_pct"),
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.min("_rn").alias("n_customers"),
+            F.min_by("_cum", "_rn").alias("_cov"),
+            F.max("_total").alias("_total"),
+            F.max("_ncust").alias("_ncust"),
+        )
+    )
+    share = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return probed.select(
+        "threshold_pct",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        share(F.col("n_customers"), F.col("_ncust")).alias("customer_share"),
+        share(F.col("_cov"), F.col("_total")).alias("revenue_share"),
+    ).orderBy("threshold_pct")
+
+
+SQL_PARETO_REVENUE = f"""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+         SUM(r) OVER (ORDER BY r DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rev
+),
+tot AS (SELECT MAX(c) AS total, MAX(rn) AS ncust FROM cum),
+th(threshold_pct) AS (VALUES {", ".join(f"({p})" for p in _PARETO_PCTS)})
+SELECT th.threshold_pct,
+       CAST(MIN(cum.rn) AS BIGINT) AS n_customers,
+       round(CAST(MIN(cum.rn) AS DOUBLE) / tot.ncust, 6) AS customer_share,
+       round(CAST(min_by(cum.c, cum.rn) AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS revenue_share
+FROM th CROSS JOIN tot
+JOIN cum ON cum.c * 100 >= tot.total * th.threshold_pct
+GROUP BY th.threshold_pct, tot.ncust, tot.total
+ORDER BY th.threshold_pct
+"""
+
+
 SQL_CUSTOMER_REVENUE_QUARTILES = """
 WITH rev AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS r
@@ -4085,6 +4164,7 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_user_gaps": q_events_user_gaps,
     "customer_revenue_quartiles": q_customer_revenue_quartiles,
+    "pareto_revenue": q_pareto_revenue,
     "merge_upsert": q_merge_upsert,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "lineitem_unpivot_measures": q_lineitem_unpivot_measures,
@@ -4149,6 +4229,7 @@ _BASE_ORACLE_SQL: dict[str, str] = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_user_gaps": SQL_EVENTS_USER_GAPS,
     "customer_revenue_quartiles": SQL_CUSTOMER_REVENUE_QUARTILES,
+    "pareto_revenue": SQL_PARETO_REVENUE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "session_attribution": SQL_SESSION_ATTRIBUTION,
     "events_gapfill": SQL_EVENTS_GAPFILL,
@@ -4270,6 +4351,7 @@ _GATE_PRIORITY: list[str] = [
     "quantile_sketch_merge",
     "corpus_release_report",
     "prorate_order_totals",
+    "pareto_revenue",
     # stale since round 1
     "inner_join_using",
     "window_sum",
