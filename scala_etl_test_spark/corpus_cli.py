@@ -182,57 +182,14 @@ def main(argv: list[str] | None = None) -> None:
         packed.write.mode("overwrite").parquet(f"{args.out}/tokenizer/packed")
 
     if args.release_report:
-        # the document-corpus slice of plans.queries:q_corpus_release_report
-        # (same operators, same thresholds — events-based gates don't apply
-        # to a documents-only pipeline run)
-        from scala_etl_test_spark.operators.contamination import cross_source_overlap
-        from scala_etl_test_spark.operators.dedup import exact_dedup
-        from scala_etl_test_spark.plans.queries import (
-            _REL_DUP_RATE_MAX,
-            _REL_JACCARD_MAX,
-            _REL_OOV_MAX,
-            _REL_RETENTION_MIN,
-        )
+        # the document-corpus gates, from the SAME builder behind the
+        # registered corpus_release_report query (events-based gates don't
+        # apply to a documents-only pipeline run)
+        from scala_etl_test_spark.plans.queries_data import document_release_gates
 
-        def _gate(name, df_value, passed):
-            return df_value.select(
-                F.lit(name).alias("check"),
-                F.round("value", 6).alias("value"),
-                passed.alias("passed"),
-            )
-
-        dup = _gate(
-            "exact_dup_rate",
-            exact_dedup(docs, "text", "doc_id").agg(
-                (F.sum(F.col("is_duplicate").cast("int")) / F.count(F.lit(1))).alias("value")
-            ),
-            F.col("value") < _REL_DUP_RATE_MAX,
-        )
-        ret = _gate(
-            "quality_retention_at_075",
-            X.quality_filter_sweep(docs, "text")
-            .filter(F.col("threshold") == 0.75)
-            .select(F.col("doc_share").alias("value")),
-            F.col("value") >= _REL_RETENTION_MIN,
-        )
-        oov = _gate(
-            "oov_token_rate_max",
-            X.oov_rate(docs, "text", "source", (F.col("doc_id") % 2) == 0).agg(
-                F.max("oov_token_rate").alias("value")
-            ),
-            F.col("value") < _REL_OOV_MAX,
-        )
-        leak = _gate(
-            "cross_source_jaccard_max",
-            cross_source_overlap(docs, "text", "source").agg(
-                F.max("jaccard").alias("value")
-            ),
-            F.col("value") < _REL_JACCARD_MAX,
-        )
-        report = dup.unionByName(ret).unionByName(oov).unionByName(leak)
-        report.orderBy("check").write.mode("overwrite").parquet(
-            f"{args.out}/release_report"
-        )
+        document_release_gates(docs).orderBy("check").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/release_report")
 
     n_docs, n_clean = docs.count(), clean.count()
     clean.unpersist()

@@ -38,9 +38,13 @@ def largest_remainder_allocation(
 ) -> DataFrame:
     """Returns the input's (group, order) keys plus ``weight_cents``,
     ``alloc_cents`` (the exact allocation) and ``group_amount_cents``.
-    Per group: Σ alloc_cents == amount_cents exactly; members with zero
-    total weight (degenerate group) allocate everything to the first
-    member by ``order_col``.
+    Per group: Σ alloc_cents == amount_cents exactly — including
+    NEGATIVE amounts (credits/refunds): shares use FLOOR division
+    (``⌊num/wsum⌋`` via a positive modulus), not truncation toward
+    zero, so the leftover is always in ``[0, group size)`` whatever the
+    amount's sign. Weights must be ≥ 0 (they are magnitudes); members
+    of a zero-total-weight group (degenerate) allocate everything to
+    the first member by ``order_col``.
     """
     w_grp = Window.partitionBy(group_col)
     base_df = df.select(
@@ -51,8 +55,16 @@ def largest_remainder_allocation(
     )
     with_sums = base_df.withColumn("_wsum", F.sum("weight_cents").over(w_grp))
     num = F.col("_amount") * F.col("weight_cents")
-    base = F.coalesce(int_div(num, F.col("_wsum")), F.lit(0))
-    rem = F.when(F.col("_wsum") != 0, num % F.col("_wsum")).otherwise(F.lit(0))
+    # floor division via positive modulus: wsum > 0 here, so
+    # pm ∈ [0, wsum) and (num - pm)/wsum == ⌊num/wsum⌋ exactly in int64 —
+    # int_div/'DIV' truncate toward zero and would LOSE a cent per
+    # negative group (leftover would go negative, distributing nothing)
+    pm = F.when(
+        F.col("_wsum") != 0,
+        ((num % F.col("_wsum")) + F.col("_wsum")) % F.col("_wsum"),
+    ).otherwise(F.lit(0))
+    base = F.coalesce(int_div(num - pm, F.col("_wsum")), F.lit(0))
+    rem = pm
     stepped = with_sums.withColumn("_base", base).withColumn("_rem", rem)
     w_rank = Window.partitionBy(group_col).orderBy(
         F.col("_rem").desc(), F.col(order_col)

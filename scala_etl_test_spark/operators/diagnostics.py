@@ -91,11 +91,20 @@ def join_cardinality_profile(
     rc = right.groupBy(F.col(right_key).alias("join_key")).agg(
         F.count(F.lit(1)).alias("n_right")
     )
-    per = lc.join(rc, on="join_key").withColumn(
-        "n_pairs", F.col("n_left") * F.col("n_right")
+    # persist: BOTH consumers (total, top-k) need the key-cardinality count
+    # table, and without the cache each lineage re-scans and re-aggregates
+    # both full inputs — the exact cost this profiler exists to avoid
+    per = (
+        lc.join(rc, on="join_key")
+        .withColumn("n_pairs", F.col("n_left") * F.col("n_right"))
+        .persist()
     )
     totals = per.agg(F.sum("n_pairs").alias("total_join_rows"))
     top = per.orderBy(F.col("n_pairs").desc(), F.col("join_key")).limit(top_k)
-    return top.join(F.broadcast(totals)).select(
-        "join_key", "n_left", "n_right", "n_pairs", "total_join_rows"
+    return (
+        top.join(F.broadcast(totals))
+        .select("join_key", "n_left", "n_right", "n_pairs", "total_join_rows")
+        # the broadcast join gives no ordering guarantee — re-assert the
+        # documented (n_pairs desc, key) contract on the ≤ top_k rows
+        .orderBy(F.col("n_pairs").desc(), F.col("join_key"))
     )

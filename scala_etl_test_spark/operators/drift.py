@@ -231,24 +231,37 @@ def ks_two_sample(
         F.sum(flag(True)).over(w_all).alias("_n1"),
         F.sum(flag(False)).over(w_all).alias("_n2"),
     )
-    gap = F.abs(
-        F.col("_c1").cast("double") / F.col("_n1").cast("double")
-        - F.col("_c2").cast("double") / F.col("_n2").cast("double")
+    # guard the ECDF divisions: a group with ZERO rows in one sample (a
+    # type that only exists in one half — the 'new type appeared' drift
+    # case) would divide by zero under ANSI mode. Such a group is maximal
+    # drift BY DEFINITION: ks_stat = 1.0, drifted = true, crit = NULL
+    # (the critical value is undefined at n = 0).
+    gap = F.when(
+        (F.col("_n1") > 0) & (F.col("_n2") > 0),
+        F.abs(
+            F.col("_c1").cast("double") / F.col("_n1").cast("double")
+            - F.col("_c2").cast("double") / F.col("_n2").cast("double")
+        ),
     )
     g = stepped.groupBy(group_col).agg(
         F.max("_n1").cast("long").alias("n_true"),
         F.max("_n2").cast("long").alias("n_false"),
         F.max(gap).alias("_d"),
     )
-    crit = F.lit(1.358) * F.sqrt(
-        (F.col("n_true") + F.col("n_false")).cast("double")
-        / (F.col("n_true") * F.col("n_false")).cast("double")
+    both = (F.col("n_true") > 0) & (F.col("n_false") > 0)
+    crit = F.when(
+        both,
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("n_true") + F.col("n_false")).cast("double")
+            / (F.col("n_true") * F.col("n_false")).cast("double")
+        ),
     )
     return g.select(
         group_col,
         "n_true",
         "n_false",
-        F.round("_d", 6).alias("ks_stat"),
+        F.round(F.when(both, F.col("_d")).otherwise(F.lit(1.0)), 6).alias("ks_stat"),
         F.round(crit, 6).alias("ks_crit_05"),
-        (F.col("_d") > crit).alias("drifted"),
+        F.when(both, F.col("_d") > crit).otherwise(F.lit(True)).alias("drifted"),
     )

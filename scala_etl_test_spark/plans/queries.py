@@ -2269,12 +2269,15 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("_rev"))
     w = Window.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+    # persist: the totals row and the threshold probe both consume the
+    # cumulative table; uncached, each would re-run the orders scan, the
+    # revenue aggregate, and the window sort
     cum = rev.select(
         F.row_number().over(w).alias("_rn"),
         F.sum("_rev").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("_cum"),
-    )
+    ).persist()
     tot = cum.agg(
         F.max("_cum").alias("_total"), F.max("_rn").alias("_ncust")
     )
@@ -3361,9 +3364,15 @@ base AS (
   FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
 ),
 stepped AS (
+  -- FLOOR division via positive modulus (mirrors the operator): '//'
+  -- truncates toward zero and would lose a cent on negative amounts
   SELECT *,
-         CASE WHEN wsum = 0 THEN 0 ELSE (amt * w) // wsum END AS base_c,
-         CASE WHEN wsum = 0 THEN 0 ELSE (amt * w) % wsum END AS rem
+         CASE WHEN wsum = 0 THEN 0
+              ELSE (amt * w - (((amt * w) % wsum + wsum) % wsum)) // wsum
+         END AS base_c,
+         CASE WHEN wsum = 0 THEN 0
+              ELSE ((amt * w) % wsum + wsum) % wsum
+         END AS rem
   FROM base
 ),
 ranked AS (
@@ -3945,15 +3954,21 @@ stepped AS (
 ),
 g AS (
   SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
-         MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)) AS d
+         MAX(CASE WHEN n1 > 0 AND n2 > 0
+                  THEN abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             END) AS d
   FROM stepped GROUP BY event_type
 )
 SELECT event_type,
        CAST(n1 AS BIGINT) AS n_early,
        CAST(n2 AS BIGINT) AS n_late,
-       round(d, 6) AS ks_stat,
-       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS ks_crit_05,
-       d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS drifted
+       round(CASE WHEN n1 > 0 AND n2 > 0 THEN d ELSE 1.0 END, 6) AS ks_stat,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                  THEN 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+             END, 6) AS ks_crit_05,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN d > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+            ELSE TRUE END AS drifted
 FROM g
 ORDER BY event_type
 """
@@ -3971,56 +3986,29 @@ from scala_etl_test_spark.plans.queries_tpch2 import TPCH2_ORACLE_SQL, TPCH2_QUE
 # Corpus release report (capstone: ship/no-ship governance dashboard)
 # --------------------------------------------------------------------------
 
-# release thresholds — named so the report and its oracle cannot drift apart
-_REL_DUP_RATE_MAX = 0.10       # exact-duplicate share of the corpus
-_REL_RETENTION_MIN = 0.50      # doc share surviving quality >= 0.75
-_REL_OOV_MAX = 0.20            # worst per-source OOV token rate
-_REL_JACCARD_MAX = 0.50        # worst cross-source shingle-set Jaccard
+from scala_etl_test_spark.plans.queries_data import (  # noqa: E402
+    REL_DUP_RATE_MAX as _REL_DUP_RATE_MAX,
+    REL_JACCARD_MAX as _REL_JACCARD_MAX,
+    REL_OOV_MAX as _REL_OOV_MAX,
+    REL_RETENTION_MIN as _REL_RETENTION_MIN,
+    document_release_gates,
+)
 
 
 def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ship/no-ship release dashboard: the five corpus-governance gates
     reduced to one row each — (check, value, passed) — in a single gated
     result, the artifact a curation run logs (and a release pipeline
-    blocks on) per snapshot. Every input is an existing oracle-checked
-    query; this composes their 1-row reductions, so the report is itself
-    an oracle-checkable fact, same evaluation-as-artifact pattern as
-    dedup_method_report.
+    blocks on) per snapshot. The four document gates come from the ONE
+    shared builder (queries_data.document_release_gates — also behind
+    `corpus_cli --release-report`); this query adds the events-based KS
+    gate. Every input is an existing oracle-checked query, so the report
+    is itself an oracle-checkable fact, same evaluation-as-artifact
+    pattern as dedup_method_report.
 
     Scale: each branch is an aggregate of an already-scale-shaped query;
     the union is five 1-row plans."""
-    dup = (
-        DATA_QUERIES["dedup_exact"](spark, sf_dir)
-        .agg(
-            (
-                F.sum(F.col("is_duplicate").cast("int"))
-                / F.count(F.lit(1))
-            ).alias("value")
-        )
-        .select(
-            F.lit("exact_dup_rate").alias("check"),
-            F.round("value", 6).alias("value"),
-            (F.col("value") < _REL_DUP_RATE_MAX).alias("passed"),
-        )
-    )
-    ret = (
-        DATA_QUERIES["quality_filter_sweep"](spark, sf_dir)
-        .filter(F.col("threshold") == 0.75)
-        .select(
-            F.lit("quality_retention_at_075").alias("check"),
-            F.col("doc_share").alias("value"),
-            (F.col("doc_share") >= _REL_RETENTION_MIN).alias("passed"),
-        )
-    )
-    oov = (
-        DATA_QUERIES["oov_rate"](spark, sf_dir)
-        .agg(F.max("oov_token_rate").alias("value"))
-        .select(
-            F.lit("oov_token_rate_max").alias("check"),
-            F.round("value", 6).alias("value"),
-            (F.col("value") < _REL_OOV_MAX).alias("passed"),
-        )
-    )
+    docs = _t(spark, sf_dir, "documents")
     ks = (
         q_events_ks_drift(spark, sf_dir)
         .agg(F.sum(F.col("drifted").cast("int")).cast("double").alias("value"))
@@ -4030,19 +4018,7 @@ def q_corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") == 0).alias("passed"),
         )
     )
-    leak = (
-        DATA_QUERIES["source_overlap_matrix"](spark, sf_dir)
-        .agg(F.max("jaccard").alias("value"))
-        .select(
-            F.lit("cross_source_jaccard_max").alias("check"),
-            F.round("value", 6).alias("value"),
-            (F.col("value") < _REL_JACCARD_MAX).alias("passed"),
-        )
-    )
-    out = dup
-    for part in (ret, oov, ks, leak):
-        out = out.unionByName(part)
-    return out.orderBy("check")
+    return document_release_gates(docs).unionByName(ks).orderBy("check")
 
 
 SQL_CORPUS_RELEASE_REPORT = f"""

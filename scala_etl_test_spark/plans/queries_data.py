@@ -3442,6 +3442,58 @@ FROM probed GROUP BY source
 """
 
 
+# release thresholds — shared by the registered gate query AND the corpus
+# CLI's --release-report so the two surfaces cannot drift apart
+REL_DUP_RATE_MAX = 0.10       # exact-duplicate share of the corpus
+REL_RETENTION_MIN = 0.50      # doc share surviving quality >= 0.75
+REL_OOV_MAX = 0.20            # worst per-source OOV token rate
+REL_JACCARD_MAX = 0.50        # worst cross-source shingle-set Jaccard
+
+
+def document_release_gates(docs: DataFrame) -> DataFrame:
+    """The four DOCUMENT-corpus governance gates as (check, value, passed)
+    rows — the single definition behind both `corpus_release_report` (which
+    adds the events-based KS gate) and `corpus_cli --release-report`."""
+    from scala_etl_test_spark.operators.contamination import cross_source_overlap
+
+    def gate(name, df_value, passed):
+        return df_value.select(
+            F.lit(name).alias("check"),
+            F.round("value", 6).alias("value"),
+            passed.alias("passed"),
+        )
+
+    dup = gate(
+        "exact_dup_rate",
+        D.exact_dedup(docs, "text", "doc_id").agg(
+            (F.sum(F.col("is_duplicate").cast("int")) / F.count(F.lit(1))).alias("value")
+        ),
+        F.col("value") < REL_DUP_RATE_MAX,
+    )
+    ret = gate(
+        "quality_retention_at_075",
+        X.quality_filter_sweep(docs, "text", thresholds=_SWEEP_THRESHOLDS)
+        .filter(F.col("threshold") == 0.75)
+        .select(F.col("doc_share").alias("value")),
+        F.col("value") >= REL_RETENTION_MIN,
+    )
+    oov = gate(
+        "oov_token_rate_max",
+        X.oov_rate(docs, "text", "source", (F.col("doc_id") % 2) == 0).agg(
+            F.max("oov_token_rate").alias("value")
+        ),
+        F.col("value") < REL_OOV_MAX,
+    )
+    leak = gate(
+        "cross_source_jaccard_max",
+        cross_source_overlap(docs, "text", "source", shingle_n=_OVERLAP_SHINGLE_N).agg(
+            F.max("jaccard").alias("value")
+        ),
+        F.col("value") < REL_JACCARD_MAX,
+    )
+    return dup.unionByName(ret).unionByName(oov).unionByName(leak)
+
+
 def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation-as-artifact for the dedup family: pair counts found by
     each blocking strategy at its configured threshold, in one gated

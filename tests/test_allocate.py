@@ -56,3 +56,13 @@ def test_conservation_on_random_groups(spark):
         sums[r["grp"]] = sums.get(r["grp"], 0) + r["alloc_cents"]
         assert r["alloc_cents"] >= 0
     assert sums == amounts
+
+
+def test_negative_amount_conserves_exactly(spark):
+    # credit/refund group: -100 over 1:1:1 -> floors -34 each (floor, not
+    # trunc), leftover 2 cents -> first two lines get +1: sums to -100
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(1, 1, -100, 1), (1, 2, -100, 1), (1, 3, -100, 1)]
+    )}
+    assert out == {1: -33, 2: -33, 3: -34}
+    assert sum(out.values()) == -100

@@ -212,3 +212,18 @@ class TestKsTwoSample:
         r = self._run(spark, [1, 2, 3, 4], [1, 2, 3, 4])
         assert r["ks_stat"] == 0.0
         assert r["drifted"] is False
+
+    def test_one_sided_group_is_maximal_drift_not_a_crash(self, spark):
+        # a group with rows in only ONE sample (new-type-appeared case)
+        # must report ks=1.0/drifted rather than dividing by zero
+        from scala_etl_test_spark.operators.drift import ks_two_sample
+
+        rows = [("only_early", 1.0, True), ("only_early", 2.0, True),
+                ("normal", 1.0, True), ("normal", 2.0, False)]
+        df = spark.createDataFrame(rows, ["g", "value", "early"])
+        out = {r["g"]: r for r in ks_two_sample(df, "g", "value", "early").collect()}
+        one = out["only_early"]
+        assert one["ks_stat"] == 1.0
+        assert one["drifted"] is True
+        assert one["ks_crit_05"] is None
+        assert out["normal"]["ks_crit_05"] is not None
