@@ -346,3 +346,95 @@ def chunk_dedup(
         "n_chunks",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def _word_boundary_flag(w: Column, avg_words: int) -> Column:
+    """1 where a chunk boundary falls AFTER this word: the word's own hash
+    selects it with probability 1/avg_words — boundaries depend only on
+    LOCAL content, never on position."""
+    h = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    return (h % avg_words == 0).cast("int")
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    avg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined-chunking boilerplate removal — the SHIFT-RESISTANT
+    twin of :func:`chunk_dedup`. Fixed word windows lose every chunk
+    alignment after a single leading insertion (every window slides by
+    one); here a chunk boundary falls after any word whose hash selects it
+    (p = 1/avg_words, so chunks average ``avg_words`` words), which
+    depends only on the words themselves — after an insertion the chunking
+    RE-SYNCHRONIZES at the next boundary word, and the unchanged tail
+    still dedups. The storage-dedup (Rabin/gear CDC) idea at word
+    granularity.
+
+    Same contract as chunk_dedup: drop chunks whose exact text appears in
+    ``min_docs``+ DISTINCT documents, reassemble survivors in order;
+    returns (id, clean_text, n_chunks, n_kept).
+
+    Plan: posexplode words (narrow) → per-doc running boundary count (one
+    window shuffle keyed by doc) assigns chunk ids → groupBy (doc, chunk)
+    rebuilds chunk texts → the same count-distinct/anti-join/reassembly
+    pipeline as the fixed-window variant. One extra shuffle versus
+    chunk_dedup buys the shift resistance.
+    """
+    from pyspark.sql import Window
+
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = (
+        docs.select(F.col(id_col), words(text_col).alias("_w"))
+        .filter(F.size(F.filter("_w", lambda t: t != "")) > 0)
+        .select(F.col(id_col), F.posexplode("_w").alias("pos", "word"))
+        .withColumn("_b", _word_boundary_flag(F.col("word"), avg_words))
+    )
+    # chunk id = boundaries strictly BEFORE this word (running sum)
+    chunked = toks.withColumn(
+        "cidx", F.coalesce(F.sum("_b").over(w_doc), F.lit(0)).cast("long")
+    )
+    ex = (
+        chunked.groupBy(id_col, "cidx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("chunk")
+        )
+        .withColumn("chunk_h", F.md5("chunk"))
+        .persist()
+    )
+    boiler = (
+        ex.groupBy("chunk_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_h")
+    )
+    kept = ex.join(boiler, on="chunk_h", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cidx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = ex.groupBy(id_col).agg((F.max("cidx") + 1).cast("long").alias("n_chunks"))
+    return base.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

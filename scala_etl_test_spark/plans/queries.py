@@ -4328,6 +4328,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_release_report",
     "prorate_order_totals",
     "pareto_revenue",
+    "cdc_chunk_dedup",
     # stale since round 1
     "inner_join_using",
     "window_sum",

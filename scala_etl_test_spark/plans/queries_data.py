@@ -3442,6 +3442,68 @@ FROM probed GROUP BY source
 """
 
 
+_CDC_AVG_WORDS = 8
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking boilerplate removal
+    (operators/spans.py:cdc_chunk_dedup) — the shift-resistant twin of
+    chunk_dedup: boundaries come from word hashes, not positions, so an
+    insertion re-synchronizes at the next boundary instead of sliding
+    every window."""
+    from scala_etl_test_spark.operators.spans import cdc_chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, "text", "doc_id", avg_words=_CDC_AVG_WORDS)
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT d.doc_id, u.pos AS pos, u.word AS word
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, w),
+       LATERAL (SELECT unnest(list_transform(range(0, len(d.w)),
+                i -> struct_pack(pos := i, word := d.w[i+1]))) AS u) AS s
+  WHERE len(list_filter(d.w, x -> x <> '')) > 0
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+                   % {_CDC_AVG_WORDS} = 0 THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, cidx, string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM chunked GROUP BY doc_id, cidx
+),
+boiler AS (
+  SELECT md5(chunk) AS h FROM chunks
+  GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT c.* FROM chunks c
+  LEFT JOIN boiler ON md5(c.chunk) = boiler.h
+  WHERE boiler.h IS NULL
+),
+re AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, MAX(cidx) + 1 AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       CAST(b.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept
+FROM base b LEFT JOIN re ON b.doc_id = re.doc_id
+"""
+
+
 # release thresholds — shared by the registered gate query AND the corpus
 # CLI's --release-report so the two surfaces cannot drift apart
 REL_DUP_RATE_MAX = 0.10       # exact-duplicate share of the corpus
@@ -3630,6 +3692,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "quality_filter_sweep": q_quality_filter_sweep,
     "oov_rate": q_oov_rate,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3710,4 +3773,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
     "quality_filter_sweep": SQL_QUALITY_FILTER_SWEEP,
     "oov_rate": SQL_OOV_RATE,
+    "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
 }

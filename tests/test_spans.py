@@ -226,3 +226,54 @@ def test_unigram_lm_scores_hand_computed(spark):
     assert rows[1]["n_words"] == 3
     assert rows[1]["avg_neg_log2_p"] == pytest.approx(-math.log2(3 / 4), abs=1e-6)
     assert rows[2]["avg_neg_log2_p"] == pytest.approx(2.0, abs=1e-9)  # -log2(1/4)
+
+
+class TestCdcChunkDedup:
+    def test_shift_resistance_vs_fixed_windows(self, spark):
+        """The defining property: prepend ONE word to a shared document and
+        fixed windows lose (nearly) every chunk alignment, while
+        content-defined boundaries re-synchronize and still dedup the
+        unchanged tail."""
+        import random
+
+        from scala_etl_test_spark.operators.spans import cdc_chunk_dedup, chunk_dedup
+
+        rng = random.Random(3)
+        vocab = [f"w{i}" for i in range(50)]
+        body = " ".join(rng.choice(vocab) for _ in range(120))
+        rows = [(1, body), (2, "zzz " + body)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        fixed = {r["doc_id"]: r for r in chunk_dedup(df, "text", "doc_id").collect()}
+        cdc = {r["doc_id"]: r for r in cdc_chunk_dedup(df, "text", "doc_id").collect()}
+        fixed_removed = sum(r["n_chunks"] - r["n_kept"] for r in fixed.values())
+        cdc_removed = sum(r["n_chunks"] - r["n_kept"] for r in cdc.values())
+        # fixed windows: the leading insertion slides every window -> almost
+        # nothing matches; CDC: boundaries resync -> most chunks dedup
+        assert cdc_removed > fixed_removed
+        assert cdc_removed >= cdc[1]["n_chunks"] - 2  # all but the head region
+
+    def test_identical_docs_fully_boilerplate(self, spark):
+        from scala_etl_test_spark.operators.spans import cdc_chunk_dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in cdc_chunk_dedup(df, "text", "doc_id").collect()}
+        for r in out.values():
+            assert r["n_kept"] == 0 and r["clean_text"] == ""
+
+    def test_chunks_partition_the_document(self, spark):
+        # reassembling ALL chunks (min_docs high => nothing removed)
+        # reproduces the normalized text exactly
+        from scala_etl_test_spark.operators.dedup import normalize_text
+        from scala_etl_test_spark.operators.spans import cdc_chunk_dedup
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "The quick brown fox JUMPED over 2 lazy dogs!")], ["doc_id", "text"]
+        )
+        out = cdc_chunk_dedup(df, "text", "doc_id", min_docs=99).collect()[0]
+        want = df.select(normalize_text("text").alias("n")).collect()[0]["n"]
+        assert out["clean_text"] == want
+        assert out["n_kept"] == out["n_chunks"]
