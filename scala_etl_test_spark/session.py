@@ -41,6 +41,14 @@ def build_session(
         # read TIMESTAMP(NANOS) parquet (events.ts) as long nanos; converted
         # to micro-precision timestamps in sources.parquet_source.read_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local mode runs driver+executors in ONE JVM whose heap defaults to
+        # 1g regardless of machine RAM — at 10× the gate SF that OOMs the
+        # first broadcast build. Only takes effect when THIS process starts
+        # the JVM (ignored on an already-running session).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     if master:
         builder = builder.master(master)
