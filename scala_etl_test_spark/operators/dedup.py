@@ -816,8 +816,13 @@ def edit_distance_pairs(
     hist = lambda t: F.transform(  # noqa: E731
         alphabet, lambda ch: F.length(t) - F.length(F.replace(t, ch))
     )
+    # _spread: the expensive work (37 replace-scans per doc, then contains/
+    # levenshtein per candidate pair) is proportional to fanout, not input
+    # bytes — a compacted corpus read as ONE scan partition serializes all
+    # of it (measured: 33× wall at 10× data single-file vs 1.9× spread)
     base = (
-        df.select(F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t"))
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t"))
         .withColumn("_len", F.length("_t"))
         .filter(F.col("_len") >= n_chunks)
         .withColumn("_bkt", (F.col("_len") / n_chunks).cast("long"))

@@ -387,13 +387,23 @@ def winnow_fingerprints(
     Returns (id, pos, fp): distinct selected (gram position, gram hash)
     pairs per document.
 
-    Scale shape: entirely row-local (words → gram hashes → window minima
-    happen inside one projection, whole-stage codegen, zero Python) — a
-    100 TB corpus pays one scan and NO shuffle; the output is ~2/(w+1) of
-    the gram count. Downstream joins on ``fp`` are uniform 8-byte keys.
+    Scale shape: row-local per document (words → gram hashes → window
+    minima inside one projection, whole-stage codegen, zero Python), but
+    the per-row fanout is heavy (one md5 per gram, w-wide minima per
+    position) — so the input is spread across cores first
+    (``dedup._spread``): a few small parquet files would otherwise glue
+    into one scan partition and serialize the whole fanout (measured 10×
+    at 10× data on a compacted corpus; ~2.9× with the spread). After
+    that: one scan, one cheap doc-row shuffle, no other exchange; output
+    is ~2/(w+1) of the gram count, and downstream joins on ``fp`` are
+    uniform 8-byte keys.
     """
+    from scala_etl_test_spark.operators.dedup import _spread
+
     wds = F.filter(words(text_col), lambda x: x != "")
-    base = df.select(F.col(id_col), wds.alias("_w")).filter(F.size("_w") >= k)
+    base = _spread(df, id_col).select(F.col(id_col), wds.alias("_w")).filter(
+        F.size("_w") >= k
+    )
     gram = F.transform(
         F.sequence(F.lit(0), F.size("_w") - k),
         lambda i: F.conv(
