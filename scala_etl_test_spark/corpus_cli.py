@@ -193,6 +193,11 @@ def main(argv: list[str] | None = None) -> None:
 
     n_docs, n_clean = docs.count(), clean.count()
     clean.unpersist()
+    # drop operator-internal caches (shingle tables, oriented edges, …)
+    # accumulated across the pipeline stages — see caching.py contract
+    from scala_etl_test_spark.caching import release_persisted
+
+    release_persisted()
     print(
         f"docs={n_docs} clusters={comp.select('component').distinct().count()} "
         f"clean={n_clean} ({n_clean / max(n_docs, 1):.1%}) -> {args.out}"

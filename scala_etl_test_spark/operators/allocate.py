@@ -42,15 +42,18 @@ def largest_remainder_allocation(
     NEGATIVE amounts (credits/refunds): shares use FLOOR division
     (``⌊num/wsum⌋`` via a positive modulus), not truncation toward
     zero, so the leftover is always in ``[0, group size)`` whatever the
-    amount's sign. Weights must be ≥ 0 (they are magnitudes); members
-    of a zero-total-weight group (degenerate) allocate everything to
-    the first member by ``order_col``.
+    amount's sign. Weights must be ≥ 0 (they are magnitudes); a NULL
+    weight is treated as 0 at intake (a NULL would otherwise poison the
+    member's share while window-``sum`` skipped it, silently breaking
+    the exact-sum invariant); members of a zero-total-weight group
+    (degenerate, including all-NULL) allocate everything to the first
+    member by ``order_col``.
     """
     w_grp = Window.partitionBy(group_col)
     base_df = df.select(
         F.col(group_col),
         F.col(order_col),
-        weight_cents.cast("long").alias("weight_cents"),
+        F.coalesce(weight_cents.cast("long"), F.lit(0)).alias("weight_cents"),
         amount_cents.cast("long").alias("_amount"),
     )
     with_sums = base_df.withColumn("_wsum", F.sum("weight_cents").over(w_grp))

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.operators.dedup import shingles_from_words, words
 
 
@@ -166,7 +168,7 @@ def cross_source_overlap(
         df.select(F.col(source_col).alias("_src"), words(text_col).alias("_w"))
         .select("_src", F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     per_source = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n_sh"))
     overlap = (

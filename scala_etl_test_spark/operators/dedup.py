@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 # ---------------------------------------------------------------------------
 # text normalization + shingling (shared by minhash / simhash / jaccard)
 # ---------------------------------------------------------------------------
@@ -348,7 +350,7 @@ def minhash_near_duplicates(
     source at sf0.1). The caller owns the action; the cache self-evicts
     under pressure and `spark.catalog.clearCache()` reclaims it eagerly.
     """
-    shingles = shingle_table(df, text_col, id_col, shingle_n).persist()
+    shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles=shingles)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, bands, rows), id_col)
     verified = jaccard_for_pairs(cands, df, text_col, id_col, shingle_n, shingles=shingles)
@@ -415,13 +417,13 @@ def incremental_near_duplicates(
     """
     own_handles: list[DataFrame] = []
     if new_shingles is None:
-        new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
+        new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).transform(tracked_persist)
         own_handles.append(new_shingles)
     if new_bands is None:
         new_sigs = minhash_signatures(
             new_docs, text_col, id_col, num_hashes, shingle_n, shingles=new_shingles
         )
-        new_bands = lsh_bands(new_sigs, id_col, bands, rows).persist()
+        new_bands = lsh_bands(new_sigs, id_col, bands, rows).transform(tracked_persist)
         own_handles.append(new_bands)
 
     # restrict to buckets the batch actually touches BEFORE counting sizes:
@@ -448,7 +450,7 @@ def incremental_near_duplicates(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     # verification likewise touches only candidate ids' shingles, not the
     # whole index: set sizes for a doc are unchanged by the restriction
@@ -596,7 +598,7 @@ def ngram_jaccard_pairs(
     # (both pair sides + set sizes) — without this the scan→normalize→
     # explode→distinct subtree executes per consumer (same policy and
     # ownership note as minhash_near_duplicates)
-    shingles = shingle_table(df, text_col, id_col, shingle_n).persist()
+    shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n, shingles=shingles).filter(
         F.col("jaccard") >= threshold
     )

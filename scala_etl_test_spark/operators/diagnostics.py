@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Row, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 
 def partition_stats(df: DataFrame) -> DataFrame:
     """Per-partition row counts: (partition_id, n_rows)."""
@@ -97,7 +99,7 @@ def join_cardinality_profile(
     per = (
         lc.join(rc, on="join_key")
         .withColumn("n_pairs", F.col("n_left") * F.col("n_right"))
-        .persist()
+        .transform(tracked_persist)
     )
     totals = per.agg(F.sum("n_pairs").alias("total_join_rows"))
     top = per.orderBy(F.col("n_pairs").desc(), F.col("join_key")).limit(top_k)

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 N_BINS = 10
 
 
@@ -145,7 +147,7 @@ def source_kl_divergence(
     tok = df.select(
         F.col(group_col).alias("grp"), F.explode(words(text_col)).alias("word")
     ).filter(F.col("word") != "")
-    tok = tok.persist()
+    tok = tok.transform(tracked_persist)
     # corpus model: q(w), plus the two scalars the absent-mass fold needs
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     corpus = freq.agg(

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 
 def pagerank(
     edges: DataFrame,
@@ -61,11 +63,11 @@ def pagerank(
     # single weight column meets the edges — no degree column riding along
     # on every edge row, and in the broadcast regime the edge table is
     # never shuffled or sorted at all.
-    e = e.persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    e = e.transform(tracked_persist)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(tracked_persist)
 
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes")).persist()
-    nodes = deg.select(F.col("src").alias("node")).persist()
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes")).transform(tracked_persist)
+    nodes = deg.select(F.col("src").alias("node")).transform(tracked_persist)
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
@@ -136,7 +138,7 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = und.persist()
+    und = und.transform(tracked_persist)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -155,7 +157,7 @@ def triangle_count(
         F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
     )
-    oriented = oriented.persist()
+    oriented = oriented.transform(tracked_persist)
     e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     wedges = e1.join(e2, on="y").select("x", "y", "z")

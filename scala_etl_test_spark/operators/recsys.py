@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 
 def item_item_cosine(
     df: DataFrame,
@@ -53,7 +55,7 @@ def item_item_cosine(
     kept = bi.join(
         sizes.filter(F.col("_sz") <= basket_cap).select("_b"), on="_b"
     )
-    kept = kept.persist()  # feeds the self-join twice and the item totals
+    kept = kept.transform(tracked_persist)  # feeds the self-join twice and the item totals
     a = kept.select("_b", F.col("_i").alias("i"))
     b = kept.select("_b", F.col("_i").alias("j"))
     co = (

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.operators.dedup import words
 
 # Okapi BM25 defaults (Robertson & Zaragoza 2009, the Lucene parametrization).
@@ -78,7 +80,7 @@ def bm25_topk(
             F.size(F.filter(words(text_col), _eq(t))).alias(c)
             for t, c in tf_cols.items()
         ],
-    ).persist()
+    ).transform(tracked_persist)
 
     # One single-row corpus aggregate: N, avgdl, df per query term. Map-side
     # partial aggregation reduces this to one row per task before the

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 HASH_BUCKETS = 10_000
 
 
@@ -279,7 +281,7 @@ def dsir_importance_weights(
     ``spark.catalog.clearCache()`` or keep a handle), same contract as
     :func:`bigram_lm_scores`.
     """
-    src_f = _hashed_gram_buckets(source, text_col, id_col, n_buckets).persist()
+    src_f = _hashed_gram_buckets(source, text_col, id_col, n_buckets).transform(tracked_persist)
     tgt_f = _hashed_gram_buckets(target, text_col, id_col, n_buckets)
     sc = src_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
     tc = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))

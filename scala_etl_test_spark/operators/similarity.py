@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.functions.vectors import cosine_similarity
 
 
@@ -115,7 +117,7 @@ def semantic_dedup(
     # persisted: consumed by both sides of the intra-cluster self-join and
     # by the final flag join — without the cache the broadcast-argmax
     # assignment subtree would run three times.
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col).persist()
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col).transform(tracked_persist)
     a = assigned.select(
         F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.operators.dedup import words
 
 
@@ -103,7 +105,7 @@ def duplicate_spans(
         # At extreme corpus scale where persisting the seed table is worse
         # than re-scanning, drop the persist and accept the double scan, or
         # use freq_mode="window" where skew permits.
-        seeds = seeds.persist()
+        seeds = seeds.transform(tracked_persist)
         dup_grams = (
             seeds.groupBy("gram_h")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -253,7 +255,7 @@ def incremental_duplicate_spans(
     released before returning — a long-lived ingest session calling this
     per batch must not accumulate one persisted seed table per batch
     (same lifecycle contract as ``incremental_near_duplicates``)."""
-    seeds = _kgram_seeds(new_docs, text_col, id_col, k).persist()
+    seeds = _kgram_seeds(new_docs, text_col, id_col, k).transform(tracked_persist)
     batch_counts = seeds.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_n_new"))
     probed = index_grams.join(
         F.broadcast(batch_counts.select("gram_h")), on="gram_h", how="left_semi"
@@ -316,7 +318,7 @@ def chunk_dedup(
         .filter(F.size(F.filter("_w", lambda t: t != "")) > 0)
         .select(F.col(id_col), F.posexplode(_chunks(F.col("_w"), chunk_words)).alias("cidx", "chunk"))
         .withColumn("chunk_h", F.md5("chunk"))
-        .persist()
+        .transform(tracked_persist)
     )
     boiler = (
         ex.groupBy("chunk_h")
@@ -412,7 +414,7 @@ def cdc_chunk_dedup(
             ).alias("chunk")
         )
         .withColumn("chunk_h", F.md5("chunk"))
-        .persist()
+        .transform(tracked_persist)
     )
     boiler = (
         ex.groupBy("chunk_h")

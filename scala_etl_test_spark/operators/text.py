@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.operators.dedup import normalize_text, word_shingles, words
 
 # marker stopwords per language for the n-gram/stopword-voting heuristic.
@@ -331,7 +333,7 @@ def unigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # persist: the frequency build and the scoring join both consume the
     # scan→normalize→split→explode subtree (same caller-owns-the-action
     # policy as the minhash shingle table and the span seed table)
-    tok = tok.persist()
+    tok = tok.transform(tracked_persist)
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     model = freq.crossJoin(F.broadcast(total)).select(
@@ -492,7 +494,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("b"),
         )
         .select(F.col(id_col), F.col("b.w1"), F.col("b.w2"))
-        .persist()
+        .transform(tracked_persist)
     )
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cx"))
@@ -676,7 +678,7 @@ def quality_filter_sweep(
     # without the persist each lineage re-scans the corpus
     buckets = scored.groupBy("_score").agg(
         F.count(F.lit(1)).alias("_nd"), F.sum("_nc").alias("_bc")
-    ).persist()
+    ).transform(tracked_persist)
     th = spark.createDataFrame(
         [(float(t),) for t in thresholds], "threshold double"
     )

@@ -27,6 +27,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.functions.cleaning import int_div
 
 
@@ -2277,7 +2279,7 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_rev").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("_cum"),
-    ).persist()
+    ).transform(tracked_persist)
     tot = cum.agg(
         F.max("_cum").alias("_total"), F.max("_rn").alias("_ncust")
     )
@@ -2820,14 +2822,20 @@ def q_approx_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     |est/exact − 1| ≤ 5% verdicts; the oracle reproduces the exact sides
     and pins the verdicts TRUE."""
     ev = _t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
-    clicks = sk.filter(F.col("event_type") == "click").select(
-        F.col("sk").alias("sk_click")
+    # one groupBy-free agg with conditional inputs (ADVICE r4): filtering
+    # per-type sketch ROWS and cross-joining annihilates to zero rows when
+    # either event type is absent, while the oracle always returns one row;
+    # theta_sketch_agg over an all-NULL column is the empty sketch
+    # (estimate 0), which is exactly the degenerate-input answer
+    ests_sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_click"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_buy"),
     )
-    buys = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_buy")
-    )
-    ests = clicks.crossJoin(buys).select(
+    ests = ests_sk.select(
         F.theta_sketch_estimate(
             F.theta_intersection("sk_click", "sk_buy")
         ).alias("est_both"),
@@ -2893,12 +2901,28 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one (type, day) window (an unbounded EWMA is a true recursion —
     not expressible as a window aggregate, and α^t rescaling explodes
     numerically; the 7-term truncation is standard and its tail weight is
-    α⁷ < 1%). Missing leading days contribute nothing AND drop out of the
-    normalizer, so the series starts unbiased."""
+    α⁷ < 1%). The series is gap-filled to the dense calendar FIRST
+    (ADVICE r4): a day with no events is revenue 0, and lagging over
+    observed days only would misalign the αʲ weights with calendar time
+    on sparse series. The calendar axis comes from one min/max aggregate
+    and is broadcast — the grid build adds no shuffle beyond the daily
+    agg. Missing LEADING days (before the global range start) contribute
+    nothing and drop out of the normalizer, so the series starts
+    unbiased."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(_dec("value")).cast("double").alias("v"))
+    day = F.to_date("ts")
+    days = ev.agg(F.min(day).alias("_d0"), F.max(day).alias("_d1")).select(
+        F.explode(F.sequence("_d0", "_d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, on=["event_type", "day"], how="left")
+        .withColumn("v", F.coalesce("v", F.lit(0.0)))
+    )
     w = Window.partitionBy("event_type").orderBy("day")
     num = F.lit(0.0)
     den = F.lit(0.0)
@@ -2916,10 +2940,20 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_EWMA = (
     """
-WITH daily AS (
+WITH obs AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
   FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT t.event_type, d.day, COALESCE(o.v, 0.0) AS v
+  FROM types t CROSS JOIN days d
+  LEFT JOIN obs o ON o.event_type = t.event_type AND o.day = d.day
 )
 SELECT event_type, CAST(day AS VARCHAR) AS day, round(v, 2) AS day_value,
        round(("""

@@ -13,6 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 from scala_etl_test_spark.operators import dedup as D
 from scala_etl_test_spark.operators import similarity as S
 from scala_etl_test_spark.operators import text as X
@@ -828,7 +830,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     # persisted shingle table — consumed three times by the containment
     # verification (same policy as minhash_near_duplicates)
-    shingles = D.shingle_table(docs, "text", "doc_id", shingle_n=2).persist()
+    shingles = D.shingle_table(docs, "text", "doc_id", shingle_n=2).transform(tracked_persist)
     pairs = D.containment_for_pairs(
         blocked, docs, "text", "doc_id", shingle_n=2, shingles=shingles
     )
@@ -2069,7 +2071,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.stride_centroids(emb, 16)
     # persisted: the mining self-join consumes the assignment on both sides;
     # without the cache the argmax-assign subtree (scan + groupBy) runs twice.
-    assigned = S.ivf_assign(emb, centroids).persist()
+    assigned = S.ivf_assign(emb, centroids).transform(tracked_persist)
     return S.hard_negatives(assigned)
 
 

@@ -134,8 +134,16 @@ def write_bigquery(
     try:
         writer.save()
     except Exception as exc:  # connector absent in this environment
+        # Only the missing-data-source signatures get the --packages hint
+        # (ADVICE r4): with the connector INSTALLED, auth/table/schema
+        # failures also mention "bigquery" and must surface unchanged.
         msg = str(exc)
-        if "bigquery" in msg.lower() or "DATA_SOURCE_NOT_FOUND" in msg:
+        missing_source = (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source: bigquery" in msg
+            or ("ClassNotFoundException" in msg and "bigquery" in msg.lower())
+        )
+        if missing_source:
             raise RuntimeError(
                 "BigQuery connector not on the classpath; launch with "
                 "--packages com.google.cloud.spark:spark-bigquery-with-dependencies_2.13:0.41.0"

@@ -66,3 +66,20 @@ def test_negative_amount_conserves_exactly(spark):
     )}
     assert out == {1: -33, 2: -33, 3: -34}
     assert sum(out.values()) == -100
+
+
+def test_null_weight_treated_as_zero(spark):
+    # ADVICE r4: a NULL weight used to poison the member's share while the
+    # window sum skipped it, so the group allocated < amount. NULL == 0 now.
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(1, 1, 90, 1), (1, 2, 90, None), (1, 3, 90, 2)]
+    )}
+    assert out == {1: 30, 2: 0, 3: 60}
+    assert sum(out.values()) == 90
+
+
+def test_all_null_weights_degenerate_to_first(spark):
+    out = {r["line"]: r["alloc_cents"] for r in _run(
+        spark, [(2, 1, 77, None), (2, 2, 77, None)]
+    )}
+    assert out == {1: 77, 2: 0}

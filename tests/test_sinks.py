@@ -154,3 +154,32 @@ class TestBigQuerySink:
         df = spark.range(3)
         with _pytest.raises(RuntimeError, match="--packages com.google.cloud.spark"):
             write_bigquery(df, "ds.t", write_method="direct")
+
+    def test_write_does_not_mask_real_bigquery_failures(self, spark, monkeypatch):
+        # ADVICE r4: auth/table/schema errors mention "bigquery" too — only
+        # missing-data-source signatures may be rewritten to the jar hint.
+        import pytest as _pytest
+
+        from scala_etl_test_spark.sources import sinks
+
+        class _FailingWriter:
+            def format(self, *_):
+                return self
+
+            def mode(self, *_):
+                return self
+
+            def options(self, **_):
+                return self
+
+            def save(self):
+                raise RuntimeError(
+                    "Access Denied: BigQuery table ds.t: permission bigquery.tables.updateData denied"
+                )
+
+        df = spark.range(1)
+        monkeypatch.setattr(
+            type(df), "write", property(lambda self: _FailingWriter())
+        )
+        with _pytest.raises(RuntimeError, match="Access Denied"):
+            sinks.write_bigquery(df, "ds.t", write_method="direct")
