@@ -415,3 +415,21 @@ class TestEditDistancePairs:
         }
         # len-3 docs are below the k+1=5 floor; len-5 docs participate
         assert got == {(3, 4)}
+
+
+def test_simhash_pairs_auto_switches_to_banded_above_threshold(spark):
+    # VERDICT r4 item 6: the all-pairs form must not reach a large table —
+    # above max_rows it silently takes the banded plan (identical rows).
+    from scala_etl_test_spark.operators.dedup import simhash_pairs
+
+    fp = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("simhash")
+    )
+    guarded = simhash_pairs(fp, "doc_id", max_hamming=2, max_rows=10)
+    # banded plan joins on chunk equality - no cartesian product node
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    direct = simhash_pairs(fp, "doc_id", max_hamming=2, max_rows=0)
+    assert {tuple(r) for r in guarded.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
