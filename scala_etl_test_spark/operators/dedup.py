@@ -142,7 +142,7 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
-    """Distinct (id, sh_h, h31) per shingle — computed ONCE and shared by
+    """Distinct (id, sh_h) per shingle — computed ONCE and shared by
     signatures and Jaccard/containment verification.
 
     The shingle STRING is hashed to ``sh_h`` (60 bits from the md5 prefix)
@@ -152,11 +152,24 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3)
     bytes through the three heaviest shuffles of the dedup family. Identity
     via a 60-bit hash is exact up to md5-prefix collisions (~n²/2⁶¹: under
     1e-8 even at 10⁹ distinct shingles, far below the near-dup thresholds'
-    sensitivity); ``h31`` (= sh_h mod the Mersenne prime) seeds the affine
-    MinHash family exactly as before."""
+    sensitivity).
+
+    The output is EXACTLY (id, sh_h) — no derived columns. A derived
+    column consumed by only one downstream (the r4 ``h31`` MinHash seed)
+    widens the distinct shuffle and the cached rows for every OTHER
+    consumer; the seed hash is one modulo, recomputed inline in
+    :func:`minhash_signatures` instead of materialized here. NULL-id rows
+    are dropped at the scan (see below)."""
     sh_h = F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10).cast("long")
+    # NULL ids are excluded up front: they can never appear in a pair (the
+    # verification joins are inner on the id) and a signature for a NULL id
+    # is meaningless — and pre-filtering keeps the isnotnull predicate
+    # IDENTICAL across every consumer's pushed filters, a precondition for
+    # the exchange reuse documented above (the verification joins push
+    # isnotnull; the signature groupBy does not — without this filter the
+    # two subtrees diverge at the scan and Catalyst re-executes it).
     return (
-        _spread(df, id_col)
+        _spread(df.filter(F.col(id_col).isNotNull()), id_col)
         .select(F.col(id_col), words(text_col).alias("_w"))
         .select(
             F.col(id_col),
@@ -164,7 +177,6 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3)
         )
         .select(F.col(id_col), sh_h.alias("sh_h"))
         .distinct()
-        .withColumn("h31", F.col("sh_h") % MINHASH_PRIME)
     )
 
 
@@ -181,10 +193,14 @@ def minhash_signatures(
     ONE md5 per distinct shingle; the k hash functions are affine transforms
     of the base hash mod a Mersenne prime (classic universal hashing), so k
     costs arithmetic, not digests. One groupBy pass ⇒ one shuffle total.
+    The seed hash (sh_h mod the prime, < 2³¹, so a·h+b < 2⁶² stays exact in
+    int64) is computed inline here rather than materialized on the shared
+    shingle table — see :func:`shingle_table` for why.
     """
     shingled = shingles if shingles is not None else shingle_table(df, text_col, id_col, shingle_n)
+    h31 = F.col("sh_h") % MINHASH_PRIME
     aggs = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
+        F.min((F.lit(a) * h31 + F.lit(b)) % MINHASH_PRIME).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return shingled.groupBy(id_col).agg(*aggs)
@@ -346,9 +362,18 @@ def minhash_near_duplicates(
     The distinct-shingle table is built ONCE and persisted
     (memory-and-disk, spill-safe): the signature pass and both sides of the
     verification join consume it, so without the persist the
-    scan→explode→distinct subtree executes 3-4× (measured 6 scans of the
-    source at sf0.1). The caller owns the action; the cache self-evicts
-    under pressure and `spark.catalog.clearCache()` reclaims it eagerly.
+    scan→explode→distinct subtree executes 3-4x (measured 6 scans at
+    sf0.1; ReuseExchange cannot deduplicate them — the verification sides
+    broadcast while the signature side shuffles, so the exchanges never
+    unify). r5 bisect of the r1→r4 +21% drift: ~0.35s of the sf0.1 wall
+    is the cache encode itself (no-persist runs 1.5s vs 1.88s) — locally
+    recompute is cheaper, but at corpus scale the persist saves 2-3
+    re-executions of the distinct SHUFFLE, the dominant cost, so the
+    persist stays; the recovered 0.23s came from keeping the shared table
+    to exactly (id, sh_h) (seed hash now inline in the signature agg, see
+    :func:`shingle_table`). The caller owns the action; the cache
+    self-evicts under pressure and `spark.catalog.clearCache()` reclaims
+    it eagerly.
     """
     shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles=shingles)
