@@ -39,20 +39,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from scala_etl_test_spark.caching import tracked_persist
 
-from scala_etl_test_spark.operators.dedup import words
+from scala_etl_test_spark.operators.dedup import _spread, words
 
 
 def _kgram_seeds(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, pos, gram_h) — md5 of each k-word window; docs shorter than k
     words emit nothing (no k-gram exists). The transform over an index
-    sequence stays JVM-side; pos is the 0-based start word index."""
+    sequence stays JVM-side; pos is the 0-based start word index.
+
+    ``_spread`` first: one md5 per word position is the heaviest fanout in
+    the spans family (~10²-10³× the input rows), and a single-row-group
+    source file would otherwise hand the whole explode to one task — the
+    same layout trap measured and fixed for edit-distance/winnowing in r4
+    (the compact doc rows are cheap to shuffle relative to the fanout)."""
     w = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - k),
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
     )
     return (
-        docs.select(F.col(id_col), words(text_col).alias("_w"))
+        _spread(docs, id_col).select(F.col(id_col), words(text_col).alias("_w"))
         .filter(F.size("_w") >= k)
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_h"))
     )
