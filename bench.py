@@ -65,6 +65,11 @@ HEADLINE = [
     "training_set_pit",
     # round-4 governance tier: distribution-free drift gate (window-heavy)
     "events_ks_drift",
+    # round-5: governance heavyweights (VERDICT r4 item 7) — regressions in
+    # this tier must be machine-visible round-over-round
+    "corpus_release_report",
+    "source_overlap_matrix",
+    "quality_filter_sweep",
 ]
 
 
