@@ -85,15 +85,30 @@ def _hash_str(prefix: str, col: Column) -> Column:
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition by id before a fanout-heavy stage (explode × k hashes).
+    """Repartition by id before a fanout-heavy stage (explode × k hashes) —
+    but ONLY when the input underuses the cluster.
 
     Document tables are small on disk relative to their shingle fanout, so a
     scan can land in far fewer partitions than cores (the local testdata is
     ONE file ⇒ one task does every md5). One cheap shuffle of the compact doc
     rows buys full parallelism for the expensive stage — the same reasoning
     holds on a cluster whenever fanout_work ≫ input_bytes.
+
+    The guard matters at the other end of the scale: a production corpus
+    already planned into ≥ cores scan partitions gains nothing from the
+    shuffle, and unconditionally repartitioning it would move the whole
+    table once per operator call. ``df.rdd.getNumPartitions()`` is
+    plan-time inspection (no job runs); if the planned parallelism already
+    covers the cores, the input passes through untouched.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        planned = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans that refuse RDD inspection: be safe
+        planned = 0
+    if planned >= target:
+        return df
+    return df.repartition(target, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -433,3 +433,20 @@ def test_simhash_pairs_auto_switches_to_banded_above_threshold(spark):
     assert {tuple(r) for r in guarded.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_spread_skips_well_partitioned_input(spark, sf_dir):
+    # _spread must not add a shuffle when the scan already covers the cores
+    # (a production table planned into >= cores partitions would otherwise
+    # be moved wholesale once per operator call).
+    from scala_etl_test_spark.operators.dedup import _spread
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    pre = docs.repartition(target * 2, "doc_id")
+    assert _spread(pre, "doc_id") is pre  # pass-through, no new plan node
+    # single-file scan underuses the cores -> repartition kicks in
+    spread = _spread(docs, "doc_id")
+    assert spread is not docs
+    assert spread.rdd.getNumPartitions() == target
