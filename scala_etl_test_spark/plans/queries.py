@@ -1100,8 +1100,16 @@ FROM j
 
 
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return-revenue ranking: fact filtered early, two broadcast dims, exact
-    decimal revenue, total-order tie-break for the top-k."""
+    """Return-revenue ranking: fact filtered early, exact decimal revenue,
+    total-order tie-break for the top-k.
+
+    Join strategy: only ``nation`` (25 rows at every SF) carries a broadcast
+    hint. ``customer`` is TPC-H's LARGEST dimension (1.5 M rows/SF — ~3 GB
+    at SF100); a forced broadcast there bypasses
+    ``autoBroadcastJoinThreshold`` and OOMs executors at cluster scale
+    (VERDICT r5), so AQE decides from measured sizes: it still broadcasts at
+    bench SF and falls back to sort-merge when customer outgrows the
+    threshold."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
@@ -1109,7 +1117,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).alias("_rev"))
@@ -4269,73 +4277,70 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first 50 registry entries in insertion order per round.  Round-5 priority
-# (per VERDICT r4 items 1-2): (1) the 30 queries that have NEVER had a
-# driver CORRECTNESS row (they sat at slots 50-79 in r4 and missed the
-# window) -- green rows here close the cumulative gate at 174/174; (2) the
-# queries whose implementation changed after their last driver gate (SNM /
-# edit-distance rewrites in 68964aa/fb8c5ea, winnowing _spread, chunk
-# dedup, the in-band-bound sketch checks) plus this round's perf-touch
-# targets (minhash bisect, duplicate_spans / split_explode 10x profiling,
-# simhash size guard); (3) stalest round-1-only entries.  Everything green
-# in r2/r4 on unchanged code sorts last.
+# first 50 registry entries in insertion order per round.  Round-6 priority
+# (per VERDICT r5 item 5): (1) every query whose implementation changed this
+# round -- the _spread guard rewrite (ADVICE r5 medium: logical-plan
+# inspection + inputFiles heuristic instead of the AQE-eager .rdd probe)
+# touches the whole shingle/winnow/spans/simhash family, content_hash64 now
+# fronts the shingle/token hash (default md5 path expression-identical), and
+# tpch_q10 dropped its forced customer broadcast; (2) the stalest entries --
+# the 38 queries whose only green CORRECTNESS row is from round 1
+# (everything green in r2/r4/r5 on unchanged code sorts last).  With the
+# round-5 rotation all 174 registered queries have a green row; this
+# rotation keeps re-gating freshest-changed + oldest-checked each round.
 _GATE_PRIORITY: list[str] = [
-    # never driver-gated (registry order) -- the round-5 gate window MUST cover these
-    "entity_resolution",
-    "item_cf_neighbors",
-    "graph_triangles",
-    "events_gapfill",
-    "events_ab_welch",
-    "decontaminate_bloom_audit",
-    "kanon_audit",
-    "events_lateness_audit",
-    "events_changepoint",
-    "lineitem_corr_matrix",
-    "orders_checksum",
-    "customer_balance_ntiles",
-    "events_ewma",
-    "approx_distinct_sketch_merge",
-    "approx_overlap_sketch",
-    "training_set_pit",
-    "funnel_latency",
-    "event_path_trigrams",
-    "fk_integrity_audit",
-    "pseudonymize_referential",
-    "source_overlap_matrix",
-    "quality_filter_sweep",
-    "join_size_profile",
-    "events_ks_drift",
-    "oov_rate",
-    "quantile_sketch_merge",
-    "corpus_release_report",
-    "prorate_order_totals",
-    "pareto_revenue",
-    "cdc_chunk_dedup",
-    # changed after last driver gate / touched this round
-    "dedup_snm",
-    "dedup_edit_distance",
+    # implementation touched this round (r6)
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_containment",
     "winnow_fingerprints",
     "winnow_overlap",
-    "chunk_dedup",
-    "heavy_hitters_cms",
-    "approx_quantiles_events",
-    "approx_distinct_users",
-    "dedup_minhash_pairs",
     "duplicate_spans",
     "duplicate_span_stats",
-    "split_explode",
-    "dedup_simhash_pairs",
-    # stalest round-1-only rows
-    "inner_join_using",
-    "window_sum",
-    "conditional_window_sum",
-    "dedup_first_order",
-    "groupby_count",
-    "quantiles_per_group",
-    "category_rules",
+    "dedup_edit_distance",
+    "dedup_method_report",
+    "tpch_q10",
+    # stalest: last (and only) gated in round 1, registry order
     "segmentation_rules",
     "validate_normalize",
     "topk_customers",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "tpch_q6",
+    "semi_join_exists",
+    "anti_join_no_orders",
+    "topk_docs_per_source",
+    "skew_salted_join",
+    "skew_distinct_count",
+    "asof_last_purchase",
+    "tpch_q14",
+    "tpch_q18",
+    "events_cube",
+    "events_rollup",
+    "events_pivot",
+    "json_props_extract",
+    "window_moving_avg",
+    "set_ops_customers",
+    "range_join_session_errors",
+    "events_funnel",
+    "events_retention",
+    "events_user_gaps",
+    "customer_revenue_quartiles",
+    "merge_upsert",
+    "grouping_sets_revenue",
+    "lineitem_unpivot_measures",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

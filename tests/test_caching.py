@@ -59,3 +59,22 @@ def test_minhash_shingle_cache_released(spark):
     assert len(_TRACKED) > 0
     assert release_persisted() > 0
     assert not _TRACKED
+
+
+def test_repeated_operator_calls_drain_per_iteration(spark):
+    """The bench/gate loop contract (VERDICT r5 item 7): many operator calls
+    in ONE session, with release_persisted() after consuming each result —
+    the registry must return to empty every iteration (never grow across
+    calls) and each release must drop the JVM cache for real."""
+    release_persisted()
+    from scala_etl_test_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 4} padded with words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    for _ in range(3):
+        minhash_near_duplicates(docs, "text", "doc_id").count()
+        assert len(_TRACKED) > 0
+        assert release_persisted() > 0
+        assert not _TRACKED

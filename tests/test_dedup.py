@@ -436,9 +436,9 @@ def test_simhash_pairs_auto_switches_to_banded_above_threshold(spark):
 
 
 def test_spread_skips_well_partitioned_input(spark, sf_dir):
-    # _spread must not add a shuffle when the scan already covers the cores
-    # (a production table planned into >= cores partitions would otherwise
-    # be moved wholesale once per operator call).
+    # _spread must not add a shuffle when the input's parallelism is already
+    # governed by an upstream exchange (a production table repartitioned to
+    # >= cores would otherwise be moved wholesale once per operator call).
     from scala_etl_test_spark.operators.dedup import _spread
     from scala_etl_test_spark.sources.parquet_source import read_table
 
@@ -450,3 +450,101 @@ def test_spread_skips_well_partitioned_input(spark, sf_dir):
     spread = _spread(docs, "doc_id")
     assert spread is not docs
     assert spread.rdd.getNumPartitions() == target
+
+
+def test_spread_never_executes_shuffle_bearing_input(spark, sf_dir):
+    # ADVICE r5: probing df.rdd under AQE EXECUTES the upstream stages of a
+    # shuffle-bearing plan at _spread call time (work not reused by the plan
+    # built afterwards). The guard must decide from free metadata only: here
+    # the input is poisoned with a UDF that raises on ANY execution, so a
+    # regression back to eager probing fails loudly.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from scala_etl_test_spark.operators.dedup import _spread
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    boom = udf(lambda _: 1 // 0, "int")  # ZeroDivisionError if any task runs
+    docs = read_table(spark, sf_dir, "documents")
+    poisoned = (
+        docs.withColumn("z", boom("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.sum("z").alias("z"))
+    )
+    # aggregate-derived ⇒ parallelism is shuffle.partitions ⇒ pass through
+    assert _spread(poisoned, "doc_id") is poisoned
+    # join-derived likewise (the duplicate_spans / incremental-dedup shape)
+    joined = docs.join(docs.select("doc_id"), on="doc_id").withColumn("z", boom("doc_id"))
+    assert _spread(joined, "doc_id") is joined
+
+
+def test_simhash_pairs_guard_persists_fingerprints(spark, docs):
+    # ADVICE r5: the guard count used to execute an unpersisted fingerprint
+    # plan once for the guard and again on consumption. The guard now
+    # persists first (released via release_persisted), and the returned plan
+    # must read the cache, not recompute the 60-agg groupBy.
+    from scala_etl_test_spark.caching import release_persisted
+
+    release_persisted()
+    fps = D.simhash(docs, "text", "doc_id")
+    out = D.simhash_pairs(fps, "doc_id", max_hamming=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert out.count() >= 1  # consumable after the guard
+    assert release_persisted() >= 1  # the guard's persist is registry-tracked
+    # max_rows=0 disables the guard entirely: lazy, no persist
+    lazy = D.simhash_pairs(D.simhash(docs, "text", "doc_id"), "doc_id", max_rows=0)
+    assert "InMemoryTableScan" not in lazy._jdf.queryExecution().executedPlan().toString()
+    assert release_persisted() == 0
+
+
+def test_hash_flag_xxhash64_parity(spark, docs, monkeypatch):
+    # SPARK_GRAFT_HASH=xxhash64 swaps the content hash family for production
+    # (VERDICT r5 item 8). The swap contract a hash family CAN promise:
+    # - identical shingle sets ⇒ identical signatures under ANY family, so
+    #   exact-dup recall is guaranteed: at a threshold only exact dups meet,
+    #   both families return the same verified set;
+    # - verification is exact Jaccard, so there are NEVER false positives —
+    #   every verified pair matches the brute-force all-pairs answer;
+    # - what is NOT promised (and not asserted): which sub-1.0-jaccard pairs
+    #   survive banding — LSH recall there is probabilistic by design and
+    #   differs pair-by-pair between families.
+    def verified_pairs(threshold):
+        out = D.minhash_near_duplicates(
+            docs, "text", "doc_id", num_hashes=16, bands=4, rows=4, threshold=threshold
+        )
+        rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        from scala_etl_test_spark.caching import release_persisted
+
+        release_persisted()
+        spark.catalog.clearCache()
+        return rows
+
+    def brute_pairs(threshold):
+        ids = [r[0] for r in docs.select("doc_id").collect()]
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+        )
+        verified = D.jaccard_for_pairs(all_pairs, docs, "text", "doc_id")
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in verified.collect()
+            if r["jaccard"] >= threshold
+        }
+
+    monkeypatch.delenv("SPARK_GRAFT_HASH", raising=False)
+    md5_exact = verified_pairs(0.95)
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "xxhash64")
+    xx_exact = verified_pairs(0.95)
+    assert md5_exact == xx_exact and set(xx_exact) == {(1, 2)}
+    # no false positives at a looser threshold: everything found is a true
+    # pair — a subset of the brute-force all-pairs verification
+    xx_loose = verified_pairs(0.5)
+    assert (1, 2) in xx_loose
+    assert set(xx_loose) <= set(brute_pairs(0.5))
+    # 60-bit non-negative contract: downstream a*(h%P)+b must stay in int64
+    hvals = [
+        r["h"]
+        for r in docs.select(D.content_hash64(F.col("text")).alias("h")).collect()
+    ]
+    assert all(0 <= h < (1 << 60) for h in hvals)
