@@ -46,3 +46,16 @@ def oracle_sql() -> dict[str, str]:
     from scala_etl_test_spark.plans.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
+
+
+def release(spark: SparkSession | None = None) -> int:
+    """OPTIONAL hook beyond the 3-function contract: drop the engine's
+    operator-internal persisted intermediates (see ``caching.py``). A
+    harness running many ``queries()`` entries in one long session should
+    call this after consuming each result so caches cannot accumulate;
+    harnesses that ignore it still work — ``spark.catalog.clearCache()``
+    reclaims everything, and MEMORY_AND_DISK blocks self-evict under
+    pressure. Returns the number of caches released."""
+    from scala_etl_test_spark.caching import release_persisted
+
+    return release_persisted()

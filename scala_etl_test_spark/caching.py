@@ -20,19 +20,32 @@ created); the registry releases only operator-internal ones.
 The registry holds strong references on purpose: a weakly-held frame
 whose Python handle died would leave its JVM cache unreachable until
 GC — exactly the leak this module exists to close.
+
+Callers and threading (ADVICE r5): the registry is guarded by a lock,
+so concurrent operator calls cannot corrupt it — but the RELEASE
+contract is still logically single-threaded: release_persisted() drops
+every tracked cache session-wide, including ones backing another
+thread's (or another still-unconsumed call's) lazy result, which then
+silently recomputes. Release after consuming each result, from the one
+thread driving the session — the pattern bench.py's per-query loop,
+the corpus CLI, and the gate replica all follow.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() plus registration in the session-wide release registry."""
     df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -41,8 +54,11 @@ def release_persisted() -> int:
     released. Idempotent; frames the caller already unpersisted are
     skipped without error."""
     released = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                return released
+            df = _TRACKED.pop()
         try:
             if df.is_cached:
                 df.unpersist()
@@ -50,4 +66,3 @@ def release_persisted() -> int:
         except Exception:
             # session torn down / frame invalid: nothing left to release
             pass
-    return released
