@@ -84,12 +84,50 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_words(words(col), n)
 
 
-def content_hash64(col: Column) -> Column:
-    """Non-negative 60-bit content hash of a string column — the one hash
-    every shingle/token/k-gram in the dedup family pays per distinct value.
+def hash_family() -> str:
+    """Current content-hash family: ``md5`` (portable, DuckDB-oracle-
+    checkable — the default) or ``xxhash64`` (JVM-intrinsic, the production
+    setting), selected by ``SPARK_GRAFT_HASH``. Read per call so tests can
+    flip it. The family is STAMPED into the column metadata of every hashed
+    table this module builds (``sh_h``, ``band_hash``) and CHECKED when a
+    persisted index is probed — a corpus index built under one family and
+    probed under the other would silently match nothing (every new-vs-corpus
+    duplicate missed), so the mismatch raises instead."""
+    return os.environ.get("SPARK_GRAFT_HASH", "md5")
 
-    Two implementations, selected by ``SPARK_GRAFT_HASH`` (read per call so
-    tests can flip it):
+
+_HASH_META_KEY = "spark_graft_hash_family"
+
+
+def _check_hash_family(df: DataFrame, col: str, role: str) -> None:
+    """Raise if ``df[col]`` carries a hash-family stamp that differs from
+    the session's current family. Unstamped tables (externally built)
+    pass — the stamp is a tripwire, not a gate."""
+    try:
+        stamped = df.schema[col].metadata.get(_HASH_META_KEY)
+    except Exception:
+        return
+    current = hash_family()
+    if stamped is not None and stamped != current:
+        raise ValueError(
+            f"{role} was built with SPARK_GRAFT_HASH={stamped} but this "
+            f"session runs {current}: the equi-joins on {col} would match "
+            "nothing and every cross-set duplicate would be silently missed. "
+            "Re-run with the matching SPARK_GRAFT_HASH, or rebuild the index."
+        )
+
+
+def _stamp(col: Column, name: str) -> Column:
+    return col.alias(name, metadata={_HASH_META_KEY: hash_family()})
+
+
+def content_hash64(col: Column) -> Column:
+    """Non-negative 60-bit content hash of a string column — the hash the
+    dedup/spans/winnow family pays once per distinct shingle / token /
+    k-gram.
+
+    Two implementations, selected by ``SPARK_GRAFT_HASH`` (see
+    :func:`hash_family`):
 
     - ``md5`` (default): first 15 hex chars of md5 → long. Portable — DuckDB
       computes the identical value, which is what makes every operator in
@@ -101,21 +139,90 @@ def content_hash64(col: Column) -> Column:
       setting; not oracle-checkable (DuckDB has no xxhash64), so tests pin
       it by parity of VERIFIED near-dup output against the md5 run instead
       (verification is exact Jaccard, independent of the hash family).
+
+    Flag coverage: the shingle table, the simhash token hash, the LSH band
+    hash (:func:`keyed_hash`), the spans k-gram seeds, and the winnowing
+    gram hash. Deliberately NOT covered: deterministic sampling
+    (``sampling.py``) and row checksums (``integrity.py``) — their md5 is a
+    portability CONTRACT (split assignments and checksums must be
+    reproducible across engines and releases), not a throughput choice.
     """
-    if os.environ.get("SPARK_GRAFT_HASH", "md5") == "xxhash64":
+    if hash_family() == "xxhash64":
         return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-# Logical nodes that introduce (or ARE) an exchange: downstream of any of
-# these the partition count is governed by spark.sql.shuffle.partitions /
-# AQE coalescing — i.e. already sized to the cluster. Matched at line start
-# after the plan tree-drawing prefix, so column names can't false-positive.
-_SHUFFLE_NODE_RE = re.compile(
-    r"(?m)^[\s:+-]*(?:Join|Aggregate|Deduplicate|Distinct|Repartition"
-    r"|RepartitionByExpression|RebalancePartitions|Window|Sort|Intersect"
-    r"|Except|CoGroup|FlatMapGroups)\b"
+def keyed_hash(*cols: Column) -> Column:
+    """Join-key hash over one or more columns: md5 hex string of the
+    '|'-joined values (default; DuckDB-reproducible) or a single
+    ``xxhash64`` long under the production flag. Used where the hash is an
+    equality key only (LSH band hash, k-gram seeds) — consumers must treat
+    the type as opaque."""
+    if hash_family() == "xxhash64":
+        return F.xxhash64(*cols)
+    return F.md5(F.concat_ws("|", *cols))
+
+
+# Logical nodes whose OUTPUT partition count is governed by
+# spark.sql.shuffle.partitions / AQE — i.e. already sized to the cluster.
+# All patterns match at line start after the plan tree-drawing prefix, so
+# column names can't false-positive.
+_GOVERNED_NODE_RE = re.compile(
+    r"^[\s:+-]*(?:Join|Aggregate|Deduplicate|Distinct|RebalancePartitions"
+    r"|Window|Intersect|Except|CoGroup|FlatMapGroups)\b"
 )
+# Explicit-count partitioning nodes: `Repartition N, true` (repartition(N)) /
+# `Repartition N, false` (coalesce(N)); `RepartitionByExpression [...]` with
+# an optional trailing count (absent ⇒ defaults to shuffle.partitions).
+_REPARTITION_RE = re.compile(r"^[\s:+-]*Repartition (\d+), (?:true|false)\b")
+_REPARTITION_EXPR_RE = re.compile(r"^[\s:+-]*RepartitionByExpression \[[^\]]*\](?:, (\d+))?")
+# `Sort [...], true` = global orderBy (range-partitions to shuffle.partitions);
+# `Sort [...], false` = sortWithinPartitions (preserves child partitioning).
+_SORT_RE = re.compile(r"^[\s:+-]*Sort \[.*\], (true|false)\b")
+_LIMIT_RE = re.compile(r"^[\s:+-]*(?:GlobalLimit|LocalLimit)\b")
+
+
+def _planned_wide_enough(analyzed: str, target: int) -> bool | None:
+    """Decide from the analyzed logical plan STRING whether the plan's
+    output parallelism already covers ``target`` partitions.
+
+    Walks the pre-order rendering top-down, so the first partitioning-
+    setting node found is the one nearest the root — the one that governs
+    output partitioning (narrow ops preserve their child's). Returns True
+    (pass through), False (needs the spread), or None (no partitioning-
+    setting node at all: a scan + narrow ops — decide from scan size)."""
+    for line in analyzed.splitlines():
+        if _GOVERNED_NODE_RE.match(line):
+            return True
+        m = _REPARTITION_RE.match(line)
+        if m:
+            return int(m.group(1)) >= target
+        m = _REPARTITION_EXPR_RE.match(line)
+        if m:
+            return m.group(1) is None or int(m.group(1)) >= target
+        m = _SORT_RE.match(line)
+        if m:
+            if m.group(1) == "true":
+                return True
+            continue  # sortWithinPartitions: look past it at the child
+        if _LIMIT_RE.match(line):
+            return False  # limit collapses downstream parallelism
+    return None
+
+
+def _scan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan (file-size total for scans,
+    selectivity-scaled upward through operators) — plan metadata, no job."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 0
+
+
+def _max_partition_bytes(df: DataFrame) -> int:
+    raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = re.sub(r"[^0-9]", "", raw)
+    return int(digits) if digits else 134217728
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -131,32 +238,35 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     The guard must never COST anything at plan time (ADVICE r5: probing
     ``df.rdd`` under AQE eagerly executes the upstream stages of a
     shuffle-bearing plan — a whole wasted pass when the caller hands us a
-    join/groupBy-derived frame). So the decision uses only free metadata:
+    join/groupBy-derived frame). So the decision uses only free plan
+    metadata, read top-down so the partitioning-setting node NEAREST THE
+    ROOT governs (a coalesce(1) above an aggregate caps parallelism at 1
+    no matter what sits below it):
 
-    - already-analyzed logical plan contains a shuffle-introducing node
-      (join / aggregate / repartition / window / …) ⇒ pass through — its
-      output partitioning is governed by ``spark.sql.shuffle.partitions`` /
-      AQE, which the session sizes to the cluster;
-    - otherwise the plan is scan + narrow ops: if the scan has at least
-      ``defaultParallelism`` input files it already covers the cores ⇒ pass
-      through (a production corpus is thousands of files);
-    - else (few-file or in-memory input) ⇒ repartition. A single LARGE file
-      that the reader would split by maxPartitionBytes gets one redundant —
-      but compact, pre-fanout — shuffle; the safe direction for this
-      operator family.
+    - join / aggregate / window / rebalance / global-sort, or an explicit
+      repartition to ≥ cores ⇒ pass through — output partitioning is
+      governed by ``spark.sql.shuffle.partitions`` / AQE, which the
+      session sizes to the cluster;
+    - an explicit repartition/coalesce BELOW cores, or a limit ⇒ spread
+      (the old partition-count probe would have, too);
+    - no partitioning-setting node (scan + narrow ops) ⇒ estimate the
+      scan's split count from Catalyst's size statistic over
+      ``maxPartitionBytes``: a corpus big enough to split into ≥ cores
+      partitions passes through; a small scan — MANY tiny files included,
+      which the reader packs into few splits regardless of file count —
+      gets the spread. The estimate errs low (packing overhead, openCost),
+      i.e. toward one redundant-but-compact pre-fanout shuffle: the safe
+      direction for this operator family.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         analyzed = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # exotic plans that refuse inspection: never risk work
         return df
-    if _SHUFFLE_NODE_RE.search(analyzed):
+    decision = _planned_wide_enough(analyzed, target)
+    if decision is True:
         return df
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files >= target:
+    if decision is None and _scan_size_bytes(df) // _max_partition_bytes(df) + 1 >= target:
         return df
     return df.repartition(target, id_col)
 
@@ -240,7 +350,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3)
             F.col(id_col),
             F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("_shingle"),
         )
-        .select(F.col(id_col), sh_h.alias("sh_h"))
+        .select(F.col(id_col), _stamp(sh_h, "sh_h"))
         .distinct()
     )
 
@@ -283,10 +393,10 @@ def lsh_bands(signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4)
     pairs = []
     for b in range(bands):
         cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
-        pairs.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+        pairs.append(F.struct(F.lit(b).alias("band_idx"), keyed_hash(*cols).alias("band_hash")))
     return signatures.select(
         F.col(id_col), F.explode(F.array(*pairs)).alias("band")
-    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), _stamp(F.col("band.band_hash"), "band_hash"))
 
 
 def _capped_buckets(band_table: DataFrame, max_bucket: int) -> DataFrame:
@@ -492,6 +602,13 @@ def incremental_near_duplicates(
     equi-join on (band_idx, band_hash) — work scales with batch size and
     bucket hit rate, not corpus size.
 
+    Hash-family tripwire: an index built under one ``SPARK_GRAFT_HASH``
+    family and probed under the other would join on disjoint hash spaces —
+    zero new-vs-corpus matches, silently (new-vs-new still pairs, masking
+    it). The family is stamped into the index columns' metadata at build
+    time (it survives a parquet round-trip) and verified here; a mismatch
+    raises ValueError instead of returning an empty-looking answer.
+
     The result is materialized eagerly (``localCheckpoint``) so the three
     intermediate caches (batch shingles/bands, candidate pairs) can be
     unpersisted before returning — a long-lived ingest session calling this
@@ -505,6 +622,8 @@ def incremental_near_duplicates(
     once, not twice; pre-built inputs are assumed already materialized
     (persisted or checkpointed) and are not unpersisted here.
     """
+    _check_hash_family(index_shingles, "sh_h", "index_shingles")
+    _check_hash_family(index_bands, "band_hash", "index_bands")
     own_handles: list[DataFrame] = []
     if new_shingles is None:
         new_shingles = shingle_table(new_docs, text_col, id_col, shingle_n).transform(tracked_persist)

@@ -39,23 +39,30 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from scala_etl_test_spark.caching import tracked_persist
 
-from scala_etl_test_spark.operators.dedup import _spread, words
+from scala_etl_test_spark.operators.dedup import _spread, keyed_hash, words
 
 
 def _kgram_seeds(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, pos, gram_h) — md5 of each k-word window; docs shorter than k
+    """(id, pos, gram_h) — hash of each k-word window; docs shorter than k
     words emit nothing (no k-gram exists). The transform over an index
     sequence stays JVM-side; pos is the 0-based start word index.
 
-    ``_spread`` first: one md5 per word position is the heaviest fanout in
-    the spans family (~10²-10³× the input rows), and a single-row-group
-    source file would otherwise hand the whole explode to one task — the
-    same layout trap measured and fixed for edit-distance/winnowing in r4
-    (the compact doc rows are cheap to shuffle relative to the fanout)."""
+    The gram hash is :func:`dedup.keyed_hash` — md5 by default (the DuckDB
+    oracles reproduce it) and xxhash64 under ``SPARK_GRAFT_HASH=xxhash64``;
+    one digest per word position makes this the heaviest per-byte hash site
+    in the engine, so the production flag matters most here. ``gram_h`` is
+    an opaque equality key to everything downstream (frequency counts and
+    seed joins), so the family/type swap is invisible to the span logic.
+
+    ``_spread`` first: the per-position fanout is ~10²-10³× the input rows,
+    and a single-row-group source file would otherwise hand the whole
+    explode to one task — the same layout trap measured and fixed for
+    edit-distance/winnowing in r4 (the compact doc rows are cheap to
+    shuffle relative to the fanout)."""
     w = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
+        lambda i: keyed_hash(F.concat_ws(" ", F.slice(w, i + 1, k))),
     )
     return (
         _spread(docs, id_col).select(F.col(id_col), words(text_col).alias("_w"))

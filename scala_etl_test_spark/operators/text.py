@@ -383,8 +383,9 @@ def winnow_fingerprints(
     Documents with fewer than ``k`` words emit nothing; documents with
     fewer than ``w`` k-grams use one window over all their grams (so any
     document with ≥ k words yields at least one fingerprint). Gram hashes
-    are the 60-bit md5-prefix integers of the dedup family
-    (``dedup.shingle_table``) — engine-reproducible, 8-byte shuffle keys.
+    are the dedup family's 60-bit ``content_hash64`` longs (md5-prefix by
+    default and DuckDB-reproducible; xxhash64 under the production flag) —
+    8-byte shuffle keys either way.
 
     Returns (id, pos, fp): distinct selected (gram position, gram hash)
     pairs per document.
@@ -400,7 +401,7 @@ def winnow_fingerprints(
     is ~2/(w+1) of the gram count, and downstream joins on ``fp`` are
     uniform 8-byte keys.
     """
-    from scala_etl_test_spark.operators.dedup import _spread
+    from scala_etl_test_spark.operators.dedup import _spread, content_hash64
 
     wds = F.filter(words(text_col), lambda x: x != "")
     base = _spread(df, id_col).select(F.col(id_col), wds.alias("_w")).filter(
@@ -408,9 +409,7 @@ def winnow_fingerprints(
     )
     gram = F.transform(
         F.sequence(F.lit(0), F.size("_w") - k),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("_w", i + 1, k))), 1, 15), 16, 10
-        ).cast("long"),
+        lambda i: content_hash64(F.concat_ws(" ", F.slice("_w", i + 1, k))),
     )
     g = base.select(F.col(id_col), gram.alias("_g"))
     win_len = F.least(F.lit(w), F.size("_g"))

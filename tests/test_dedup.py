@@ -452,6 +452,38 @@ def test_spread_skips_well_partitioned_input(spark, sf_dir):
     assert spread.rdd.getNumPartitions() == target
 
 
+def test_spread_sees_through_partition_collapsing_nodes(spark, sf_dir):
+    # The governing node is the one NEAREST THE ROOT: plans whose output
+    # parallelism is explicitly collapsed (coalesce/small repartition/limit)
+    # or merely narrow-sorted must still get the spread, while plans whose
+    # top partitioning node is cluster-governed pass through.
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.dedup import _spread
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # output parallelism collapsed -> spread MUST kick in
+    for collapsed in (
+        docs.coalesce(1),
+        docs.repartition(max(1, target // 2)),
+        docs.groupBy("doc_id").count().coalesce(1),  # coalesce above the agg governs
+        docs.limit(50),
+        docs.sortWithinPartitions("doc_id"),  # preserves the 1-file layout below
+    ):
+        out = _spread(collapsed, "doc_id")
+        assert out is not collapsed
+        assert out.rdd.getNumPartitions() == target
+    # cluster-governed top nodes -> pass through untouched
+    for governed in (
+        docs.orderBy("doc_id"),  # global sort range-partitions
+        docs.repartition("doc_id"),  # defaults to shuffle.partitions
+        docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")),
+    ):
+        assert _spread(governed, "doc_id") is governed
+
+
 def test_spread_never_executes_shuffle_bearing_input(spark, sf_dir):
     # ADVICE r5: probing df.rdd under AQE EXECUTES the upstream stages of a
     # shuffle-bearing plan at _spread call time (work not reused by the plan
@@ -548,3 +580,69 @@ def test_hash_flag_xxhash64_parity(spark, docs, monkeypatch):
         for r in docs.select(D.content_hash64(F.col("text")).alias("h")).collect()
     ]
     assert all(0 <= h < (1 << 60) for h in hvals)
+
+
+def test_hash_family_mismatch_tripwire(spark, docs, tmp_path, monkeypatch):
+    # An LSH index built under one SPARK_GRAFT_HASH family and probed under
+    # the other joins on disjoint hash spaces — zero new-vs-corpus matches,
+    # silently. The family stamp must survive a parquet round-trip and make
+    # the probe raise instead.
+    monkeypatch.delenv("SPARK_GRAFT_HASH", raising=False)
+    corpus = docs.filter(F.col("doc_id") != 2)  # index side
+    batch = docs.filter(F.col("doc_id") == 2)  # new ingest: exact dup of 1
+    shingles, bands = D.build_minhash_index(corpus, "text", "doc_id")
+    sh_path, bd_path = str(tmp_path / "sh"), str(tmp_path / "bd")
+    shingles.write.mode("overwrite").parquet(sh_path)
+    bands.write.mode("overwrite").parquet(bd_path)
+    loaded_sh = spark.read.parquet(sh_path)
+    loaded_bd = spark.read.parquet(bd_path)
+    assert loaded_sh.schema["sh_h"].metadata.get("spark_graft_hash_family") == "md5"
+    assert loaded_bd.schema["band_hash"].metadata.get("spark_graft_hash_family") == "md5"
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "xxhash64")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_HASH=md5"):
+        D.incremental_near_duplicates(batch, loaded_sh, loaded_bd, "text", "doc_id")
+
+    # matching family probes fine (md5 vs md5) and finds the cross-set dup
+    monkeypatch.delenv("SPARK_GRAFT_HASH", raising=False)
+    out = D.incremental_near_duplicates(batch, loaded_sh, loaded_bd, "text", "doc_id", threshold=0.3)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out.collect()}
+    from scala_etl_test_spark.caching import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+
+
+def test_hash_flag_spans_winnow_parity(spark, monkeypatch):
+    # The flag also covers the spans k-gram seeds and winnowing grams: span
+    # boundaries and selected-fingerprint POSITIONS depend only on hash
+    # EQUALITY (and, for winnowing, within-window ordering), so duplicated
+    # spans are identical across families on the fixture corpus and the
+    # winnow overlap pairs keep their exact-dup recall.
+    from scala_etl_test_spark.operators.spans import duplicate_spans
+    from scala_etl_test_spark.operators.text import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two three four five six seven eight nine ten"),
+        (2, base + " unrelated tail words here completely different ones now ok"),
+        (3, "nothing in common with the others at all in this row friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spans_rows():
+        out = duplicate_spans(df, "text", "doc_id", k=4)
+        res = {tuple(r) for r in out.collect()}
+        from scala_etl_test_spark.caching import release_persisted
+
+        release_persisted()
+        spark.catalog.clearCache()
+        return res
+
+    monkeypatch.delenv("SPARK_GRAFT_HASH", raising=False)
+    md5_spans = spans_rows()
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "xxhash64")
+    xx_spans = spans_rows()
+    assert md5_spans == xx_spans and md5_spans  # same spans, and some exist
+    # winnowing emits fingerprints for every long-enough doc in both modes
+    assert winnow_fingerprints(df, "text", "doc_id", k=4, w=4).groupBy("doc_id").count().count() == 3
