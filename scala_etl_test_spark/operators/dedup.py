@@ -14,9 +14,11 @@ corpus:
   product. Hot buckets (boilerplate text) are capped with a per-bucket count
   guard before the self-join — the standard skew kill-switch.
 - **SimHash**: 60-bit fingerprint via per-bit majority vote, pairs by
-  Hamming distance. Pairing here is chunk-banded at scale (join on any
-  exact-matching 15-bit chunk ⇒ Hamming ≤ 3 guaranteed candidates by
-  pigeonhole); the small-scale oracle query uses the direct pair join.
+  Hamming distance. Pairing is multi-piece banded at scale (Manku 2007:
+  m = h + q chunks ⇒ every within-Hamming-h pair matches some
+  q-combination of chunks exactly, with q sized to the corpus so the key
+  space outgrows n — a single fixed-width chunk key goes quadratic);
+  the brute-force pair join exists as the guarded small-scale twin.
 - **n-gram Jaccard**: exact set similarity for candidate verification, or
   standalone with cheap blocking (lang, length band).
 - **embedding cosine**: near-dup by vector similarity with label blocking;
@@ -739,8 +741,14 @@ def simhash_pairs(
     if max_rows:
         if not fingerprints.is_cached:
             fingerprints = tracked_persist(fingerprints)
-        if fingerprints.count() > max_rows:
-            return simhash_pairs_banded(fingerprints, id_col, max_hamming)
+        n = fingerprints.count()
+        if n > max_rows:
+            return simhash_pairs_banded(
+                fingerprints,
+                id_col,
+                max_hamming,
+                pieces=simhash_pieces_for(n, max_hamming),
+            )
     a = fingerprints.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = fingerprints.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
@@ -752,43 +760,106 @@ def simhash_pairs(
     )
 
 
+def simhash_pieces_for(
+    n_rows: int, max_hamming: int, occupancy: int = 8, max_fanout: int = 100
+) -> int:
+    """Smallest ``pieces`` (q) whose combination-key space comfortably
+    exceeds the corpus: with m = max_hamming + q chunks a q-combination key
+    carries ~q·(60/m) bits, and we require 2^(those bits) ≥ occupancy·n so
+    same-key collisions stay near-dup-driven, not birthday-driven. Candidate
+    volume ≈ C(m, q)·n²/2^(q·bits): q=1 is quadratic in n once n outgrows
+    the single-chunk space (2¹² at h=4 — measured 9.6× wall at 10× data);
+    each +1 piece multiplies the key space by ~2^(60/m) and the explode
+    fanout only by C(m, q), so bumping q restores ~linear scaling.
+
+    The search saturates when the explode fanout C(m, q) would exceed
+    ``max_fanout`` (key bits stop growing long before then — a 60-bit
+    fingerprint simply cannot key more than ~2³⁰ rows collision-free at
+    h=4), returning the widest-key q allowed; beyond that corpus size,
+    shard the fingerprint table and pair within shards."""
+    from math import comb
+
+    best_q, best_bits = 1, 0
+    q = 1
+    while True:
+        m = max_hamming + q
+        if comb(m, q) > max_fanout:
+            return best_q
+        bits = q * (SIMHASH_BITS // m)
+        if (1 << bits) >= occupancy * max(n_rows, 1):
+            return q
+        if bits > best_bits:
+            best_q, best_bits = q, bits
+        q += 1
+
+
+def _chunk_layout(m: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk: m chunks exactly partitioning the 60
+    fingerprint bits (the first ``60 % m`` chunks take the extra bit)."""
+    base, extra = divmod(SIMHASH_BITS, m)
+    out, off = [], 0
+    for i in range(m):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs_banded(
-    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3, pieces: int = 1
 ) -> DataFrame:
     """Scale path for :func:`simhash_pairs`: split the 60-bit fingerprint
-    into ``max_hamming + 1`` chunks and join on exact chunk equality — by
-    pigeonhole, any pair within ``max_hamming`` differing bits agrees on at
-    least one chunk, so recall is 100% while the join only materializes
-    same-chunk candidates (vs the all-pairs cross join).
+    into ``max_hamming + pieces`` chunks; by pigeonhole, any pair within
+    ``max_hamming`` differing bits agrees EXACTLY on at least ``pieces``
+    whole chunks, so joining on every ``pieces``-sized chunk combination
+    (Manku et al. 2007's multi-piece blocking) has 100% recall while only
+    materializing same-key candidates.
 
-    Produces exactly the same rows as the direct formulation (the oracle
-    suite checks the banded form against the brute-force SQL).
+    ``pieces`` sets the key width and is the quadratic-blowup control:
+    with pieces=1 and h=4 the key space is one 12-bit chunk — 4096 values
+    FIXED, so bucket occupancy grows linearly with the corpus and
+    candidate pairs quadratically (measured: 9.6× wall at 10× data). Use
+    :func:`simhash_pieces_for` to size it (the :func:`simhash_pairs` guard
+    does this automatically from its exact count); the explode fanout is
+    C(m, pieces) keys per fingerprint — 5/15/35 for q=1/2/3 at h=4 —
+    linear cost traded against the quadratic join.
+
+    Produces exactly the same rows as the direct formulation for ANY
+    ``pieces`` (the oracle suite checks the banded form against the
+    brute-force SQL; a parametrized test pins q=1/2/3 equality).
     """
-    n_chunks = max_hamming + 1
-    chunk_bits = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
-    mask = (1 << chunk_bits) - 1
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk_idx"),
-                F.shiftright(F.col("simhash"), i * chunk_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("chunk_val"),
-            )
-            for i in range(n_chunks)
-        ]
-    )
+    from itertools import combinations
+
+    m = max_hamming + pieces
+    layout = _chunk_layout(m)
+
+    def chunk_val(i: int) -> Column:
+        off, w = layout[i]
+        return F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+
+    # one key per pieces-sized chunk combination: the combination's chunk
+    # values packed into a single long (chunk widths sum to ≤ 60 bits for
+    # every supported (h, q), so the pack is collision-free), plus the
+    # combination index as the second join column
+    combos = list(combinations(range(m), pieces))
+    keys = []
+    for ci, combo in enumerate(combos):
+        packed, shift = F.lit(0).cast("long"), 0
+        for i in combo:
+            packed = packed + (chunk_val(i) * F.lit(1 << shift).cast("long"))
+            shift += layout[i][1]
+        keys.append(F.struct(F.lit(ci).alias("combo_idx"), packed.alias("combo_val")))
     banded = fingerprints.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
-    ).select(id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*keys)).alias("c")
+    ).select(id_col, "simhash", F.col("c.combo_idx").alias("combo_idx"), F.col("c.combo_val").alias("combo_val"))
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "combo_idx", "combo_val"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "combo_idx", "combo_val"
     )
     return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
+        a.join(b, on=["combo_idx", "combo_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

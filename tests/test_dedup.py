@@ -646,3 +646,40 @@ def test_hash_flag_spans_winnow_parity(spark, monkeypatch):
     assert md5_spans == xx_spans and md5_spans  # same spans, and some exist
     # winnowing emits fingerprints for every long-enough doc in both modes
     assert winnow_fingerprints(df, "text", "doc_id", k=4, w=4).groupBy("doc_id").count().count() == 3
+
+
+@pytest.mark.parametrize("pieces", [1, 2, 3])
+@pytest.mark.parametrize("max_hamming", [2, 4])
+def test_simhash_multi_piece_banding_equals_direct(spark, docs, pieces, max_hamming):
+    # Manku-style multi-piece blocking: with m = h + q chunks, any pair
+    # within hamming h agrees exactly on >= q whole chunks, so joining on
+    # every q-combination has 100% recall for EVERY q — identical rows to
+    # the brute-force direct join.
+    fp = D.simhash(docs, "text", "doc_id")
+    direct = {tuple(r) for r in D.simhash_pairs(fp, "doc_id", max_hamming, max_rows=0).collect()}
+    banded = {
+        tuple(r)
+        for r in D.simhash_pairs_banded(fp, "doc_id", max_hamming, pieces=pieces).collect()
+    }
+    assert banded == direct
+
+
+def test_simhash_pieces_sizing():
+    # q=1 only while the single-chunk space covers the corpus; decade-spaced
+    # growth after that. h=4 -> 12-bit chunks: 4096-value space.
+    assert D.simhash_pieces_for(100, 4) == 1
+    assert D.simhash_pieces_for(5_000, 4) == 2  # 8n > 4096 -> 20-bit keys
+    assert D.simhash_pieces_for(500_000, 4) == 3  # 8n > 2^20 -> 24-bit keys
+    # beyond key-space reach the search saturates at the fanout cap
+    # instead of looping: h=4 allows q up to 4 (C(8,4)=70 <= 100)
+    assert D.simhash_pieces_for(10**18, 4) == 4
+    layout = D._chunk_layout(7)
+    assert sum(w for _, w in layout) == D.SIMHASH_BITS
+    assert [o for o, _ in layout] == sorted({o for o, _ in layout})
+
+
+def test_simhash_banded_plan_has_no_cartesian_at_any_pieces(spark, docs):
+    fp = D.simhash(docs, "text", "doc_id")
+    for q in (1, 2, 3):
+        plan = D.simhash_pairs_banded(fp, "doc_id", 4, pieces=q)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, q
