@@ -1,34 +1,40 @@
-"""10×-scale-UP stress run for the document-fanout operator family.
+"""10×-scale-UP stress run per operator family.
 
-    python tools/stress_replica.py [sf_dir] [out_dir]
+    python tools/stress_replica.py [--family docs|rel] [sf_dir] [out_dir]
 
-Builds a 10× replica of ``documents`` (default base: /root/testdata/sf0.1)
-and times the _spread-family queries at 1× vs 10×, printing one JSON line
-of wall ratios. Reading them: join/shuffle-light ops amortize overhead and
-land ~1-3×; compute-bound narrow ops approach LINEAR (~8-10×) once 32
-cores saturate at both scales — that is the expected ceiling, not a trap.
-The trap signature is a ratio near-or-above linear on an op whose cost
-should be join-bounded: this harness found the r4 edit-distance "33×"
-(single-file layout artifact), the SNM n² nested loop, and the r6
-simhash single-chunk banding quadratic (9.6× → 6.2× after multi-piece
-blocking, the residual being the linear fingerprint compute).
+Builds a 10× replica of the family's tables (default base:
+/root/testdata/sf0.1) and times the family's queries at 1× vs 10×,
+printing one JSON line of wall ratios. Reading them: join/shuffle-light
+ops amortize overhead and land ~1-3×; compute-bound narrow ops approach
+LINEAR (~8-10×) once 32 cores saturate at both scales — that is the
+expected ceiling, not a trap. The trap signature is a ratio near-or-above
+linear on an op whose cost should be join-bounded: this harness found the
+r4 edit-distance "33×" (single-file layout artifact), the SNM n² nested
+loop, and the r6 simhash single-chunk banding quadratic (9.6× → 6.2×
+after multi-piece blocking, the residual being the linear fingerprint
+compute).
 
-Two traps the replica construction must avoid (see also the r4/r5 logs):
+Replica construction traps (see also the r4/r5/r6 logs):
 
-- **Verbatim replication** makes every document a 10-way exact dup, which
-  explodes candidate-pair counts and measures the dup explosion, not the
-  operator. Each replica instead gets a DETERMINISTIC per-(replica, doc)
-  word shuffle — order by md5(replica|doc_id|pos|word) — so global word/
-  gram frequency distributions stay realistic while cross-replica docs
-  stop being near-dups.
-- **Single-file layout**: a compacted parquet file glues into ONE scan
-  partition and serializes all per-doc fanout, masquerading as quadratic
-  scaling. The replica is written as a 32-file directory. (The engine's
-  ``_spread`` guard now also defends the single-file case at runtime; the
-  multi-file layout here keeps the measurement about the OPERATOR.)
+- **docs family — verbatim replication** makes every document a 10-way
+  exact dup, which explodes candidate-pair counts and measures the dup
+  explosion, not the operator. Each replica instead gets a DETERMINISTIC
+  per-(replica, doc) word shuffle — order by md5(replica|doc_id|pos|word)
+  — so global word/gram frequency distributions stay realistic while
+  cross-replica docs stop being near-dups.
+- **rel family — foreign keys must shift consistently**: every key column
+  is offset by replica × (max_key + 1), with ONE offset shared per key
+  DOMAIN (o_orderkey/l_orderkey; c_custkey/o_custkey/events.user_id —
+  training_set_pit joins events to customer). Dimension tables that the
+  queries treat as fixed-cardinality (nation, region) are copied, not
+  replicated, and nationkeys are left unshifted.
+- **single-file layout**: a compacted parquet file glues into ONE scan
+  partition and serializes per-row fanout, masquerading as quadratic
+  scaling. Replicas are written as 32-file directories. (The engine's
+  ``_spread`` guard also defends the single-file case at runtime; the
+  multi-file layout keeps the measurement about the OPERATOR.)
 
-Non-document tables are not replicated — only documents-backed queries
-run. Requires ~10× the sf documents footprint free under ``out_dir``.
+Requires ~10× the replicated tables' footprint free under ``out_dir``.
 """
 
 from __future__ import annotations
@@ -41,42 +47,50 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STRESS_QUERIES = [
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "duplicate_spans",
-    "chunk_dedup",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "dedup_edit_distance",
-    "text_quality",
-]
+FAMILIES = {
+    "docs": [
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "duplicate_spans",
+        "chunk_dedup",
+        "winnow_fingerprints",
+        "winnow_overlap",
+        "dedup_edit_distance",
+        "text_quality",
+    ],
+    "rel": [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q10",
+        "tpch_q13",
+        "tpch_q18",
+        "tpch_q21",
+        "semi_join_exists",
+        "events_sessionize",
+        "events_hourly_rollup",
+        "event_transitions",
+        "events_funnel",
+        "events_ks_drift",
+        "training_set_pit",
+    ],
+}
 
 REPLICAS = 10
+FILES_PER_TABLE = 32
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_stress10x"
-
+def _build_docs_replica(spark, sf_dir: str, out_dir: str) -> int:
     from pyspark.sql import functions as F
 
-    from scala_etl_test_spark.caching import release_persisted
     from scala_etl_test_spark.operators.dedup import words
-    from scala_etl_test_spark.plans.queries import QUERIES
-    from scala_etl_test_spark.session import build_session
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
-
-    # deterministic per-(replica, doc) word shuffle, all JVM-side: key each
-    # word position with md5(replica|doc_id|pos|word), array_sort on the
-    # key, then strip back to words
     rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    # deterministic per-(replica, doc) word shuffle, all JVM-side: key each
+    # word position with md5(replica|doc_id|pos|word), array_sort, strip
     keyed = F.transform(
         words("text"),
         lambda w, i: F.struct(
@@ -99,14 +113,88 @@ def main() -> None:
         .withColumn("text", shuffled)
         .drop("_rep")
     )
-    dest = os.path.join(out_dir, "documents.parquet")
+    replica.repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+
+
+def _build_rel_replica(spark, sf_dir: str, out_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    def top(table: str, col: str) -> int:
+        return (
+            spark.read.parquet(f"{sf_dir}/{table}.parquet").agg(F.max(col)).first()[0]
+            + 1
+        )
+
+    # one offset per key DOMAIN so foreign keys stay consistent across
+    # tables (events.user_id joins customer.c_custkey in training_set_pit)
+    order_off = top("orders", "o_orderkey")
+    cust_off = max(top("customer", "c_custkey"), top("events", "user_id"))
+    supp_off = top("supplier", "s_suppkey")
+    part_off = top("part", "p_partkey")
+    event_off = top("events", "event_id")
+    shifts = {
+        "lineitem": {"l_orderkey": order_off, "l_partkey": part_off, "l_suppkey": supp_off},
+        "orders": {"o_orderkey": order_off, "o_custkey": cust_off},
+        "customer": {"c_custkey": cust_off},
+        "supplier": {"s_suppkey": supp_off},
+        "part": {"p_partkey": part_off},
+        "events": {"event_id": event_off, "user_id": cust_off},
+    }
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    total = 0
+    for table, offs in shifts.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        dtypes = dict(df.dtypes)
+        out = df.crossJoin(rep)
+        for col, off in offs.items():
+            out = out.withColumn(
+                col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
+            )
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
+        total += spark.read.parquet(dest).count()
+    for dim in ("nation", "region"):  # fixed-cardinality dims: copy as-is
+        spark.read.parquet(f"{sf_dir}/{dim}.parquet").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{dim}.parquet")
+        )
+    return total
+
+
+def main() -> None:
+    argv, family, args = sys.argv[1:], "docs", []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--family":
+            family, i = argv[i + 1], i + 2
+        elif argv[i].startswith("--family="):
+            family, i = argv[i].split("=", 1)[1], i + 1
+        else:
+            args.append(argv[i])
+            i += 1
+    if family not in FAMILIES:
+        raise SystemExit(f"--family must be one of {sorted(FAMILIES)}")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    out_dir = args[1] if len(args) > 1 else f"/tmp/spark_graft_stress10x_{family}"
+
+    from scala_etl_test_spark.caching import release_persisted
+    from scala_etl_test_spark.plans.queries import QUERIES
+    from scala_etl_test_spark.session import build_session
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     t0 = time.perf_counter()
-    replica.repartition(32).write.mode("overwrite").parquet(dest)
+    n_rows = (_build_docs_replica if family == "docs" else _build_rel_replica)(
+        spark, sf_dir, out_dir
+    )
     build_s = time.perf_counter() - t0
-    n_docs = spark.read.parquet(dest).count()
 
     def run(name: str, d: str) -> float:
         best = float("inf")
@@ -119,7 +207,7 @@ def main() -> None:
         return best
 
     base, big, ratio = {}, {}, {}
-    for name in STRESS_QUERIES:
+    for name in FAMILIES[family]:
         run(name, sf_dir)  # warm codegen on the small side first
         base[name] = round(run(name, sf_dir), 3)
         big[name] = round(run(name, out_dir), 3)
@@ -128,8 +216,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "stress10x_wall_ratio",
+                "family": family,
                 "replicas": REPLICAS,
-                "docs_10x": n_docs,
+                "rows_10x": n_rows,
                 "build_s": round(build_s, 1),
                 "base_s": base,
                 "big_s": big,
