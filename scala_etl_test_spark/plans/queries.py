@@ -4303,6 +4303,12 @@ _GATE_PRIORITY: list[str] = [
     "dedup_edit_distance",
     "dedup_method_report",
     "tpch_q10",
+    # corpus-scaled centroid count (k = max(16, floor(sqrt n))) replaced the
+    # fixed-16 cells in the quadratic-per-cell wrappers; re-gate all four
+    "semantic_dedup",
+    "semantic_dedup_greedy",
+    "contrastive_negatives",
+    "label_spread",
     # stalest: last (and only) gated in round 1, registry order
     "segmentation_rules",
     "validate_normalize",

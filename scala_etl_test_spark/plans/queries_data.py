@@ -459,6 +459,37 @@ CAST(list_sum(list_transform(range(1, len({a}) + 1),
 """
 
 
+def _scaled_centroids(emb: DataFrame) -> DataFrame:
+    """Corpus-scaled IVF seeding for the quadratic-per-cell wrappers
+    (semantic dedup, greedy sweep, hard negatives, label spread):
+    k = max(16, ⌊√n⌋), the textbook IVF cell count that balances the n·k
+    assignment cost against the Σc² ≈ n²/k intra-cell pair cost at n^1.5.
+    A fixed k (the pre-round-6 wrappers used 16) makes the per-cell
+    self-joins grow n²/16 — the 10× stress replica measured exactly that
+    (semantic_dedup wall ratio 10.75 at 10× rows) before this change.
+
+    The one-row count() here is a wrapper-level convenience; at warehouse
+    scale k comes from catalog row-count statistics, not a scan. ⌊√n⌋ is
+    computed as floor of the IEEE-double sqrt so the DuckDB oracle
+    (_CENT_SCALED_SQL) lands on the identical k for any realistic n.
+    """
+    import math
+
+    k = max(16, int(math.floor(math.sqrt(emb.count()))))
+    return S.stride_centroids(emb, k)
+
+
+# Oracle twin of _scaled_centroids: first ⌊√n⌋ (min 16) vectors by id.
+_CENT_SCALED_SQL = """
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS _rn,
+           COUNT(*) OVER () AS _n
+    FROM embeddings)
+  WHERE _rn <= GREATEST(16, CAST(floor(sqrt(CAST(_n AS DOUBLE))) AS BIGINT))
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(
@@ -2075,7 +2106,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     different-label vector within its cell. Pair generation is bounded by
     cell sizes (Σ c_i²), never corpus n²."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = S.stride_centroids(emb, 16)
+    centroids = _scaled_centroids(emb)
     # persisted: the mining self-join consumes the assignment on both sides;
     # without the cache the argmax-assign subtree (scan + groupBy) runs twice.
     assigned = S.ivf_assign(emb, centroids).transform(tracked_persist)
@@ -2084,9 +2115,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTRASTIVE_NEGATIVES = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
+{_CENT_SCALED_SQL}),
 assign AS (
   SELECT vec_id, embedding, label, cluster_id FROM (
     SELECT e.vec_id, e.embedding, e.label, c.centroid_id AS cluster_id,
@@ -2540,15 +2569,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:semantic_dedup): cluster-blocked smaller-id
     neighbor rule, pair generation bounded by cell sizes."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = S.stride_centroids(emb, 16)
+    centroids = _scaled_centroids(emb)
     return S.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_T)
 
 
 SQL_SEMANTIC_DEDUP = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
+{_CENT_SCALED_SQL}),
 assign AS (
   SELECT vec_id, embedding, cluster_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
@@ -2578,15 +2605,13 @@ def q_semantic_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas per cluster; oracle is a DuckDB recursive CTE that
     replays the sweep one id per step, carrying the kept set as a list."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = S.stride_centroids(emb, 16)
+    centroids = _scaled_centroids(emb)
     return S.semantic_dedup_greedy(emb, centroids, threshold=_SEMDEDUP_T)
 
 
 SQL_SEMANTIC_DEDUP_GREEDY = f"""
 WITH RECURSIVE cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
+{_CENT_SCALED_SQL}),
 assign AS MATERIALIZED (
   SELECT vec_id, embedding, cluster_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
@@ -2679,7 +2704,7 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = S.stride_centroids(emb, 16)
+    cent = _scaled_centroids(emb)
     # cached: the kNN self-join consumes the broadcast-argmax assignment
     # on BOTH sides (same reason semantic_dedup caches its assignment)
     assigned = S.ivf_assign(emb, cent).cache()
@@ -2718,9 +2743,7 @@ l{r} AS MATERIALIZED (
 SQL_LABEL_SPREAD = (
     f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
+{_CENT_SCALED_SQL}),
 assign AS MATERIALIZED (
   SELECT vec_id, embedding, cluster_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,

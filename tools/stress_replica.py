@@ -74,6 +74,32 @@ FAMILIES = {
         "events_funnel",
         "events_ks_drift",
         "training_set_pit",
+        # NOT entity_resolution: replicated customers keep identical names,
+        # so name-blocking would see 10-way exact twins — the same verbatim
+        # trap the docs replica's word shuffle exists to avoid
+    ],
+    # retrieval / clustering tier over the same documents replica
+    "docs2": [
+        "bm25_topk",
+        "dedup_snm",
+        "dedup_prefix_jaccard",
+        "dedup_clusters",
+        "corpus_clean",
+    ],
+    # embedding tier: ann_cosine_topk (brute force) is EXCLUDED by design —
+    # it is the O(n²) verification baseline, not a scale path; these are
+    # the bucketed/coded paths that must stay sub-quadratic
+    "ann": [
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "ann_multiprobe_topk",
+        "ann_pq_topk",
+        "ann_ivfpq_topk",
+        "semantic_dedup",
+        "semantic_dedup_greedy",
+        "label_spread",
+        "embedding_near_dup_lsh",
+        "contrastive_negatives",
     ],
 }
 
@@ -117,6 +143,34 @@ def _build_docs_replica(spark, sf_dir: str, out_dir: str) -> int:
         os.path.join(out_dir, "documents.parquet")
     )
     return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+
+
+def _build_ann_replica(spark, sf_dir: str, out_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    # verbatim vector copies would give every vector 9 exact-duplicate
+    # neighbors and collapse top-k structure; perturb each element with a
+    # deterministic hash-derived offset (~±1% of typical magnitude) so
+    # replicas are distinct but the space's cluster geometry survives
+    noise = lambda x, i: x + (  # noqa: E731
+        (
+            F.xxhash64(F.col("_rep"), F.col("vec_id"), i).bitwiseAND(F.lit(1023))
+            - F.lit(512)
+        ).cast("double")
+        / F.lit(51200.0)
+    ).cast("float")
+    replica = (
+        emb.crossJoin(rep)
+        .withColumn("embedding", F.transform("embedding", noise))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(max_id))
+        .drop("_rep")
+    )
+    dest = os.path.join(out_dir, "embeddings.parquet")
+    replica.repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
 
 
 def _build_rel_replica(spark, sf_dir: str, out_dir: str) -> int:
@@ -190,10 +244,14 @@ def main() -> None:
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+    builders = {
+        "docs": _build_docs_replica,
+        "docs2": _build_docs_replica,
+        "rel": _build_rel_replica,
+        "ann": _build_ann_replica,
+    }
     t0 = time.perf_counter()
-    n_rows = (_build_docs_replica if family == "docs" else _build_rel_replica)(
-        spark, sf_dir, out_dir
-    )
+    n_rows = builders[family](spark, sf_dir, out_dir)
     build_s = time.perf_counter() - t0
 
     def run(name: str, d: str) -> float:
