@@ -922,21 +922,59 @@ def prefix_jaccard_join(
     negatives are not acceptable.
 
     Candidate generation: order every document's shingles by a global
-    (rarity, hash) key and index only the first
-    ``|S| − ⌈t·|S|⌉ + 1`` of them. For any pair with J ≥ t, each side's
-    prefix must contain an intersection element AND the prefixes must
-    overlap (t·|A| ≤ |B| gives prefix length ≥ the |X|−⌈t/(1+t)(|A|+|B|)⌉+1
-    the shared-element lemma needs), so joining prefix-to-prefix loses
-    nothing. The rare-first order makes prefixes meet in low-frequency
-    shingles — candidate volume ∝ Σ over RARE shingles of c², not the
-    inverted-index Σ c² over all shingles.
+    (rarity, hash) key, then apply the full lossless AllPairs/PPJoin
+    filter stack — each one cuts candidate volume without touching recall
+    (the brute-force oracle in the driver gate checks exactly that):
+
+    - **probe prefix** ``|S| − ⌈t·|S|⌉ + 1`` (Bayardo): any qualifying
+      pair shares its globally-first common shingle inside both prefixes;
+    - **index prefix** ``|S| − ⌈(2t/(1+t))·|S|⌉ + 1`` on the canonically
+      SMALLER side: for |A| ≤ |B|, overlap ≥ (2t/(1+t))·|A| pushes the
+      first common shingle even earlier in A — the indexed lists shrink
+      to ~⅓ of the probe prefix at t=0.5, and candidate tuples become
+      Σ c_index·c_probe instead of Σ c_probe²;
+    - **canonical (size, id) order** in the join condition: each pair is
+      generated once, not twice;
+    - **length filter** ``|A| ≥ ⌈t·|B|⌉``: J ≥ t is impossible across a
+      bigger size gap;
+    - **positional filter** (PPJoin, Xiao et al. WWW'08): a shared
+      shingle at 0-based positions (i, j) bounds the overlap by
+      ``1 + min(|A|−i−1, |B|−j−1)``; require that to reach
+      ``⌈t/(1+t)·(|A|+|B|)⌉``. The globally-first common shingle of a
+      qualifying pair always passes, so the pair survives.
+
+    The pair-level filters run INSIDE the join, before the distinct and
+    the verification — at 10× corpus scale they are the difference
+    between a join-bounded plan and a quadratic one (the r6 stress
+    replica measured the unfiltered prefix join at a 63× wall ratio; see
+    the round log). Prefix-length ceilings subtract a 1e-9 epsilon before
+    ``ceil`` so an inexact binary ``t`` can only LENGTHEN a prefix /
+    WEAKEN a filter (lossless direction); ``threshold`` should still be
+    binary-exact (0.5, 0.25, 0.75…) so ⌈t·n⌉ is the same integer
+    everywhere, DuckDB included.
+
+    Verification is ROW-LOCAL: each surviving candidate joins the two
+    per-doc sorted shingle arrays (already built for the prefixes) and
+    computes ``size(array_intersect(A, B))`` inside whole-stage codegen —
+    2 rows per candidate through the join instead of the
+    |A∩B|-rows-per-pair shuffle a shingle-table verification join moves.
+    The distinction carries the worst data regime: a vocabulary-saturated
+    corpus (the synthetic stress replica: 10× the rows, ~same distinct
+    shingles) makes every prefix list grow linearly with the corpus, so
+    EXACT candidate generation degrades toward length-banded all-pairs no
+    matter the filter stack — candidate precision there was measured at
+    literally zero. Cheap per-candidate verification keeps even that
+    regime walkable (145 s → seconds at 10×); corpora whose shingle
+    vocabulary GROWS with size (real text) keep rare-first prefix lists
+    short and never enter it. When false negatives are tolerable at
+    warehouse scale, :func:`minhash_near_duplicates` is the sub-quadratic
+    path.
 
     Scale shape: shingle table + frequency join shuffle on ``sh_h``
     (uniform 60-bit keys), one per-doc sort of its own shingle list
-    (row-local), prefix self-join on rare keys, then the shared
-    O(|A∩B|)-per-pair verification join. No sketches, no probability
-    knobs; ``threshold`` should be exactly representable in binary (0.5,
-    0.25, 0.75…) so ⌈t·n⌉ is the same integer everywhere."""
+    (row-local), index-to-probe prefix join on rare keys with all
+    pair-level filters applied pre-shuffle, then two id-equi-joins
+    against the per-doc array table and a codegen intersection."""
     if shingles is None:
         # materialize only a table we built ourselves: a caller-supplied
         # shingle table is typically already persisted for sharing across
@@ -954,21 +992,84 @@ def prefix_jaccard_join(
             ).alias("_sorted")
         )
     )
+    eps = 1e-9
+    t = float(threshold)
     n = F.size("_sorted")
-    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
-    prefix = per_doc.select(
-        F.col(id_col), F.explode(F.slice("_sorted", 1, plen)).alias("_p")
-    ).select(F.col(id_col), F.col("_p.sh_h").alias("sh_h"))
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh_h")
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh_h")
+    probe_len = (n - F.ceil(F.lit(t) * n - F.lit(eps)) + 1).cast("int")
+    # one explode of the LONGER (probe) prefix, positions carried; the
+    # index side is a position filter over the same subtree, so Catalyst
+    # reuses the groupBy exchange instead of building two prefix tables
+    entries = per_doc.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(F.slice("_sorted", 1, probe_len)).alias("_pos", "_p"),
+    ).select(F.col(id_col), "_n", "_pos", F.col("_p.sh_h").alias("sh_h"))
+    idx_c = 2.0 * t / (1.0 + t)
+    index_len = (
+        F.col("_n") - F.ceil(F.lit(idx_c) * F.col("_n") - F.lit(eps)) + 1
+    )
+    a = entries.filter(F.col("_pos") < index_len).select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_pos").alias("pos_a"),
+        "sh_h",
+    )
+    b = entries.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_pos").alias("pos_b"),
+        "sh_h",
+    )
+    canonical = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    length_ok = F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b") - F.lit(eps))
+    required_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")) - F.lit(eps)
+    )
+    overlap_ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("pos_a") - 1, F.col("n_b") - F.col("pos_b") - 1
+    )
     cands = (
         a.join(b, on="sh_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(canonical & length_ok & (overlap_ubound >= required_overlap))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
-    return jaccard_for_pairs(
-        cands, df, text_col, id_col, shingle_n, shingles=shingles
+    doc_sets = per_doc.select(
+        F.col(id_col),
+        F.transform("_sorted", lambda s: s["sh_h"]).alias("_set"),
+        n.alias("_n"),
+    )
+    verified = (
+        cands.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_set").alias("_set_a"),
+                F.col("_n").alias("_size_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_set").alias("_set_b"),
+                F.col("_n").alias("_size_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn("_common", F.size(F.array_intersect("_set_a", "_set_b")))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("_common")
+            / (F.col("_size_a") + F.col("_size_b") - F.col("_common"))
+        ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 

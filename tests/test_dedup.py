@@ -224,6 +224,35 @@ class TestPrefixJaccardJoin:
         )
         assert cand < full
 
+    def test_ppjoin_filters_lossless_on_random_corpus(self, spark):
+        """Randomized losslessness gate for the full AllPairs/PPJoin filter
+        stack (index prefix, canonical order, length filter, positional
+        filter): a seeded corpus drawn from a tiny vocabulary maximizes
+        moderate-overlap pairs — the regime where an over-tight filter
+        would drop a qualifying pair — and the result must still equal
+        brute force at every threshold."""
+        import random
+
+        rng = random.Random(2026)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for i in range(48):
+            length = rng.randint(4, 24)  # wide size spread → length filter active
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+        # planted families: exact dup, suffix extension, single-word edit
+        base = " ".join(rng.choice(vocab) for _ in range(15))
+        rows += [(100, base), (101, base), (102, base + " w0 w1"),
+                 (103, base.replace("w0", "w9", 1))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from scala_etl_test_spark.operators.dedup import prefix_jaccard_join
+
+        for t in (0.25, 0.5, 0.75):
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in prefix_jaccard_join(df, "text", "doc_id", t).collect()
+            }
+            assert got == self._brute(spark, df, t), t
+
 
 def test_zero_overlap_pairs_kept_on_request(spark):
     from scala_etl_test_spark.operators.dedup import jaccard_for_pairs

@@ -74,6 +74,14 @@ FAMILIES = {
         "events_funnel",
         "events_ks_drift",
         "training_set_pit",
+        # graph/recsys tier over the same replica: baskets keep their 1×
+        # size (keys shift per replica), so co-occurrence pair counts and
+        # wedge counts must grow linearly — a super-linear ratio here means
+        # the degree orientation / basket bound broke
+        "copurchase_pairs",
+        "item_cf_neighbors",
+        "graph_triangles",
+        "graph_pagerank",
         # NOT entity_resolution: replicated customers keep identical names,
         # so name-blocking would see 10-way exact twins — the same verbatim
         # trap the docs replica's word shuffle exists to avoid
