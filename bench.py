@@ -85,6 +85,11 @@ HEADLINE = [
     "corpus_release_report",
     "source_overlap_matrix",
     "quality_filter_sweep",
+    # round-6: the exact set-similarity join (rebuilt with the PPJoin filter
+    # stack + row-local verification after the 10× stress replica caught the
+    # unfiltered version at a 63× wall ratio) — benched so the exact-dedup
+    # path's cost stays visible next to the minhash approximation it backs up
+    "dedup_prefix_jaccard",
 ]
 
 
