@@ -4309,6 +4309,9 @@ _GATE_PRIORITY: list[str] = [
     "semantic_dedup_greedy",
     "contrastive_negatives",
     "label_spread",
+    # corpus-scaled (nation, name-digit-suffix) blocking replaced the fixed
+    # 25-value nation-only key (pairs grew n²/25); re-gate
+    "entity_resolution",
     # stalest: last (and only) gated in round 1, registry order
     "segmentation_rules",
     "validate_normalize",

@@ -3185,17 +3185,45 @@ _FS_W = {"name": (10.0, -1.0), "segment": (2.0, -4.0), "bal": (3.0, -3.0)}
 _FS_UPPER, _FS_LOWER = 8.0, 3.5
 
 
+def _name_block_digits(n_customers: int) -> int:
+    """Decade-stepped width of the name-suffix blocking key for
+    entity_resolution: nation alone is a FIXED 25-value key, so blocked
+    pairs grow n²/25 — a quadratic the r6 stress sweep flagged. Adding the
+    last ``d`` digits of the name (stable under the twin's corruption
+    model: the typo edits the 'Customer' word, never the digit tail)
+    multiplies the key space by 10^d; stepping d per corpus decade keeps
+    the average block near a constant ~12 rows, so candidate pairs grow
+    LINEARLY with the corpus. At warehouse scale d comes from catalog row
+    counts; the thresholds are integer compares so DuckDB lands on the
+    identical d (no float log at a decade boundary)."""
+    if n_customers <= 3_000:
+        return 1
+    if n_customers <= 30_000:
+        return 2
+    if n_customers <= 300_000:
+        return 3
+    if n_customers <= 3_000_000:
+        return 4
+    return 5
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter record linkage (operators/linkage.py) evaluated as an
     artifact: link the customer table against a deterministically-degraded
     twin of itself (keyless: every third name typo'd, every fifth segment
-    wiped, balances rounded), blocking on nation, and report per decision
-    bucket how many pairs landed there and how many are TRUE links (the
-    twin secretly remembers its source key). The evaluation-as-gated-query
-    pattern of ann_recall_report applied to entity resolution."""
+    wiped, balances rounded), blocking on (nation, corpus-scaled name
+    digit suffix — see :func:`_name_block_digits`), and report per
+    decision bucket how many pairs landed there and how many are TRUE
+    links (the twin secretly remembers its source key). The
+    evaluation-as-gated-query pattern of ann_recall_report applied to
+    entity resolution. The blocking key is computed from each side's OWN
+    name (keyless linkage: the suffix survives the corruption model, so
+    every true pair stays co-blocked — recall is pinned by the
+    n_true_links totals the gate hashes)."""
     from scala_etl_test_spark.operators.linkage import blocked_pairs, fellegi_sunter_score
 
     cust = _t(spark, sf_dir, "customer")
+    d_blk = _name_block_digits(cust.count())
     dirty = cust.select(
         F.col("c_custkey").alias("true_id"),
         F.when(
@@ -3210,7 +3238,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment"),
         F.floor("c_acctbal").cast("double").alias("bal"),
     )
-    pairs = blocked_pairs(cust, dirty, ["c_nationkey"])
+    cust_b = cust.withColumn("blk", F.substring("c_name", -d_blk, d_blk))
+    dirty = dirty.withColumn("blk", F.substring("name", -d_blk, d_blk))
+    pairs = blocked_pairs(cust_b, dirty, ["c_nationkey", "blk"])
     scored = fellegi_sunter_score(
         pairs,
         [
@@ -3238,7 +3268,15 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ENTITY_RESOLUTION = f"""
-WITH dirty AS (
+WITH blkd AS (
+  SELECT CASE WHEN COUNT(*) <= 3000 THEN 1
+              WHEN COUNT(*) <= 30000 THEN 2
+              WHEN COUNT(*) <= 300000 THEN 3
+              WHEN COUNT(*) <= 3000000 THEN 4
+              ELSE 5 END AS d
+  FROM customer
+),
+dirty AS (
   SELECT c_custkey AS true_id,
          CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, 'Customer', 'Custmer')
               ELSE c_name END AS name,
@@ -3253,7 +3291,10 @@ scored AS (
           + CASE WHEN c.c_mktsegment = d.segment THEN {_FS_W["segment"][0]} ELSE {_FS_W["segment"][1]} END
           + CASE WHEN abs(c.c_acctbal - d.bal) < 1.0 THEN {_FS_W["bal"][0]} ELSE {_FS_W["bal"][1]} END
          ) AS score
-  FROM customer c JOIN dirty d ON c.c_nationkey = d.c_nationkey
+  FROM customer c
+  CROSS JOIN blkd b
+  JOIN dirty d ON c.c_nationkey = d.c_nationkey
+             AND substr(c.c_name, -b.d, b.d) = substr(d.name, -b.d, b.d)
 )
 SELECT CASE WHEN score >= {_FS_UPPER} THEN 'match'
             WHEN score >= {_FS_LOWER} THEN 'possible'

@@ -82,9 +82,11 @@ FAMILIES = {
         "item_cf_neighbors",
         "graph_triangles",
         "graph_pagerank",
-        # NOT entity_resolution: replicated customers keep identical names,
-        # so name-blocking would see 10-way exact twins — the same verbatim
-        # trap the docs replica's word shuffle exists to avoid
+        # measurable since the corpus-scaled (nation, name-digit-suffix)
+        # blocking key replaced nation-only blocking AND the replica
+        # builder prepends a per-replica name tag (verbatim names would be
+        # 10-way exact twins for the name comparator)
+        "entity_resolution",
     ],
     # retrieval / clustering tier over the same documents replica
     "docs2": [
@@ -214,6 +216,14 @@ def _build_rel_replica(spark, sf_dir: str, out_dir: str) -> int:
         for col, off in offs.items():
             out = out.withColumn(
                 col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
+            )
+        if table == "customer":
+            # verbatim name copies would make every customer a 10-way exact
+            # name twin for entity_resolution's name comparator; PREPEND a
+            # replica tag (the digit TAIL is the blocking suffix and must
+            # survive, same reason the dirty twin's typo edits the word)
+            out = out.withColumn(
+                "c_name", F.concat(F.lit("r"), F.col("_rep"), F.lit("-"), F.col("c_name"))
             )
         dest = os.path.join(out_dir, f"{table}.parquet")
         out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
