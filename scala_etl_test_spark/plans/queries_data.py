@@ -491,6 +491,11 @@ _CENT_SCALED_SQL = """
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT within-label cosine near-dup pairs — the per-label brute
+    verification baseline of the embedding-dedup family (blocks grow with
+    the corpus under a fixed label set, so cost is Σ n_label²/2; the scale
+    paths are embedding_near_dup_lsh and the cell-blocked semantic_dedup,
+    the same baseline-vs-scale split as ann_cosine_topk vs ann_ivf_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(
         emb, vec_col="embedding", id_col="vec_id", block_col="label", threshold=_COS_DEDUP_T

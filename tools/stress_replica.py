@@ -96,6 +96,41 @@ FAMILIES = {
         "dedup_clusters",
         "corpus_clean",
     ],
+    # blocked-jaccard / governance tier over the same documents replica;
+    # NOT hybrid_retrieval — it fuses ann_cosine_topk, the brute-force
+    # verification baseline excluded by the ann-family rule
+    "docs3": [
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "duplicate_span_stats",
+        "dedup_method_report",
+        "doc_fingerprint",
+        "decontaminate_bloom_audit",
+        "source_overlap_matrix",
+        "quality_filter_sweep",
+        "corpus_release_report",
+    ],
+    # range/as-of/skew/interval join shapes — the rel queries whose cost
+    # is NOT a plain equi-join and could hide super-linear growth; plus
+    # the four TPC-H members exercising part/supplier joins absent from
+    # the main rel list (the other TPC-H remainders reuse join shapes the
+    # measured members already cover — deliberate cap, not an oversight)
+    "rel2": [
+        "skew_salted_join",
+        "asof_last_purchase",
+        "range_join_session_errors",
+        "sessions_max_concurrency",
+        "event_path_trigrams",
+        "scd2_asof_enrich",
+        "full_outer_reconcile",
+        "merge_upsert",
+        "funnel_latency",
+        "events_retention",
+        "tpch_q2",
+        "tpch_q9",
+        "tpch_q11",
+        "tpch_q20",
+    ],
     # embedding tier: ann_cosine_topk (brute force) is EXCLUDED by design —
     # it is the O(n²) verification baseline, not a scale path; these are
     # the bucketed/coded paths that must stay sub-quadratic
@@ -265,7 +300,9 @@ def main() -> None:
     builders = {
         "docs": _build_docs_replica,
         "docs2": _build_docs_replica,
+        "docs3": _build_docs_replica,
         "rel": _build_rel_replica,
+        "rel2": _build_rel_replica,
         "ann": _build_ann_replica,
     }
     t0 = time.perf_counter()
