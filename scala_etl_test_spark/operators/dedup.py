@@ -472,6 +472,50 @@ def _pair_overlap(
     )
 
 
+def _pair_overlap_rowlocal(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    keep_zero_overlap: bool = False,
+) -> DataFrame:
+    """Row-local twin of :func:`_pair_overlap` (same output columns): each
+    candidate joins the two per-doc shingle-hash ARRAYS and the overlap is
+    ``size(array_intersect(A, B))`` inside whole-stage codegen — 2 rows
+    per pair through the joins instead of |A∩B| shuffled rows. This is
+    the right verification shape when candidates are plentiful but mostly
+    non-qualifying (blocked/banded generation on a dense corpus — the r6
+    stress sweep measured the shuffle-join verification as the dominant
+    cost of two ~60× wall ratios); :func:`_pair_overlap` stays preferable
+    when candidates are few and doc shingle sets are huge, since it never
+    materializes a whole set on one row."""
+    sets = shingles.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list("sh_h").alias("_set"), F.count(F.lit(1)).alias("_n")
+    )
+    out = (
+        pairs.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_set").alias("_set_a"),
+                F.col("_n").alias("size_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_set").alias("_set_b"),
+                F.col("_n").alias("size_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_set_a", "_set_b")).cast("long")
+        )
+        .select("id_a", "id_b", "n_common", "size_a", "size_b")
+    )
+    return out if keep_zero_overlap else out.filter(F.col("n_common") > 0)
+
+
 def jaccard_for_pairs(
     pairs: DataFrame,
     df: DataFrame,
@@ -480,15 +524,18 @@ def jaccard_for_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     keep_zero_overlap: bool = False,
+    row_local: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (see
     :func:`_pair_overlap` for the join shape and the zero-overlap
-    contract). Pass ``shingles`` (from :func:`shingle_table`) to share the
-    exploded table with signature computation instead of rescanning raw
-    text."""
+    contract, :func:`_pair_overlap_rowlocal` for when to pass
+    ``row_local=True``). Pass ``shingles`` (from :func:`shingle_table`) to
+    share the exploded table with signature computation instead of
+    rescanning raw text."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    return _pair_overlap(pairs, shingles, id_col, keep_zero_overlap).select(
+    overlap = _pair_overlap_rowlocal if row_local else _pair_overlap
+    return overlap(pairs, shingles, id_col, keep_zero_overlap).select(
         "id_a",
         "id_b",
         (
@@ -505,17 +552,20 @@ def containment_for_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     keep_zero_overlap: bool = False,
+    row_local: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle containment per candidate pair:
     ``containment_a = |A∩B| / |A|`` (how much of A is inside B) and the
     symmetric twin for B. Catches subsumption that Jaccard misses — a doc
     quoted whole inside a much larger doc has low Jaccard but containment
     ≈ 1, the criterion corpus-curation pipelines (e.g. quote/boilerplate
-    stripping) act on. Shares :func:`_pair_overlap` with Jaccard (and its
-    zero-overlap contract)."""
+    stripping) act on. Shares :func:`_pair_overlap` /
+    :func:`_pair_overlap_rowlocal` with Jaccard (and the zero-overlap
+    contract)."""
     if shingles is None:
         shingles = shingle_table(df, text_col, id_col, shingle_n)
-    return _pair_overlap(pairs, shingles, id_col, keep_zero_overlap).select(
+    overlap = _pair_overlap_rowlocal if row_local else _pair_overlap
+    return overlap(pairs, shingles, id_col, keep_zero_overlap).select(
         "id_a",
         "id_b",
         (F.col("n_common") / F.col("size_a")).alias("containment_a"),
@@ -873,6 +923,48 @@ def simhash_pairs_banded(
 # ---------------------------------------------------------------------------
 
 
+def length_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    length_col: str,
+    band: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with equal ``block_cols`` and
+    ``|len_a − len_b| ≤ band``, generated by an EQUI-join on
+    (blocks, length bucket): bucket width is band+1, the left side
+    explodes to its 3 adjacent buckets, so any in-band pair differs by at
+    most one bucket and the planner never GENERATES out-of-band pairs.
+    Expressing the band as a join-condition inequality instead leaves the
+    equi-keys at the blocks alone — with a fixed-cardinality block column
+    (lang, source) that generates Σ c² rows per block before the band
+    filter runs, the quadratic the r6 stress sweep measured at ~60× wall
+    on the blocked-jaccard tier. Each qualifying pair emits exactly once
+    (the right side keeps its single bucket), so no distinct is needed."""
+    w = int(band) + 1
+    bucket = F.floor(F.col(length_col) / w).cast("long")
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(length_col).alias("_len_a"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("_bkt"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(length_col).alias("_len_b"),
+        *[F.col(c) for c in block_cols],
+        bucket.alias("_bkt"),
+    )
+    return (
+        left.join(right, on=[*block_cols, "_bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_len_a") - F.col("_len_b")) <= band)
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -885,27 +977,30 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs blocked by equality on ``block_cols``
     (+ optional length banding). Blocking bounds the pair count the way a
-    sort-neighborhood would; the Jaccard itself reuses jaccard_for_pairs."""
-    keys = [F.col(c) for c in block_cols]
-    sel = df.select(F.col(id_col), *keys, *( [F.col(length_col)] if length_col else [] ))
-    a = sel.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in block_cols],
-                   *( [F.col(length_col).alias("len_a")] if length_col else [] ))
-    b = sel.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols],
-                   *( [F.col(length_col).alias("len_b")] if length_col else [] ))
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    sort-neighborhood would; with a length band the candidates come from
+    the bucket equi-join of :func:`length_banded_pairs`, and verification
+    is the row-local array intersection (blocked generation on a dense
+    corpus yields many non-qualifying candidates — moving |A∩B| rows per
+    pair through a shuffle for those was the r6 56× stress ratio)."""
     if length_col:
-        cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_band)
-    pairs = a.join(b, cond).select("id_a", "id_b")
-    # persist the shingle table: the verification consumes it three times
-    # (both pair sides + set sizes) — without this the scan→normalize→
-    # explode→distinct subtree executes per consumer (same policy and
-    # ownership note as minhash_near_duplicates)
+        pairs = length_banded_pairs(df, id_col, block_cols, length_col, length_band)
+    else:
+        keys = [F.col(c) for c in block_cols]
+        sel = df.select(F.col(id_col), *keys)
+        a = sel.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in block_cols])
+        b = sel.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols])
+        cond = F.col("id_a") < F.col("id_b")
+        for c in block_cols:
+            cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+        pairs = a.join(b, cond).select("id_a", "id_b")
+    # persist the shingle table: the verification consumes it on both pair
+    # sides — without this the scan→normalize→explode→distinct subtree
+    # executes per consumer (same policy and ownership note as
+    # minhash_near_duplicates)
     shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
-    return jaccard_for_pairs(pairs, df, text_col, id_col, shingle_n, shingles=shingles).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_for_pairs(
+        pairs, df, text_col, id_col, shingle_n, shingles=shingles, row_local=True
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def prefix_jaccard_join(

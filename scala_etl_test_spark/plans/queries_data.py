@@ -859,23 +859,18 @@ FROM (
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsumption detection: lang+length-blocked pairs where ≥60% of one
     side's 2-shingles appear in the other (asymmetric containment — catches
-    quoted/embedded documents that Jaccard under-scores)."""
+    quoted/embedded documents that Jaccard under-scores). Candidates come
+    from the length-bucket EQUI-join (an inequality band over a fixed-
+    cardinality lang key generates Σ c² rows per lang before filtering —
+    the r6 stress sweep's 71× wall ratio) and verification is the
+    row-local array intersection."""
     docs = _t(spark, sf_dir, "documents")
-    blocked = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("n_chars").alias("len_a")
-    ).join(
-        docs.select(
-            F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("n_chars").alias("len_b")
-        ),
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("lang_a") == F.col("lang_b"))
-        & (F.abs(F.col("len_a") - F.col("len_b")) <= 60),
-    ).select("id_a", "id_b")
-    # persisted shingle table — consumed three times by the containment
+    blocked = D.length_banded_pairs(docs, "doc_id", ["lang"], "n_chars", 60)
+    # persisted shingle table — consumed by both pair sides of the
     # verification (same policy as minhash_near_duplicates)
     shingles = D.shingle_table(docs, "text", "doc_id", shingle_n=2).transform(tracked_persist)
     pairs = D.containment_for_pairs(
-        blocked, docs, "text", "doc_id", shingle_n=2, shingles=shingles
+        blocked, docs, "text", "doc_id", shingle_n=2, shingles=shingles, row_local=True
     )
     return pairs.filter(
         (F.col("containment_a") >= 0.6) | (F.col("containment_b") >= 0.6)

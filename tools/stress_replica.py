@@ -190,6 +190,27 @@ def _build_docs_replica(spark, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
 
 
+def _build_docs3_replica(spark, sf_dir: str, out_dir: str) -> int:
+    """Documents replica plus a key-shifted events replica:
+    corpus_release_report composes the events KS-drift gate, so the
+    governance family needs both tables to scale together."""
+    from pyspark.sql import functions as F
+
+    n = _build_docs_replica(spark, sf_dir, out_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dtypes = dict(ev.dtypes)
+    rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    out = ev.crossJoin(rep)
+    for col in ("event_id", "user_id"):
+        off = ev.agg(F.max(col)).first()[0] + 1
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
+        )
+    dest = os.path.join(out_dir, "events.parquet")
+    out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
+    return n + spark.read.parquet(dest).count()
+
+
 def _build_ann_replica(spark, sf_dir: str, out_dir: str) -> int:
     from pyspark.sql import functions as F
 
@@ -300,7 +321,7 @@ def main() -> None:
     builders = {
         "docs": _build_docs_replica,
         "docs2": _build_docs_replica,
-        "docs3": _build_docs_replica,
+        "docs3": _build_docs3_replica,
         "rel": _build_rel_replica,
         "rel2": _build_rel_replica,
         "ann": _build_ann_replica,
