@@ -1,6 +1,6 @@
 """10×-scale-UP stress run per operator family.
 
-    python tools/stress_replica.py [--family docs|rel] [sf_dir] [out_dir]
+    python tools/stress_replica.py [--family docs|docs2|docs3|rel|rel2|ann] [sf_dir] [out_dir]
 
 Builds a 10× replica of the family's tables (default base:
 /root/testdata/sf0.1) and times the family's queries at 1× vs 10×,
@@ -190,6 +190,29 @@ def _build_docs_replica(spark, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
 
 
+def _replicate_shifted(spark, sf_dir, out_dir, table, offsets, transform=None) -> int:
+    """Key-shifted 10× replica of ONE table — the shared replication
+    discipline for every relational builder: each key column is offset by
+    replica × (its per-domain offset), dtypes preserved, written as a
+    FILES_PER_TABLE-file directory (the single-file layout trap). The
+    optional ``transform(df)`` runs with ``_rep`` still in scope for
+    per-replica value perturbations (e.g. the customer name tag)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    dtypes = dict(df.dtypes)
+    out = df.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "_rep"))
+    for col, off in offsets.items():
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
+        )
+    if transform is not None:
+        out = transform(out)
+    dest = os.path.join(out_dir, f"{table}.parquet")
+    out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest).count()
+
+
 def _build_docs3_replica(spark, sf_dir: str, out_dir: str) -> int:
     """Documents replica plus a key-shifted events replica:
     corpus_release_report composes the events KS-drift gate, so the
@@ -198,17 +221,8 @@ def _build_docs3_replica(spark, sf_dir: str, out_dir: str) -> int:
 
     n = _build_docs_replica(spark, sf_dir, out_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dtypes = dict(ev.dtypes)
-    rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
-    out = ev.crossJoin(rep)
-    for col in ("event_id", "user_id"):
-        off = ev.agg(F.max(col)).first()[0] + 1
-        out = out.withColumn(
-            col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
-        )
-    dest = os.path.join(out_dir, "events.parquet")
-    out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
-    return n + spark.read.parquet(dest).count()
+    offs = {c: ev.agg(F.max(c)).first()[0] + 1 for c in ("event_id", "user_id")}
+    return n + _replicate_shifted(spark, sf_dir, out_dir, "events", offs)
 
 
 def _build_ann_replica(spark, sf_dir: str, out_dir: str) -> int:
@@ -263,27 +277,21 @@ def _build_rel_replica(spark, sf_dir: str, out_dir: str) -> int:
         "part": {"p_partkey": part_off},
         "events": {"event_id": event_off, "user_id": cust_off},
     }
-    rep = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+    # verbatim name copies would make every customer a 10-way exact name
+    # twin for entity_resolution's name comparator; PREPEND a replica tag
+    # (the digit TAIL is the blocking suffix and must survive, same reason
+    # the dirty twin's typo edits the word)
+    def tag_customer_names(out):
+        return out.withColumn(
+            "c_name", F.concat(F.lit("r"), F.col("_rep"), F.lit("-"), F.col("c_name"))
+        )
+
     total = 0
     for table, offs in shifts.items():
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        dtypes = dict(df.dtypes)
-        out = df.crossJoin(rep)
-        for col, off in offs.items():
-            out = out.withColumn(
-                col, (F.col(col) + F.col("_rep") * F.lit(off)).cast(dtypes[col])
-            )
-        if table == "customer":
-            # verbatim name copies would make every customer a 10-way exact
-            # name twin for entity_resolution's name comparator; PREPEND a
-            # replica tag (the digit TAIL is the blocking suffix and must
-            # survive, same reason the dirty twin's typo edits the word)
-            out = out.withColumn(
-                "c_name", F.concat(F.lit("r"), F.col("_rep"), F.lit("-"), F.col("c_name"))
-            )
-        dest = os.path.join(out_dir, f"{table}.parquet")
-        out.drop("_rep").repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
-        total += spark.read.parquet(dest).count()
+        total += _replicate_shifted(
+            spark, sf_dir, out_dir, table, offs,
+            transform=tag_customer_names if table == "customer" else None,
+        )
     for dim in ("nation", "region"):  # fixed-cardinality dims: copy as-is
         spark.read.parquet(f"{sf_dir}/{dim}.parquet").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{dim}.parquet")
