@@ -254,6 +254,72 @@ class TestPrefixJaccardJoin:
             assert got == self._brute(spark, df, t), t
 
 
+def test_length_banded_pairs_equals_bruteforce(spark):
+    """The bucket equi-join must yield EXACTLY the brute-force band pairs
+    (each exactly once), across bucket boundaries and block keys."""
+    import random
+
+    from scala_etl_test_spark.operators.dedup import length_banded_pairs
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice(["en", "de"]), rng.randint(0, 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    for band in (0, 1, 30, 61):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in length_banded_pairs(df, "doc_id", ["lang"], "n_chars", band).collect()
+        }
+        want = {
+            (a_id, b_id)
+            for a_id, a_lang, a_len in rows
+            for b_id, b_lang, b_len in rows
+            if a_id < b_id and a_lang == b_lang and abs(a_len - b_len) <= band
+        }
+        assert got == want, band
+        # exactly-once: collect WITHOUT the set to catch double emission
+        n_rows = length_banded_pairs(df, "doc_id", ["lang"], "n_chars", band).count()
+        assert n_rows == len(want), band
+
+
+def test_pair_overlap_rowlocal_matches_shuffle_twin(spark):
+    """_pair_overlap_rowlocal must agree with _pair_overlap row for row,
+    for both keep_zero_overlap settings (same columns, same values)."""
+    from scala_etl_test_spark.operators.dedup import (
+        _pair_overlap,
+        _pair_overlap_rowlocal,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g"),
+            (1, "a b c d e f g h"),
+            (2, "x y z w v u t"),
+            (3, "completely different text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    for kz in (False, True):
+        a = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+            for r in _pair_overlap(pairs, sh, "doc_id", kz).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["size_a"], r["size_b"])
+            for r in _pair_overlap_rowlocal(pairs, sh, "doc_id", kz).collect()
+        }
+        assert a == b, kz
+    # the zero-overlap pair is present only on request
+    assert (0, 2) not in {
+        (r["id_a"], r["id_b"])
+        for r in _pair_overlap_rowlocal(pairs, sh, "doc_id", False).collect()
+    }
+
+
 def test_zero_overlap_pairs_kept_on_request(spark):
     from scala_etl_test_spark.operators.dedup import jaccard_for_pairs
 
