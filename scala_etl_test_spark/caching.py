@@ -34,11 +34,38 @@ the corpus CLI, and the gate replica all follow.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 _LOCK = threading.Lock()
+
+
+@contextmanager
+def tracked_scope():
+    """Release on exit ONLY the intermediates persisted INSIDE the scope —
+    for composite operators that consume sub-operators eagerly (the dedup
+    method report counts six members one at a time) and must not touch
+    caches the caller registered before the scope (the session-wide
+    ``release_persisted()`` would — the r5 ADVICE hazard). Identity-based:
+    frames registered before entry survive; frames appended during the
+    scope are unpersisted and dropped from the registry. Nests safely."""
+    with _LOCK:
+        before = list(_TRACKED)
+    try:
+        yield
+    finally:
+        before_ids = {id(df) for df in before}
+        with _LOCK:
+            mine = [df for df in _TRACKED if id(df) not in before_ids]
+            _TRACKED[:] = [df for df in _TRACKED if id(df) in before_ids]
+        for df in mine:
+            try:
+                if df.is_cached:
+                    df.unpersist()
+            except Exception:
+                pass
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:

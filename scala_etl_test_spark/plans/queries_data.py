@@ -3635,7 +3635,19 @@ def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — every method is deterministic, so the comparison is an
     oracle-checkable fact. (Counts are NOT comparable as recall — methods
     use different thresholds/shingle sizes by design; the report is the
-    corpus-health dashboard a curation run logs per snapshot.)"""
+    corpus-health dashboard a curation run logs per snapshot.)
+
+    Members are consumed EAGERLY, one at a time, each inside a
+    ``tracked_scope`` that releases its operator-internal caches before
+    the next starts: the previous single-union lazy plan held every
+    member's persisted intermediates simultaneously and measured 1.75×
+    the sequential sum at 10× corpus (215 s vs 122 s). The six collected
+    scalars ARE the result — the k-row-collect precedent of the PQ
+    codebook and BPE merge table (a real curation dashboard logs one
+    count per method the same way). Note the builder is therefore eager:
+    calling this function runs the whole dedup family."""
+    from scala_etl_test_spark.caching import tracked_scope
+
     methods = [
         ("exact", lambda: q_dedup_exact(spark, sf_dir).filter(F.col("is_duplicate"))),
         ("minhash_lsh", lambda: q_dedup_minhash_pairs(spark, sf_dir)),
@@ -3644,14 +3656,11 @@ def q_dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("simhash_banded", lambda: q_dedup_simhash_pairs(spark, sf_dir)),
         ("snm", lambda: q_dedup_snm(spark, sf_dir)),
     ]
-    parts = [
-        fn().agg(F.lit(name).alias("method"), F.count(F.lit(1)).alias("n_pairs"))
-        for name, fn in methods
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("method")
+    rows = []
+    for name, fn in methods:
+        with tracked_scope():
+            rows.append((name, fn().count()))
+    return spark.createDataFrame(rows, "method string, n_pairs long").orderBy("method")
 
 
 SQL_ANN_RECALL_REPORT = (

@@ -78,3 +78,22 @@ def test_repeated_operator_calls_drain_per_iteration(spark):
         assert len(_TRACKED) > 0
         assert release_persisted() > 0
         assert not _TRACKED
+
+
+def test_tracked_scope_releases_only_scope_internal(spark):
+    """tracked_scope must unpersist exactly the frames registered inside
+    the scope — a cache the caller registered before entry stays cached
+    and stays in the registry (the composite-operator contract)."""
+    release_persisted()
+    from scala_etl_test_spark.caching import _TRACKED, tracked_persist, tracked_scope
+
+    outer = tracked_persist(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    outer.count()
+    with tracked_scope():
+        inner = tracked_persist(spark.range(5).selectExpr("id AS k"))
+        inner.count()
+        assert inner.is_cached
+    assert not inner.is_cached          # scope-internal: released on exit
+    assert outer.is_cached              # caller's cache: untouched
+    assert [id(df) for df in _TRACKED] == [id(outer)]
+    assert release_persisted() == 1
