@@ -114,10 +114,12 @@ def semantic_dedup(
 
     Returns (id, cluster_id, is_semantic_dup).
     """
-    # persisted: consumed by both sides of the intra-cluster self-join and
-    # by the final flag join — without the cache the broadcast-argmax
-    # assignment subtree would run three times.
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col).transform(tracked_persist)
+    # spread: the pairwise stage must not inherit the narrow assignment's
+    # scan partitioning (see spread_by_cell); persisted: consumed by both
+    # sides of the intra-cluster self-join and by the final flag join.
+    assigned = spread_by_cell(
+        ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    ).transform(tracked_persist)
     a = assigned.select(
         F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -176,7 +178,12 @@ def semantic_dedup_greedy(
     import numpy as np
     import pandas as pd
 
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    # spread: pins the sweep's partition count (the applyInPandas exchange
+    # is ENSURE_REQUIREMENTS, which AQE may coalesce to one task on
+    # tiny-bytes/huge-compute groups — see spread_by_cell)
+    assigned = spread_by_cell(
+        ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    )
 
     def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
@@ -223,24 +230,68 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (one broadcast join +
-    max_by — centroid count is small by construction). Output adds
-    ``cluster_id``; at scale this is the write-time partition key.
+    """Assign every vector to its nearest centroid — a NARROW row-local
+    argmax, no shuffle and no row blowup. Output adds ``cluster_id``; at
+    scale this is the write-time partition key.
 
-    The argmax aggregate carries every source column through ``any_value``
-    (constant within a group — all rows of a group come from the same
-    source row crossed with the centroid set), so the corpus is scanned
-    ONCE; the earlier formulation re-joined the corpus on ``id_col`` to
-    re-attach columns, a second full scan + shuffle at corpus scale."""
-    scored = (
-        df.join(F.broadcast(centroids))
-        .withColumn("_sim", cosine_similarity(vec_col, centroid_vec))
+    Shape: the centroid table (small by construction — k = O(√n) rows)
+    is folded into ONE row holding a sorted ``array<struct<id, vec>>``,
+    broadcast as a 1-row scalar, and each source row picks
+    ``array_max(transform(cents, c -> (cosine, -c.id)))`` — highest
+    similarity, smallest centroid id on exact ties, the same order the
+    previous ``max_by(id, struct(_sim, -id))`` formulation used. Earlier
+    versions materialized the n·k crossed rows and hash-aggregated them
+    back down to n (an n·k-row exchange per assignment); this computes the
+    identical k cosines per row inside one projection, so re-deriving the
+    assignment costs a map, not a shuffle."""
+    cents = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id).alias("cid"),
+                        F.col(centroid_vec).alias("cvec"),
+                    )
+                )
+            ).alias("_cents")
+        )
     )
-    carried = [F.any_value(F.col(c)).alias(c) for c in df.columns if c != id_col]
-    return scored.groupBy(id_col).agg(
-        *carried,
-        F.expr(f"max_by({centroid_id}, struct(_sim, -{centroid_id}))").alias("cluster_id"),
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine_similarity(F.col(vec_col), c["cvec"]).alias("sim"),
+                (-c["cid"]).alias("nid"),
+            ),
+        )
     )
+    return df.crossJoin(cents).select(
+        id_col,
+        *[c for c in df.columns if c != id_col],
+        (-best["nid"]).alias("cluster_id"),
+    )
+
+
+def spread_by_cell(df_assigned: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
+    """Pin the parallelism of an intra-cell fanout (self-join / kNN) fed by
+    :func:`ivf_assign`.
+
+    The narrow assignment preserves its scan's partitioning, and the 1-row
+    centroid broadcast is a Join node, so neither AQE nor the dedup-module
+    ``_spread`` guard will widen it — on a single-file corpus the whole
+    Σ c_i² pairwise stage would otherwise run in ONE task (measured: the
+    sf0.1 label_spread kNN took 5.3 s single-task vs ~1 s spread). One
+    compact shuffle of the assigned rows buys (a) full-cluster parallelism
+    for the expensive pairwise cosines and (b) co-location on the join key
+    the self-join needs anyway, so the join itself adds no exchange. The
+    explicit partition count (not bare ``repartition(col)``) keeps AQE from
+    coalescing the tiny-at-test-scale exchange back down to one partition —
+    the fanout work, not the input bytes, is what needs the width.
+
+    At 100 TB ``cluster_id`` is the write-time partition key and this
+    becomes storage-aligned partition pruning rather than a shuffle."""
+    sc = df_assigned.sparkSession.sparkContext
+    return df_assigned.repartition(sc.defaultParallelism, cluster_col)
 
 
 def stride_centroids(

@@ -2107,9 +2107,10 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell sizes (Σ c_i²), never corpus n²."""
     emb = _t(spark, sf_dir, "embeddings")
     centroids = _scaled_centroids(emb)
-    # persisted: the mining self-join consumes the assignment on both sides;
-    # without the cache the argmax-assign subtree (scan + groupBy) runs twice.
-    assigned = S.ivf_assign(emb, centroids).transform(tracked_persist)
+    # spread: the cross-label pairwise stage must not inherit the narrow
+    # assignment's scan partitioning (operators/similarity.py:spread_by_cell);
+    # persisted: the mining self-join consumes the assignment on both sides.
+    assigned = S.spread_by_cell(S.ivf_assign(emb, centroids)).transform(tracked_persist)
     return S.hard_negatives(assigned)
 
 
@@ -2705,9 +2706,10 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = _scaled_centroids(emb)
-    # cached: the kNN self-join consumes the broadcast-argmax assignment
-    # on BOTH sides (same reason semantic_dedup caches its assignment)
-    assigned = S.ivf_assign(emb, cent).cache()
+    # spread + cached: the kNN self-join consumes the assignment on BOTH
+    # sides and its pairwise fanout needs cluster-wide parallelism
+    # (operators/similarity.py:spread_by_cell)
+    assigned = S.spread_by_cell(S.ivf_assign(emb, cent)).cache()
     edges = knn_edges_in_cells(assigned, k=5)
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("node"), "label"

@@ -56,6 +56,69 @@ def test_kmeans_centroids_plug_into_ivf(emb, query_vec):
     assert len(S.ivf_topk(assigned, centroids, query_vec, k=10, nprobe=4).collect()) == 10
 
 
+def _ivf_assign_wide_reference(df, centroids, vec_col="embedding", id_col="vec_id"):
+    """The pre-round-7 n·k formulation (broadcast cross join + max_by
+    groupBy), kept here verbatim as the semantic pin for the narrow
+    row-local argmax that replaced it."""
+    from scala_etl_test_spark.functions.vectors import cosine_similarity
+
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "_sim", cosine_similarity(vec_col, "centroid_vec")
+    )
+    carried = [F.any_value(F.col(c)).alias(c) for c in df.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *carried,
+        F.expr("max_by(centroid_id, struct(_sim, -centroid_id))").alias("cluster_id"),
+    )
+
+
+def test_ivf_assign_narrow_matches_wide_reference(spark):
+    """Row-local argmax == the old n·k groupBy max_by on every edge:
+    exact-tie centroids (smaller id wins), a zero-norm vector (all cosines
+    NULL -> smallest centroid id), and a zero-norm centroid (NULL for that
+    centroid only)."""
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.0, 1.0], 7),
+        (2, [0.0, 0.0], 8),      # zero-norm vector: every cosine NULL
+        (3, [1.0, 1.0], 8),      # exactly between two unit centroids
+        (4, [-1.0, -1.0], 9),
+        (5, [2.0, 0.0], 9),      # scaled copy of centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],  # centroid 2 zero-norm
+        "centroid_id long, centroid_vec array<double>",
+    )
+    got = sorted(
+        S.ivf_assign(df, cents).collect(), key=lambda r: r["vec_id"]
+    )
+    want = sorted(
+        _ivf_assign_wide_reference(df, cents).collect(), key=lambda r: r["vec_id"]
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    by_id = {r["vec_id"]: r["cluster_id"] for r in got}
+    assert by_id[3] == 0  # exact tie between centroids 0 and 1 -> smaller id
+    assert by_id[2] == 0  # all-NULL cosines -> smallest centroid id
+    # output column order is part of the contract (oracle compare + callers)
+    assert S.ivf_assign(df, cents).columns == ["vec_id", "embedding", "label", "cluster_id"]
+
+
+def test_ivf_assign_plan_is_narrow(spark):
+    """The assignment must not shuffle the corpus: no Exchange over the
+    vector table (the only exchange allowed is the 1-row centroid-fold
+    broadcast side)."""
+    rows = [(i, [float(i), 1.0], 0) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, centroid_vec array<double>"
+    )
+    plan = S.ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    main_branch = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Exchange" not in main_branch, main_branch
+
+
 def test_lsh_bucket_contains_query_and_orders(emb, query_vec):
     rows = S.lsh_bucket_topk(emb, query_vec, k=10, nbits=4).collect()
     # vec 0 shares its own bucket -> always recalled
