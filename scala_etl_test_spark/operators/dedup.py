@@ -1071,11 +1071,13 @@ def prefix_jaccard_join(
     pair-level filters applied pre-shuffle, then two id-equi-joins
     against the per-doc array table and a codegen intersection."""
     if shingles is None:
-        # materialize only a table we built ourselves: a caller-supplied
+        # persist only a table we built ourselves: a caller-supplied
         # shingle table is typically already persisted for sharing across
-        # the dedup family, and re-checkpointing it would double both the
-        # job and the block-storage copy
-        shingles = shingle_table(df, text_col, id_col, shingle_n).localCheckpoint()
+        # the dedup family, and re-caching it would double the block-storage
+        # copy. tracked_persist (not localCheckpoint): the checkpoint ran
+        # the whole shingle job at PLAN-BUILD time, before the caller's
+        # action — the hidden-work class the no-planbuild-jobs gate forbids.
+        shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     sh = shingles.select(F.col(id_col), "sh_h")
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_freq"))
     per_doc = (

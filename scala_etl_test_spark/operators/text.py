@@ -183,11 +183,15 @@ def build_vocab(
         )
         .filter(F.col("n_occurrences") >= min_count)
         .withColumn("_band", F.substring("word", 1, 2))
-        # lazy lineage cut: the aggregated vocab feeds BOTH the band-count
-        # offsets and the final join, and Catalyst does not dedupe the
-        # self-referencing subplan — without this the full corpus explode +
-        # groupBy would execute twice
-        .localCheckpoint(eager=False)
+        # persisted subtree dedup: the aggregated vocab feeds BOTH the
+        # band-count offsets and the final join, and Catalyst does not
+        # dedupe the self-referencing subplan — without this the full
+        # corpus explode + groupBy would execute twice. tracked_persist,
+        # NOT localCheckpoint(eager=False): under AQE even a "lazy"
+        # checkpoint materializes the upstream query stages at plan-BUILD
+        # time (toRdd), running the whole explode+groupBy before the
+        # caller's action.
+        .transform(tracked_persist)
     )
     band_counts = vocab.groupBy("n_occurrences", "_band").agg(
         F.count(F.lit(1)).alias("_n")

@@ -26,6 +26,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _n_rows(sf_dir: str, name: str) -> int:
+    """Corpus row count for plan-time sizing (IVF k, simhash pieces,
+    blocking-key width) from parquet footer metadata — NO Spark job runs
+    (sources/parquet_source.py:footer_row_count). Exactly COUNT(*), so the
+    DuckDB oracles that size themselves with ``COUNT(*) OVER ()`` land on
+    the identical value."""
+    from scala_etl_test_spark.sources.parquet_source import footer_row_count
+
+    return footer_row_count(sf_dir, name)
+
+
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
 _PACK_BUDGET = 256  # tokens per packed sequence (pack_sequences / corpus_prepare)
@@ -181,7 +192,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows quadratically with the corpus (measured 9.6× wall at 10× data;
     ~linear with sized pieces)."""
     docs = _t(spark, sf_dir, "documents")
-    pieces = D.simhash_pieces_for(docs.count(), 4)
+    pieces = D.simhash_pieces_for(_n_rows(sf_dir, "documents"), 4)
     return D.simhash_pairs_banded(
         D.simhash(docs, "text", "doc_id"), "doc_id", max_hamming=4, pieces=pieces
     )
@@ -459,7 +470,7 @@ CAST(list_sum(list_transform(range(1, len({a}) + 1),
 """
 
 
-def _scaled_centroids(emb: DataFrame) -> DataFrame:
+def _scaled_centroids(emb: DataFrame, n_rows: int) -> DataFrame:
     """Corpus-scaled IVF seeding for the quadratic-per-cell wrappers
     (semantic dedup, greedy sweep, hard negatives, label spread):
     k = max(16, ⌊√n⌋), the textbook IVF cell count that balances the n·k
@@ -468,14 +479,15 @@ def _scaled_centroids(emb: DataFrame) -> DataFrame:
     self-joins grow n²/16 — the 10× stress replica measured exactly that
     (semantic_dedup wall ratio 10.75 at 10× rows) before this change.
 
-    The one-row count() here is a wrapper-level convenience; at warehouse
-    scale k comes from catalog row-count statistics, not a scan. ⌊√n⌋ is
-    computed as floor of the IEEE-double sqrt so the DuckDB oracle
-    (_CENT_SCALED_SQL) lands on the identical k for any realistic n.
+    ``n_rows`` comes from parquet footer metadata (``_n_rows`` — no Spark
+    job at plan-build time); at warehouse scale it is the catalog row-count
+    statistic. ⌊√n⌋ is computed as floor of the IEEE-double sqrt so the
+    DuckDB oracle (_CENT_SCALED_SQL) lands on the identical k for any
+    realistic n.
     """
     import math
 
-    k = max(16, int(math.floor(math.sqrt(emb.count()))))
+    k = max(16, int(math.floor(math.sqrt(n_rows))))
     return S.stride_centroids(emb, k)
 
 
@@ -2106,7 +2118,7 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     different-label vector within its cell. Pair generation is bounded by
     cell sizes (Σ c_i²), never corpus n²."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _scaled_centroids(emb)
+    centroids = _scaled_centroids(emb, _n_rows(sf_dir, "embeddings"))
     # spread: the cross-label pairwise stage must not inherit the narrow
     # assignment's scan partitioning (operators/similarity.py:spread_by_cell);
     # persisted: the mining self-join consumes the assignment on both sides.
@@ -2570,7 +2582,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:semantic_dedup): cluster-blocked smaller-id
     neighbor rule, pair generation bounded by cell sizes."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _scaled_centroids(emb)
+    centroids = _scaled_centroids(emb, _n_rows(sf_dir, "embeddings"))
     return S.semantic_dedup(emb, centroids, threshold=_SEMDEDUP_T)
 
 
@@ -2606,7 +2618,7 @@ def q_semantic_dedup_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas per cluster; oracle is a DuckDB recursive CTE that
     replays the sweep one id per step, carrying the kept set as a list."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _scaled_centroids(emb)
+    centroids = _scaled_centroids(emb, _n_rows(sf_dir, "embeddings"))
     return S.semantic_dedup_greedy(emb, centroids, threshold=_SEMDEDUP_T)
 
 
@@ -2705,7 +2717,7 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = _scaled_centroids(emb)
+    cent = _scaled_centroids(emb, _n_rows(sf_dir, "embeddings"))
     # spread + cached: the kNN self-join consumes the assignment on BOTH
     # sides and its pairwise fanout needs cluster-wide parallelism
     # (operators/similarity.py:spread_by_cell)
@@ -3225,7 +3237,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scala_etl_test_spark.operators.linkage import blocked_pairs, fellegi_sunter_score
 
     cust = _t(spark, sf_dir, "customer")
-    d_blk = _name_block_digits(cust.count())
+    d_blk = _name_block_digits(_n_rows(sf_dir, "customer"))
     dirty = cust.select(
         F.col("c_custkey").alias("true_id"),
         F.when(

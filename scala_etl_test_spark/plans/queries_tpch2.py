@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from scala_etl_test_spark.caching import tracked_persist
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from scala_etl_test_spark.sources.parquet_source import read_table
@@ -646,11 +648,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("_val"))
-        # lazy lineage cut: the per-part aggregate feeds BOTH the 1-row
-        # grand total and the HAVING filter, and Catalyst does not dedupe
-        # the self-referencing subtree — without this the lineitem scan +
-        # broadcast join + aggregate would execute twice
-        .localCheckpoint(eager=False)
+        # persisted subtree dedup: the per-part aggregate feeds BOTH the
+        # 1-row grand total and the HAVING filter, and Catalyst does not
+        # dedupe the self-referencing subtree — without this the lineitem
+        # scan + broadcast join + aggregate would execute twice.
+        # tracked_persist, NOT localCheckpoint(eager=False): under AQE even
+        # a "lazy" checkpoint materializes upstream stages at plan-BUILD
+        # time, before the query's own action.
+        .transform(tracked_persist)
     )
     total = val.agg(F.sum("_val").alias("_total"))
     return (

@@ -47,6 +47,37 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {name: read_table(spark, sf_dir, name) for name in (names or TPCH_TABLES)}
 
 
+def footer_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet FOOTER metadata — no Spark job,
+    no data pages read (a footer is a few KB per file).
+
+    This is the free-guard twin of ``operators/dedup._scan_size_bytes``:
+    operators that size a partitioning key to the corpus (IVF centroid
+    count, simhash piece count, blocking-key width) need n at plan-build
+    time, and an eager ``df.count()`` there runs a whole Spark job before
+    the query's own action — the exact class of hidden plan-time work the
+    poisoned-input guard tests forbid. Parquet stores ``num_rows`` in every
+    file footer, so the count is exact (it is what ``COUNT(*)`` returns,
+    so DuckDB oracles sized from ``COUNT(*) OVER ()`` agree), and at
+    warehouse scale the same number comes from catalog statistics instead.
+
+    Handles both layouts the testdata uses: a single ``<name>.parquet``
+    file and a Spark-written ``<name>.parquet/`` directory of part files.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def read_files(
     spark: SparkSession,
     path: str,
