@@ -12,7 +12,7 @@ import argparse
 
 from scala_etl_test_spark.config import load_properties
 from scala_etl_test_spark.plans.pipeline import EtlPipeline
-from scala_etl_test_spark.session import build_session
+from scala_etl_test_spark.session import apply_azure_sas, build_session
 from scala_etl_test_spark.sources.api_source import read_product_details_api
 from scala_etl_test_spark.sources.csv_source import read_orders_csv
 from scala_etl_test_spark.sources.jdbc_source import read_orders_jdbc
@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> None:
 
     props = load_properties(args.config)
     spark = build_session()
+    # reference parity (ApplaudoETL.scala:33): wasbs:// SAS credential from
+    # the properties file, applied before any source path is resolved
+    apply_azure_sas(spark, props)
 
     sources = []
     if "source.csv.path" in props:

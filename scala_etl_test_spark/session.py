@@ -60,3 +60,31 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def apply_azure_sas(spark: SparkSession, props: dict[str, str]) -> str | None:
+    """Apply the Azure blob SAS credential from the properties file to the
+    session conf — reference parity with ``ApplaudoETL.scala:33``::
+
+        spark.conf.set(
+          s"fs.azure.sas.$blobContainer.$blobStorageName.blob.core.windows.net",
+          blobSas)
+
+    Uses the reference's exact property keys (``azure.sas_key``,
+    ``azure.storage.container.name``, ``azure.storage.account.name`` —
+    ``application.properties:1-3``). Runtime ``spark.conf.set`` is the
+    documented way to hand wasbs:// credentials to the Hadoop connector
+    per-session (Spark copies ``fs.*`` session confs into the per-query
+    Hadoop configuration), so a ``source.csv.path`` pointing at the
+    reference's container authenticates exactly as the Scala job did.
+
+    No-op (returns None) when any of the three keys is absent — local runs
+    and tests use file:// paths. Returns the conf key that was set."""
+    sas = props.get("azure.sas_key")
+    container = props.get("azure.storage.container.name")
+    account = props.get("azure.storage.account.name")
+    if not (sas and container and account):
+        return None
+    key = f"fs.azure.sas.{container}.{account}.blob.core.windows.net"
+    spark.conf.set(key, sas)
+    return key

@@ -112,3 +112,26 @@ def test_format_matrix_round_trip(spark, tmp_path):
         .filter("id > 1")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan, plan
+
+
+def test_azure_sas_conf_applied(spark, tmp_path):
+    """M1 reference parity (ApplaudoETL.scala:33): the SAS key from the
+    properties file must land on the session conf under the exact
+    fs.azure.sas.<container>.<account>.blob.core.windows.net key the
+    Hadoop wasbs connector reads; absent keys must be a no-op."""
+    from scala_etl_test_spark.config import load_properties
+    from scala_etl_test_spark.session import apply_azure_sas
+
+    props_file = tmp_path / "app.properties"
+    props_file.write_text(
+        "azure.sas_key=?sv=2020-01-01&sig=abc123\n"
+        "azure.storage.container.name=sourcedata\n"
+        "azure.storage.account.name=applaudostudios\n"
+    )
+    key = apply_azure_sas(spark, load_properties(str(props_file)))
+    assert key == "fs.azure.sas.sourcedata.applaudostudios.blob.core.windows.net"
+    assert spark.conf.get(key) == "?sv=2020-01-01&sig=abc123"
+    spark.conf.unset(key)
+    # any missing key -> no-op (local file:// runs carry no azure.* keys)
+    assert apply_azure_sas(spark, {"azure.sas_key": "x"}) is None
+    assert apply_azure_sas(spark, {}) is None
