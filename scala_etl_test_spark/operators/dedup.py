@@ -171,8 +171,14 @@ def keyed_hash(*cols: Column) -> Column:
 # column names can't false-positive.
 _GOVERNED_NODE_RE = re.compile(
     r"^[\s:+-]*(?:Join|Aggregate|Deduplicate|Distinct|RebalancePartitions"
-    r"|Window|Intersect|Except|CoGroup|FlatMapGroups)\b"
+    r"|Intersect|Except|CoGroup|FlatMapGroups)\b"
 )
+# Window is governed ONLY when it has a partitionSpec: an empty PARTITION BY
+# range-partitions everything into ONE partition (ADVICE r6). Rendering:
+# `Window [exprs], [partSpec], [orderSpec]` vs `Window [exprs], [orderSpec]`
+# — and a 2-group form whose tail has no ASC/DESC is partitionBy-without-
+# orderBy (partitioned, governed).
+_WINDOW_RE = re.compile(r"^[\s:+-]*Window \[")
 # Explicit-count partitioning nodes: `Repartition N, true` (repartition(N)) /
 # `Repartition N, false` (coalesce(N)); `RepartitionByExpression [...]` with
 # an optional trailing count (absent ⇒ defaults to shuffle.partitions).
@@ -194,6 +200,14 @@ def _planned_wide_enough(analyzed: str, target: int) -> bool | None:
     (pass through), False (needs the spread), or None (no partitioning-
     setting node at all: a scan + narrow ops — decide from scan size)."""
     for line in analyzed.splitlines():
+        if _WINDOW_RE.match(line):
+            groups = line.split("], [")
+            if len(groups) >= 3:
+                return True  # partitioned window: shuffle.partitions-governed
+            tail = groups[-1]
+            if " ASC" in tail or " DESC" in tail:
+                return False  # empty PARTITION BY: output is ONE partition
+            return True  # partitionBy without orderBy
         if _GOVERNED_NODE_RE.match(line):
             return True
         m = _REPARTITION_RE.match(line)
@@ -221,10 +235,30 @@ def _scan_size_bytes(df: DataFrame) -> int:
         return 0
 
 
+# Spark size-conf suffixes (JavaUtils.byteStringAsBytes): binary multiples.
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
 def _max_partition_bytes(df: DataFrame) -> int:
-    raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    digits = re.sub(r"[^0-9]", "", raw)
-    return int(digits) if digits else 134217728
+    """Parse ``spark.sql.files.maxPartitionBytes`` including its
+    human-readable forms ('128m', '128MB') the way Spark itself does
+    (ADVICE r6: digit-stripping turned '128m' into 128 BYTES, inflating
+    the estimated split count ~10⁶× and skipping the spread on small
+    corpora — the direction this module's own docstring calls unsafe)."""
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", raw)
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return 134217728
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -245,10 +279,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     ROOT governs (a coalesce(1) above an aggregate caps parallelism at 1
     no matter what sits below it):
 
-    - join / aggregate / window / rebalance / global-sort, or an explicit
-      repartition to ≥ cores ⇒ pass through — output partitioning is
-      governed by ``spark.sql.shuffle.partitions`` / AQE, which the
-      session sizes to the cluster;
+    - join / aggregate / partitioned-window / rebalance / global-sort, or
+      an explicit repartition to ≥ cores ⇒ pass through — output
+      partitioning is governed by ``spark.sql.shuffle.partitions`` / AQE,
+      which the session sizes to the cluster. A Window with an EMPTY
+      partitionSpec is the exception (ADVICE r6): a global window
+      range-partitions to ONE partition, so it gets the spread;
     - an explicit repartition/coalesce BELOW cores, or a limit ⇒ spread
       (the old partition-count probe would have, too);
     - no partitioning-setting node (scan + narrow ops) ⇒ estimate the
@@ -259,6 +295,16 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
       gets the spread. The estimate errs low (packing overhead, openCost),
       i.e. toward one redundant-but-compact pre-fanout shuffle: the safe
       direction for this operator family.
+
+    Known gap (ADVICE r6, accepted): a cluster-governed node is trusted
+    even though AQE's partition COALESCING can shrink a tiny join/groupBy
+    exchange to 1-2 partitions at runtime before the fanout executes — the
+    guard reads the compile-time plan and cannot see that. At test scale
+    the fanout inputs that matter are either scans (covered by the size
+    estimate) or explicitly spread (``similarity.spread_by_cell`` pins an
+    explicit-count repartition precisely because AQE may coalesce
+    ENSURE_REQUIREMENTS exchanges); at corpus scale the shuffled bytes are
+    large enough that coalescing keeps ≥ cores partitions anyway.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -445,7 +491,14 @@ def _pair_overlap(
     Default contract: pairs with NO shingle overlap are absent from the
     output (the inner join never sees them) — correct and cheapest for
     thresholded pipelines. Pass ``keep_zero_overlap=True`` to get an
-    explicit n_common = 0 row per such pair instead."""
+    explicit n_common = 0 row per such pair instead.
+
+    PRECONDITION (both twins): ``pairs`` must be DISTINCT (id_a, id_b)
+    rows. On duplicated input the two twins diverge — this groupBy folds
+    the copies into ONE row with n_common inflated by the multiplicity,
+    while the row-local twin emits one output row per input row with the
+    correct per-pair count. Every in-module candidate generator ends in
+    ``.distinct()`` (ADVICE r6); external callers must do the same."""
     shingles = shingles.select(F.col(id_col).alias("_id"), "sh_h")
     sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("set_size"))
     sh_a = shingles.select(F.col("_id").alias("id_a"), "sh_h")
@@ -487,7 +540,14 @@ def _pair_overlap_rowlocal(
     stress sweep measured the shuffle-join verification as the dominant
     cost of two ~60× wall ratios); :func:`_pair_overlap` stays preferable
     when candidates are few and doc shingle sets are huge, since it never
-    materializes a whole set on one row."""
+    materializes a whole set on one row.
+
+    PRECONDITION: ``pairs`` must be DISTINCT (id_a, id_b) rows — this twin
+    emits one output row per INPUT row (duplicated input ⇒ duplicated
+    output rows), where :func:`_pair_overlap`'s groupBy would fold the
+    copies into one row with an inflated n_common. See the precondition
+    note there; all current callers pass ``.distinct()``-terminated
+    candidate sets."""
     sets = shingles.groupBy(F.col(id_col).alias("_id")).agg(
         F.collect_list("sh_h").alias("_set"), F.count(F.lit(1)).alias("_n")
     )
@@ -582,9 +642,17 @@ def minhash_near_duplicates(
     rows: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
     pairs → exact-Jaccard verification ≥ threshold.
+
+    ``shingles``: optionally a pre-built distinct (id, sh_h) table for the
+    SAME (df, text_col, id_col, shingle_n) — callers running several
+    shingle-consuming strategies over one corpus (the dedup method report:
+    minhash + prefix-Jaccard both eat the 3-shingle table) build it once,
+    persist it, and pass it in; lifecycle stays with the caller (no
+    internal persist, no release here).
 
     The distinct-shingle table is built ONCE and persisted
     (memory-and-disk, spill-safe): the signature pass and both sides of the
@@ -602,7 +670,8 @@ def minhash_near_duplicates(
     self-evicts under pressure and `spark.catalog.clearCache()` reclaims
     it eagerly.
     """
-    shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
+    if shingles is None:
+        shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles=shingles)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, bands, rows), id_col)
     verified = jaccard_for_pairs(cands, df, text_col, id_col, shingle_n, shingles=shingles)

@@ -4277,79 +4277,74 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first 50 registry entries in insertion order per round.  Round-6 priority
-# (per VERDICT r5 item 5): (1) every query whose implementation changed this
-# round -- the _spread guard rewrite (ADVICE r5 medium: logical-plan
-# inspection + inputFiles heuristic instead of the AQE-eager .rdd probe)
-# touches the whole shingle/winnow/spans/simhash family, content_hash64 now
-# fronts the shingle/token hash (default md5 path expression-identical), and
-# tpch_q10 dropped its forced customer broadcast; (2) the stalest entries --
-# the 38 queries whose only green CORRECTNESS row is from round 1
-# (everything green in r2/r4/r5 on unchanged code sorts last).  With the
-# round-5 rotation all 174 registered queries have a green row; this
-# rotation keeps re-gating freshest-changed + oldest-checked each round.
+# first 50 registry entries in insertion order per round.  Round-7 priority
+# (per VERDICT r6 items 1/3): (1) every query whose implementation changed
+# this round -- the narrow row-local ivf_assign + spread_by_cell rewrite
+# touches the four cell-blocked wrappers, and tpch_q11 swapped its
+# (AQE-eager) lazy localCheckpoint for tracked_persist; (2) the 5 queries
+# whose only green CORRECTNESS row is from round 1 (they sat at positions
+# 52-56 of the r6 list, just past the gate's ~50 budget); (3) the r2-gated
+# tail in registry order, fronted by the members this round's
+# build_vocab/localCheckpoint fixes touched.  Everything gated green in
+# r4/r5/r6 on unchanged code sorts last.
 _GATE_PRIORITY: list[str] = [
-    # implementation touched this round (r6)
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_containment",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "duplicate_spans",
-    "duplicate_span_stats",
-    "dedup_edit_distance",
-    "dedup_method_report",
-    "tpch_q10",
-    # corpus-scaled centroid count (k = max(16, floor(sqrt n))) replaced the
-    # fixed-16 cells in the quadratic-per-cell wrappers; re-gate all four
+    # implementation touched this round (r7)
+    "contrastive_negatives",
     "semantic_dedup",
     "semantic_dedup_greedy",
-    "contrastive_negatives",
     "label_spread",
-    # corpus-scaled (nation, name-digit-suffix) blocking replaced the fixed
-    # 25-value nation-only key (pairs grew n²/25); re-gate
-    "entity_resolution",
-    # stalest: last (and only) gated in round 1, registry order
-    "segmentation_rules",
-    "validate_normalize",
-    "topk_customers",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "tpch_q6",
-    "semi_join_exists",
-    "anti_join_no_orders",
-    "topk_docs_per_source",
-    "skew_salted_join",
-    "skew_distinct_count",
-    "asof_last_purchase",
-    "tpch_q14",
-    "tpch_q18",
-    "events_cube",
-    "events_rollup",
-    "events_pivot",
-    "json_props_extract",
-    "window_moving_avg",
-    "set_ops_customers",
-    "range_join_session_errors",
-    "events_funnel",
-    "events_retention",
-    "events_user_gaps",
-    "customer_revenue_quartiles",
-    "merge_upsert",
-    "grouping_sets_revenue",
-    "lineitem_unpivot_measures",
-    "tpch_q2",
-    "tpch_q9",
     "tpch_q11",
+    # stalest tier: only gated in round 1
+    "tpch_q9",
     "tpch_q20",
     "tpch_q21",
     "tpch_q4",
+    # r2-gated tail — members whose shared helpers changed this round first
+    # (build_vocab persist fix; ANN probe consumers of the narrow assign)
+    "vocab_build",
+    "tokenize_docs",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_clusters",
+    "corpus_clean",
+    "corpus_prepare",
+    # r2-gated tail, registry order
+    "scan_filter_project",
+    "union_positional",
+    "broadcast_left_join",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q17",
+    "tpch_q7",
+    "tpch_q8",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "dataset_split",
+    "stratified_sample",
+    "corpus_mixture",
+    "profile_documents",
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "dedup_exact",
+    "docs_top_terms",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "repetition_metrics",
+    "pii_scan",
+    "decontaminate",
+    "pack_sequences",
+    "multimodal_features_long",
+    "embedding_centroids",
+    "model_scores",
+    "events_hourly_anomaly",
+    "expect_orders",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

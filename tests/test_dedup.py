@@ -579,6 +579,93 @@ def test_spread_sees_through_partition_collapsing_nodes(spark, sf_dir):
         assert _spread(governed, "doc_id") is governed
 
 
+def test_spread_global_window_gets_spread(spark, sf_dir):
+    # ADVICE r6: a Window with an EMPTY partitionSpec range-partitions its
+    # output to ONE partition — it must NOT pass as "cluster-governed",
+    # while a partitioned window still does.
+    from pyspark.sql import Window, functions as F
+
+    from scala_etl_test_spark.operators.dedup import _spread
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    global_win = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    out = _spread(global_win, "doc_id")
+    assert out is not global_win
+    assert out.rdd.getNumPartitions() == target
+    partitioned_win = docs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    )
+    assert _spread(partitioned_win, "doc_id") is partitioned_win
+    # partitionBy without orderBy is still partitioned -> governed
+    part_only = docs.withColumn(
+        "s", F.sum("doc_id").over(Window.partitionBy("source"))
+    )
+    assert _spread(part_only, "doc_id") is part_only
+
+
+def test_max_partition_bytes_parses_size_suffixes(spark):
+    # ADVICE r6: '128m' must parse as 128 MiB, not 128 bytes (which inflated
+    # the split estimate ~10^6x and skipped the spread on small corpora).
+    from scala_etl_test_spark.operators.dedup import _max_partition_bytes
+
+    df = spark.range(1)
+    key = "spark.sql.files.maxPartitionBytes"
+    original = spark.conf.get(key, "134217728")
+    try:
+        for raw, want in [
+            ("134217728", 134217728),
+            ("128m", 128 << 20),
+            ("128MB", 128 << 20),
+            ("1g", 1 << 30),
+            ("64k", 64 << 10),
+            # (an unparseable value is rejected by Spark's own conf
+            # validation at set time, so the parser's fallback branch is
+            # unreachable through the conf — kept for defensive depth)
+        ]:
+            spark.conf.set(key, raw)
+            assert _max_partition_bytes(df) == want, raw
+    finally:
+        spark.conf.set(key, original)
+
+
+def test_pair_overlap_twins_agree_on_distinct_pairs(spark):
+    # the documented precondition: on DISTINCT candidate pairs the shuffled
+    # groupBy twin and the row-local array_intersect twin are row-identical
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.dedup import (
+        _pair_overlap,
+        _pair_overlap_rowlocal,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a sleeping dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    cols = ["id_a", "id_b", "n_common", "size_a", "size_b"]
+    for keep in (False, True):
+        a = sorted(
+            tuple(r) for r in _pair_overlap(pairs, sh, "doc_id", keep).select(cols).collect()
+        )
+        b = sorted(
+            tuple(r) for r in _pair_overlap_rowlocal(pairs, sh, "doc_id", keep).select(cols).collect()
+        )
+        assert a == b, keep
+
+
 def test_spread_never_executes_shuffle_bearing_input(spark, sf_dir):
     # ADVICE r5: probing df.rdd under AQE EXECUTES the upstream stages of a
     # shuffle-bearing plan at _spread call time (work not reused by the plan
