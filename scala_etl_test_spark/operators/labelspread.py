@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from scala_etl_test_spark.functions.vectors import cosine_similarity
+from scala_etl_test_spark.functions.vectors import cosine_from_norms, l2_norm
 
 
 def knn_edges_in_cells(
@@ -36,15 +36,19 @@ def knn_edges_in_cells(
     """Directed kNN edge list (src, dst, sim) restricted to IVF cells:
     each node's k most-similar neighbors AMONG ITS CELL (ties → smaller
     dst id). ``assigned`` is :func:`similarity.ivf_assign` output."""
+    # norms precomputed per ROW (n folds), not per pair (Σc² folds) — see
+    # functions/vectors.cosine_from_norms
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("src"),
         F.col(vec_col).alias("_va"),
+        l2_norm(vec_col).alias("_na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("dst"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col).alias("_nb"),
     )
     pairs = (
         a.join(b, on="cluster_id")
@@ -52,7 +56,9 @@ def knn_edges_in_cells(
         .select(
             "src",
             "dst",
-            F.round(cosine_similarity("_va", "_vb"), round_digits).alias("sim"),
+            F.round(
+                cosine_from_norms("_va", "_vb", "_na", "_nb"), round_digits
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))

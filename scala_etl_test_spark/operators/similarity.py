@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from scala_etl_test_spark.caching import tracked_persist
 
-from scala_etl_test_spark.functions.vectors import cosine_similarity
+from scala_etl_test_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 
 
 def _as_double_array(values: list[float]) -> Column:
@@ -66,13 +70,18 @@ def embedding_near_dup_pairs(
     (label/cluster). Blocking turns the n² cross join into Σ b_i² — at scale
     the block key is an IVF cluster id computed at ingest."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                  l2_norm(vec_col).alias("_na"),
                   *( [F.col(block_col).alias("_block")] if block_col else [] ))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                  l2_norm(vec_col).alias("_nb"),
                   *( [F.col(block_col).alias("_block")] if block_col else [] ))
     joined = a.join(b, on="_block") if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity("vec_a", "vec_b"), round_digits))
+        .withColumn(
+            "cosine",
+            F.round(cosine_from_norms("vec_a", "vec_b", "_na", "_nb"), round_digits),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -120,16 +129,23 @@ def semantic_dedup(
     assigned = spread_by_cell(
         ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
     ).transform(tracked_persist)
+    # norms precomputed per ROW off the cached assignment (n folds), not
+    # per pair (Σc² folds) — functions/vectors.cosine_from_norms
     a = assigned.select(
-        F.col("cluster_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col("cluster_id"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"), l2_norm(vec_col).alias("_na"),
     )
     b = assigned.select(
-        F.col("cluster_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col("cluster_id"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"), l2_norm(vec_col).alias("_nb"),
     )
     dup_ids = (
         a.join(b, on="cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_similarity("vec_a", "vec_b"), round_digits) >= threshold)
+        .filter(
+            F.round(cosine_from_norms("vec_a", "vec_b", "_na", "_nb"), round_digits)
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -243,7 +259,20 @@ def ivf_assign(
     versions materialized the n·k crossed rows and hash-aggregated them
     back down to n (an n·k-row exchange per assignment); this computes the
     identical k cosines per row inside one projection, so re-deriving the
-    assignment costs a map, not a shuffle."""
+    assignment costs a map, not a shuffle.
+
+    Parallelism guard: the k-cosine projection is compute-heavy relative
+    to the input bytes (k = O(√n) ⇒ n·k cosines), and a small-file corpus
+    packs into far fewer scan partitions than cores — the 10× ann stress
+    measured the whole assignment serializing into ONE task (20k rows ×
+    141 centroids ≈ 2.8M interpreted cosines) before any downstream
+    exchange could spread it. ``_spread`` (dedup's free-metadata guard)
+    repartitions the input by id FIRST, only when the plan underuses the
+    cluster — at warehouse scale the scan splits past the core count and
+    the guard passes through untouched."""
+    from scala_etl_test_spark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
     cents = F.broadcast(
         centroids.agg(
             F.array_sort(
@@ -497,17 +526,21 @@ def hard_negatives(
     is on the ``round_digits``-rounded cosine with smaller ``neg_id`` as
     tie-break, so the result is engine-reproducible (SQL-oracle-safe)
     and stable under float summation-order drift."""
+    # norms precomputed per ROW (n folds), not per pair (Σc² folds) — see
+    # functions/vectors.cosine_from_norms
     a = df_assigned.select(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("_la"),
         F.col(vec_col).alias("_va"),
+        l2_norm(vec_col).alias("_norm_a"),
     )
     b = df_assigned.select(
         F.col(cluster_col).alias("_cl"),
         F.col(id_col).alias("neg_id"),
         F.col(label_col).alias("_lb"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col).alias("_norm_b"),
     )
     pairs = (
         a.join(b, "_cl")
@@ -515,7 +548,9 @@ def hard_negatives(
         .select(
             "anchor_id",
             "neg_id",
-            F.round(cosine_similarity("_va", "_vb"), round_digits).alias("cosine"),
+            F.round(
+                cosine_from_norms("_va", "_vb", "_norm_a", "_norm_b"), round_digits
+            ).alias("cosine"),
         )
     )
     return pairs.groupBy("anchor_id").agg(

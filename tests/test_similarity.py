@@ -105,18 +105,38 @@ def test_ivf_assign_narrow_matches_wide_reference(spark):
 
 
 def test_ivf_assign_plan_is_narrow(spark):
-    """The assignment must not shuffle the corpus: no Exchange over the
-    vector table (the only exchange allowed is the 1-row centroid-fold
-    broadcast side)."""
+    """On an input that already uses the cluster, the assignment adds NO
+    exchange over the vector table (the only exchanges are the caller's
+    own pre-spread and the 1-row centroid-fold broadcast side); on a
+    narrow input the guarded pre-spread injects exactly one id
+    repartition so the k-cosine projection can't serialize into one
+    task."""
+    target = spark.sparkContext.defaultParallelism
     rows = [(i, [float(i), 1.0], 0) for i in range(8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     cents = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, centroid_vec array<double>"
     )
-    plan = S.ivf_assign(df, cents)._jdf.queryExecution().executedPlan().toString()
+    wide_in = df.repartition(target * 2, "vec_id")
+    plan = S.ivf_assign(wide_in, cents)._jdf.queryExecution().executedPlan().toString()
     main_branch = plan.split("BroadcastExchange")[0]
-    assert "Exchange hashpartitioning(vec_id" not in plan
-    assert "Exchange" not in main_branch, main_branch
+    # exactly the caller's own repartition — the assignment adds none
+    assert main_branch.count("Exchange") == 1, main_branch
+
+
+def test_ivf_assign_spreads_narrow_parquet_scan(spark, sf_dir):
+    """A small-file parquet corpus lands in fewer scan partitions than
+    cores; the guarded pre-spread must inject exactly one id repartition
+    so the n·k cosine projection cannot serialize into one task (the 10×
+    ann stress measured 2.8M single-task cosines without it)."""
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = S.stride_centroids(emb, 4)
+    plan = S.ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    main_branch = plan.split("BroadcastExchange")[0]
+    assert main_branch.count("Exchange") == 1, main_branch
+    assert "hashpartitioning(vec_id" in main_branch
 
 
 def test_lsh_bucket_contains_query_and_orders(emb, query_vec):

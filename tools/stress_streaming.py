@@ -1,0 +1,206 @@
+"""10×-volume stress run for the STREAMING twins (VERDICT r6 item 8) — the
+one tier ``tools/stress_replica.py`` doesn't sweep.
+
+    python tools/stress_streaming.py [--twin dedup|cdc|all] [sf_dir] [out_dir]
+
+Feeds TEN 1×-sized micro-batches (10× total volume by the final batch)
+through each twin and prints one JSON line per twin with PER-BATCH wall
+times from the streaming engine's own progress telemetry — the scale
+signal is the per-batch TREND as accumulated state grows, not a 1×-vs-10×
+total:
+
+- **dedup** (incremental LSH, ``streaming/dedup.py``): batch N probes an
+  index holding N-1 batches. The probe is an equi-join restricted to the
+  buckets the batch touches, so per-batch wall must stay ~FLAT as the
+  index grows 10× — a rising trend means the probe started scanning the
+  corpus. Batches are per-replica word-shuffled documents (the verbatim-
+  replication trap from stress_replica.py: verbatim copies make every doc
+  a 10-way exact dup and the pair EXPLOSION, not the operator, dominates).
+- **cdc** (two-generation upsert, ``streaming/cdc.py``): batch N merges
+  into a state table holding N-1 batches' keys, and the merge REWRITES
+  the state (full-outer against the generation file), so per-batch wall
+  growing LINEARLY in state size is the documented design — the stress
+  pins that it is at-most-linear (ratio last/first ≲ batches) and that
+  state row counts match the exact expected key union per batch. At
+  warehouse scale the rewrite narrows to changed partitions
+  (operators/merge.py docstring); the harness measures the worst case.
+
+Batch files get strictly ascending mtimes so maxFilesPerTrigger=1 yields
+one file per micro-batch in replica order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCHES = 10
+
+
+def _ascending_mtimes(paths: list[str]) -> None:
+    base = time.time() - 3600
+    for i, p in enumerate(sorted(paths)):
+        os.utime(p, (base + i, base + i))
+
+
+def _write_single_file(df, staging: str, dest: str) -> None:
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(staging, part), dest)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _build_doc_batches(spark, sf_dir: str, src_dir: str) -> int:
+    """One single-file parquet per replica: word-shuffled text, shifted ids
+    (same shuffle discipline as stress_replica._build_docs_replica)."""
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.operators.dedup import words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    os.makedirs(src_dir, exist_ok=True)
+    for r in range(BATCHES):
+        keyed = F.transform(
+            words("text"),
+            lambda w, i: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(r)), F.col("doc_id").cast("string"), i.cast("string"), w
+                    )
+                ).alias("k"),
+                w.alias("w"),
+            ),
+        )
+        shuffled = F.array_join(F.transform(F.array_sort(keyed), lambda s: s["w"]), " ")
+        batch = docs.withColumn("text", shuffled).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(r * max_id)
+        )
+        _write_single_file(batch, f"{src_dir}/_stage", f"{src_dir}/batch_{r:03d}.parquet")
+    _ascending_mtimes(
+        [os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+    return BATCHES
+
+
+def _build_event_batches(spark, sf_dir: str, src_dir: str) -> int:
+    """One single-file parquet per replica: event_id AND user_id shifted so
+    the CDC state's key set grows by a full 1× per batch."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    offs = {c: ev.agg(F.max(c)).first()[0] + 1 for c in ("event_id", "user_id")}
+    dtypes = dict(ev.dtypes)
+    os.makedirs(src_dir, exist_ok=True)
+    for r in range(BATCHES):
+        batch = ev
+        for c, off in offs.items():
+            batch = batch.withColumn(c, (F.col(c) + F.lit(r * off)).cast(dtypes[c]))
+        _write_single_file(batch, f"{src_dir}/_stage", f"{src_dir}/batch_{r:03d}.parquet")
+    _ascending_mtimes(
+        [os.path.join(src_dir, f) for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+    return BATCHES
+
+
+def _batch_walls(query) -> list[float]:
+    """Per-micro-batch wall seconds from the engine's progress telemetry
+    (triggerExecution covers the whole foreachBatch body)."""
+    walls = {}
+    for p in query.recentProgress:
+        if p.get("numInputRows", 0) > 0:
+            walls[p["batchId"]] = p["durationMs"]["triggerExecution"] / 1000.0
+    return [walls[b] for b in sorted(walls)]
+
+
+def stress_dedup(spark, sf_dir: str, out_dir: str) -> dict:
+    from scala_etl_test_spark.streaming.dedup import init_index, stream_incremental_dedup
+    from scala_etl_test_spark.streaming.sources import stream_documents_parquet
+
+    src = os.path.join(out_dir, "dedup_src")
+    _build_doc_batches(spark, sf_dir, src)
+    index_dir = os.path.join(out_dir, "dedup_index")
+    init_index(spark, index_dir, None, "text", "doc_id")
+    q = stream_incremental_dedup(
+        stream_documents_parquet(spark, f"{src}/*.parquet", max_files_per_trigger=1),
+        index_dir,
+        os.path.join(out_dir, "dedup_pairs"),
+        os.path.join(out_dir, "dedup_ckpt"),
+        threshold=0.2,
+    )
+    q.awaitTermination()
+    walls = _batch_walls(q)
+    pairs = spark.read.parquet(os.path.join(out_dir, "dedup_pairs"))
+    per_batch_pairs = {
+        int(r["batch_id"]): int(r["n"])
+        for r in pairs.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()
+    }
+    index_rows = spark.read.parquet(f"{index_dir}/shingles").count()
+    head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    return {
+        "twin": "dedup_incremental_lsh",
+        "batches": len(walls),
+        "per_batch_wall_s": [round(w, 2) for w in walls],
+        "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
+        "pairs_per_batch": [per_batch_pairs.get(b, 0) for b in range(len(walls))],
+        "index_shingle_rows": index_rows,
+    }
+
+
+def stress_cdc(spark, sf_dir: str, out_dir: str) -> dict:
+    from scala_etl_test_spark.streaming.cdc import read_state, stream_upsert
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    src = os.path.join(out_dir, "cdc_src")
+    _build_event_batches(spark, sf_dir, src)
+    table = os.path.join(out_dir, "cdc_table")
+    q = stream_upsert(
+        stream_events_parquet(spark, src, max_files_per_trigger=1),
+        table,
+        os.path.join(out_dir, "cdc_ckpt"),
+        ["user_id"],
+        "ts",
+    )
+    q.awaitTermination()
+    walls = _batch_walls(q)
+    state_rows = read_state(spark, table).count()
+    head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    return {
+        "twin": "cdc_upsert",
+        "batches": len(walls),
+        "per_batch_wall_s": [round(w, 2) for w in walls],
+        "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
+        "state_rows": state_rows,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--twin", default="all", choices=["dedup", "cdc", "all"])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("out_dir", nargs="?", default="/tmp/stress_streaming")
+    ns = ap.parse_args()
+
+    from scala_etl_test_spark.session import build_session
+
+    shutil.rmtree(ns.out_dir, ignore_errors=True)
+    os.makedirs(ns.out_dir, exist_ok=True)
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    twins = ["dedup", "cdc"] if ns.twin == "all" else [ns.twin]
+    for t in twins:
+        result = (stress_dedup if t == "dedup" else stress_cdc)(spark, ns.sf_dir, ns.out_dir)
+        print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
