@@ -48,11 +48,25 @@ def cosine_topk(
     ``round_digits`` quantizes the similarity so results are reproducible
     across engines/architectures; ties break on ``id_col``.
     """
-    sim = cosine_similarity(F.col(vec_col), _as_double_array(query))
+    import math
+
+    # the query norm is a Python-side constant: the same left-to-right
+    # IEEE double fold the JVM expression would run, so the value is
+    # bit-identical — and the row norm folds once per row. 2 array folds
+    # per row instead of cosine_similarity's 5 (see
+    # functions/vectors.cosine_from_norms).
+    acc = 0.0
+    for v in query:
+        acc += float(v) * float(v)
+    qnorm = math.sqrt(acc)
+    sim = cosine_from_norms(
+        F.col(vec_col), _as_double_array(query), F.col("_nv"), F.lit(qnorm)
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        df.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("_nv"))
+        .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -273,6 +287,12 @@ def ivf_assign(
     from scala_etl_test_spark.operators.dedup import _spread
 
     df = _spread(df, id_col)
+    # norms ride along: each centroid's norm is folded ONCE into the
+    # broadcast array, each row's norm ONCE into a separate projection
+    # (separate so CollapseProject cannot inline the expensive fold back
+    # into every transform element) — the k-element scoring transform then
+    # folds only the dot product per (row, centroid), not 5 arrays
+    # (functions/vectors.cosine_from_norms).
     cents = F.broadcast(
         centroids.agg(
             F.array_sort(
@@ -280,6 +300,7 @@ def ivf_assign(
                     F.struct(
                         F.col(centroid_id).alias("cid"),
                         F.col(centroid_vec).alias("cvec"),
+                        l2_norm(centroid_vec).alias("cnorm"),
                     )
                 )
             ).alias("_cents")
@@ -289,15 +310,21 @@ def ivf_assign(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                cosine_similarity(F.col(vec_col), c["cvec"]).alias("sim"),
+                cosine_from_norms(
+                    F.col(vec_col), c["cvec"], F.col("_nv"), c["cnorm"]
+                ).alias("sim"),
                 (-c["cid"]).alias("nid"),
             ),
         )
     )
-    return df.crossJoin(cents).select(
-        id_col,
-        *[c for c in df.columns if c != id_col],
-        (-best["nid"]).alias("cluster_id"),
+    return (
+        df.crossJoin(cents)
+        .withColumn("_nv", l2_norm(vec_col))
+        .select(
+            id_col,
+            *[c for c in df.columns if c != id_col],
+            (-best["nid"]).alias("cluster_id"),
+        )
     )
 
 
