@@ -133,7 +133,16 @@ FAMILIES = {
     ],
     # embedding tier: ann_cosine_topk (brute force) is EXCLUDED by design —
     # it is the O(n²) verification baseline, not a scale path; these are
-    # the bucketed/coded paths that must stay sub-quadratic
+    # the bucketed/coded paths that must stay sub-quadratic.
+    # READING THE RATIOS: the cell-blocked wrappers (semantic_dedup,
+    # greedy, label_spread, contrastive) are n^1.5 BY DESIGN — k=⌊√n⌋
+    # cells balance the n·k assignment against the Σc²≈n²/k pair stage,
+    # so PAIR WORK grows 10^1.5 ≈ 31.6× at 10× rows. A wall ratio of
+    # 2–4× here is sub-linear per unit work; the trap signature is a
+    # ratio approaching or exceeding the 31.6× work growth (the r6 fixed
+    # k=16 bug showed 10.75× and climbing with n). Compare absolute
+    # walls across rounds too: a faster 1× base mechanically inflates
+    # the ratio without any 10×-side regression.
     "ann": [
         "ann_ivf_topk",
         "ann_lsh_topk",
