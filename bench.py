@@ -161,8 +161,15 @@ def main() -> None:
         backoffs: dict[str, int] = {}
         canary_obs: list[float] = []
         stalls = 0
-        for _ in range(sweeps):
-            for name in HEADLINE:
+        for sweep in range(sweeps):
+            # alternate direction: a fixed order gives every query the SAME
+            # position-dependent neighborhood (heap/page-cache pressure from
+            # the heavies before it) in every sweep, which min-of-sweeps
+            # cannot reject — measured: the last-listed query ran ~1.5× its
+            # solo wall in BOTH sweeps. Reversed on odd sweeps, each query
+            # gets one early and one late slot and the min keeps the fair one.
+            order = HEADLINE if sweep % 2 == 0 else list(reversed(HEADLINE))
+            for name in order:
                 if name not in QUERIES:
                     continue
                 for _probe in range(CANARY_PROBES):
