@@ -104,6 +104,61 @@ def test_ivf_assign_narrow_matches_wide_reference(spark):
     assert S.ivf_assign(df, cents).columns == ["vec_id", "embedding", "label", "cluster_id"]
 
 
+def test_ivf_assign_randomized_cross_check(spark):
+    """Seeded-random corpora (duplicated vectors, scaled copies, zero
+    vectors, quantized coordinates that force exact cosine ties): the
+    narrow argmax must match BOTH the old wide formulation and an
+    independent pure-Python argmax (same sequential IEEE fold, max sim
+    then min centroid id, all-NULL -> min id)."""
+    import math
+    import random
+
+    rng = random.Random(1307)
+    for trial in range(4):
+        dim = rng.choice([2, 3, 5])
+        n = rng.randint(5, 40)
+        k = rng.randint(2, 6)
+        # quantized coords => duplicated/parallel vectors and exact ties
+        def vec():
+            return [float(rng.randint(-2, 2)) for _ in range(dim)]
+
+        rows = [(i, vec()) for i in range(n)]
+        cents = [(j, vec()) for j in range(k)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cdf = spark.createDataFrame(cents, "centroid_id long, centroid_vec array<double>")
+
+        def py_norm(v):
+            acc = 0.0
+            for x in v:
+                acc += x * x
+            return math.sqrt(acc)
+
+        def py_best(v):
+            nv = py_norm(v)
+            best = None  # (sim or None, -cid) max-order
+            for cid, cv in cents:
+                nc = py_norm(cv)
+                sim = None
+                if nv != 0.0 and nc != 0.0:
+                    acc = 0.0
+                    for x, y in zip(v, cv):
+                        acc += x * y
+                    sim = acc / (nv * nc)
+                cand = (sim is not None, sim if sim is not None else 0.0, -cid)
+                if best is None or cand > best[0]:
+                    best = (cand, cid)
+            return best[1]
+
+        want_py = {i: py_best(v) for i, v in rows}
+        got = {r["vec_id"]: r["cluster_id"] for r in S.ivf_assign(df, cdf).collect()}
+        assert got == want_py, (trial, dim, n, k)
+        wide = {
+            r["vec_id"]: r["cluster_id"]
+            for r in _ivf_assign_wide_reference(df, cdf).collect()
+        }
+        assert got == wide, (trial, dim, n, k)
+
+
 def test_ivf_assign_plan_is_narrow(spark):
     """On an input that already uses the cluster, the assignment adds NO
     exchange over the vector table (the only exchanges are the caller's
