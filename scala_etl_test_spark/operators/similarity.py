@@ -643,20 +643,25 @@ def embedding_outliers(
     fully oracle-checkable. Scale shape: one narrow posexplode → (group,
     dim) aggregate for the centroids (group-count-sized result), one
     broadcast join back, row-local scoring. No pairwise anything."""
+    # norms fold once per group (broadcast side) and once per row, and the
+    # rounded cosine is computed in its own projection so both consumers
+    # (the score column and the flag) reuse ONE evaluation — interpreted
+    # HOFs get no common-subexpression elimination, so the inline form
+    # folded 10 arrays per row (functions/vectors.cosine_from_norms).
     cents = centroids_from_sums(
         centroid_sums(df, vec_col, group_col, scale), group_col, scale
-    )
-    cos = F.round(
-        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("centroid")), 6
-    )
-    return (
+    ).withColumn("_nc", l2_norm("centroid"))
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
         df.join(F.broadcast(cents), group_col)
-        .select(
-            F.col(id_col),
-            F.col(group_col),
-            cos.alias("centroid_cosine"),
-            (cos < F.lit(threshold)).alias("is_outlier"),
-        )
+        .withColumn("_nv", l2_norm(v))
+        .withColumn("_cos", F.round(cosine_from_norms(v, F.col("centroid"), F.col("_nv"), F.col("_nc")), 6))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("_cos").alias("centroid_cosine"),
+        (F.col("_cos") < F.lit(threshold)).alias("is_outlier"),
     )
 
 
