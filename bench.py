@@ -1,6 +1,8 @@
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and prints the full result as one JSON line
+followed by a ≤300-char summary JSON line (the driver keeps only the last
+~2000 chars of stdout and parses the LAST line — the summary always fits).
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no driver collect). A warmup run of every headline query first absorbs
@@ -24,8 +26,11 @@ inside the same busy window. Two defenses, both per-timing-unit:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import random
+import re
 import sys
 import time
 
@@ -137,6 +142,23 @@ def main() -> None:
         if name in QUERIES:
             run_once(name, warm_dir)
 
+    # Sweep-order seed (VERDICT r7 item 6): a FIXED order gives every query
+    # the same sweep neighborhood every round, so a position-sensitive query
+    # (dedup_prefix_jaccard printed 4.47→5.21 s across two driver rounds
+    # while its solo re-time held at 3.92 s) can never escape its neighbors.
+    # Randomize the order once per round — seeded from the round number so
+    # reruns within a round are reproducible — and record seed + order in
+    # the artifact. Sweep 2 runs the reverse so each query still gets one
+    # early and one late slot (the min keeps the fair one).
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+    ]
+    sweep_seed = int(os.environ.get("SPARK_GRAFT_SWEEP_SEED", max(rounds, default=0) + 1))
+    sweep_order = list(HEADLINE)
+    random.Random(sweep_seed).shuffle(sweep_order)
+
     def sweep_timings(d: str, sweeps: int = 2) -> tuple[dict[str, float], dict]:
         """Per-query min across ``sweeps`` interleaved full-list passes,
         each timing canary-gated (see module docstring).
@@ -162,13 +184,13 @@ def main() -> None:
         canary_obs: list[float] = []
         stalls = 0
         for sweep in range(sweeps):
-            # alternate direction: a fixed order gives every query the SAME
-            # position-dependent neighborhood (heap/page-cache pressure from
-            # the heavies before it) in every sweep, which min-of-sweeps
-            # cannot reject — measured: the last-listed query ran ~1.5× its
-            # solo wall in BOTH sweeps. Reversed on odd sweeps, each query
-            # gets one early and one late slot and the min keeps the fair one.
-            order = HEADLINE if sweep % 2 == 0 else list(reversed(HEADLINE))
+            # per-round seeded shuffle (see sweep_order above), reversed on
+            # odd sweeps: each query gets one early and one late slot AND a
+            # fresh neighborhood each round, so a persistent neighbor effect
+            # (heap/page-cache pressure from a heavy predecessor) cannot
+            # track one query across rounds — measured r6/r7: the last-listed
+            # query ran ~1.5× its solo wall in BOTH sweeps of a fixed order.
+            order = sweep_order if sweep % 2 == 0 else list(reversed(sweep_order))
             for name in order:
                 if name not in QUERIES:
                     continue
@@ -185,6 +207,8 @@ def main() -> None:
                 per_sweep.setdefault(name, []).append(round(t, 3))
                 timings[name] = round(min(timings.get(name, t), t), 3)
         contention = {
+            "sweep_seed": sweep_seed,
+            "sweep_order": [n for n in sweep_order if n in QUERIES],
             "canary_warm": round(canary_warm, 3),
             "canary_n": len(canary_obs),
             "canary_max": round(max(canary_obs), 3),
@@ -199,6 +223,18 @@ def main() -> None:
         return timings, contention
 
     timings, contention = sweep_timings(sf_dir)
+
+    # Solo re-time log (VERDICT r7 item 6): dedup_prefix_jaccard showed a
+    # persistent ~1.3× sweep/solo gap under the fixed r6/r7 sweep order
+    # (sweep 5.21 s vs solo 3.92 s). Re-time it solo (min-of-3, warm — the
+    # sweeps just ran it) every round so the gap is adjudicable from the
+    # artifact alone: sweep min ≈ solo ⇒ the randomized order fixed it;
+    # sweep min ≫ solo ⇒ neighborhood pressure persists, plan is fine.
+    solo_retime = {
+        name: round(min(run_once(name, sf_dir) for _ in range(3)), 3)
+        for name in ("dedup_prefix_jaccard",)
+        if name in QUERIES
+    }
 
     # Scale replica: re-time the same plans on 10× less data (sf/10) and
     # report the wall ratio — machine-checkable evidence that the plans
@@ -250,10 +286,34 @@ def main() -> None:
         "sf": sf_val,
         "cpus": int(cpus),
         "contention": contention,
+        "solo_retime": solo_retime,
     }
     if scaling is not None:
         result["scaling_10x"] = scaling
     print(json.dumps(result))
+    # Second, ≤300-char summary line LAST (VERDICT r7 item 2): the driver
+    # keeps only the final ~2000 chars of stdout and json-parses the LAST
+    # line — the full blob above outgrew that window in r6/r7, so the
+    # official headline numbers were unrecoverable from BENCH_r{N}.json.
+    # This line always fits, always parses, and carries the official
+    # fields; the full per-query blob stays on line 1 (its tail survives
+    # in the artifact's raw capture).
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "extended_total": result["extended_total"],
+        "extended_n": result["extended_n"],
+        "wall_ratio_10x_data": (scaling or {}).get("wall_ratio_10x_data"),
+        "canary_warm": contention["canary_warm"],
+        "stalls": contention["stalls"],
+        "sweep_seed": sweep_seed,
+        "solo_retime": solo_retime,
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 300, f"summary line must stay under the tail window: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

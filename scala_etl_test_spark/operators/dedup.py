@@ -204,6 +204,11 @@ def _planned_wide_enough(analyzed: str, target: int) -> bool | None:
             groups = line.split("], [")
             if len(groups) >= 3:
                 return True  # partitioned window: shuffle.partitions-governed
+            if len(groups) < 2:
+                # single bracket group: BOTH partitionSpec and orderSpec
+                # empty (Window.partitionBy() with no orderBy) — collapses
+                # output to ONE partition (ADVICE r7)
+                return False
             tail = groups[-1]
             if " ASC" in tail or " DESC" in tail:
                 return False  # empty PARTITION BY: output is ONE partition

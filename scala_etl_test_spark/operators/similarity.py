@@ -287,6 +287,19 @@ def ivf_assign(
     from scala_etl_test_spark.operators.dedup import _spread
 
     df = _spread(df, id_col)
+    # Internal names must not collide with caller columns (ADVICE r7: a
+    # caller column literally named ``_nv`` would be silently replaced by
+    # the computed norm and carried into the output; ``_cents`` would make
+    # the crossJoin ambiguous). Uniquify per call against df.columns.
+    def _fresh(base: str) -> str:
+        name, i = base, 0
+        while name in df.columns:
+            i += 1
+            name = f"{base}{i}"
+        return name
+
+    cents_col = _fresh("_cents")
+    norm_col = _fresh("_nv")
     # norms ride along: each centroid's norm is folded ONCE into the
     # broadcast array, each row's norm ONCE into a separate projection
     # (separate so CollapseProject cannot inline the expensive fold back
@@ -303,15 +316,15 @@ def ivf_assign(
                         l2_norm(centroid_vec).alias("cnorm"),
                     )
                 )
-            ).alias("_cents")
+            ).alias(cents_col)
         )
     )
     best = F.array_max(
         F.transform(
-            F.col("_cents"),
+            F.col(cents_col),
             lambda c: F.struct(
                 cosine_from_norms(
-                    F.col(vec_col), c["cvec"], F.col("_nv"), c["cnorm"]
+                    F.col(vec_col), c["cvec"], F.col(norm_col), c["cnorm"]
                 ).alias("sim"),
                 (-c["cid"]).alias("nid"),
             ),
@@ -319,7 +332,7 @@ def ivf_assign(
     )
     return (
         df.crossJoin(cents)
-        .withColumn("_nv", l2_norm(vec_col))
+        .withColumn(norm_col, l2_norm(vec_col))
         .select(
             id_col,
             *[c for c in df.columns if c != id_col],

@@ -4277,74 +4277,71 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first 50 registry entries in insertion order per round.  Round-7 priority
-# (per VERDICT r6 items 1/3): (1) every query whose implementation changed
-# this round -- the narrow row-local ivf_assign + spread_by_cell rewrite
-# touches the four cell-blocked wrappers, and tpch_q11 swapped its
-# (AQE-eager) lazy localCheckpoint for tracked_persist; (2) the 5 queries
-# whose only green CORRECTNESS row is from round 1 (they sat at positions
-# 52-56 of the r6 list, just past the gate's ~50 budget); (3) the r2-gated
-# tail in registry order, fronted by the members this round's
-# build_vocab/localCheckpoint fixes touched.  Everything gated green in
-# r4/r5/r6 on unchanged code sorts last.
+# first 50 registry entries in insertion order per round.  Round-8 priority
+# (per VERDICT r7 item 1): (1) embedding_outliers -- its cosine evaluation
+# was rewritten onto precomputed norms in the final r7 commit AFTER that
+# round's certification run, so its last driver gate is 3 rounds stale;
+# (2) the two r2-gated stragglers that have missed the ~50 budget twice
+# (they sat at positions 51-52 of the r7 list); (3) the remaining 33
+# entries whose last driver gate is r4, in registry order; (4) the stalest
+# r5-gated entries to fill the budget.  Everything gated green in r5-r7 on
+# unchanged code sorts last.  Staleness computed from CORRECTNESS_r*.json
+# (latest round containing each query name).
 _GATE_PRIORITY: list[str] = [
-    # implementation touched this round (r7)
-    "contrastive_negatives",
-    "semantic_dedup",
-    "semantic_dedup_greedy",
-    "label_spread",
-    "tpch_q11",
-    # stalest tier: only gated in round 1
-    "tpch_q9",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    # r2-gated tail — members whose shared helpers changed this round first
-    # (build_vocab persist fix; ANN probe consumers of the narrow assign)
-    "vocab_build",
-    "tokenize_docs",
-    "ann_ivf_topk",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "dedup_clusters",
-    "corpus_clean",
-    "corpus_prepare",
-    # r2-gated tail, registry order
-    "scan_filter_project",
-    "union_positional",
-    "broadcast_left_join",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q17",
-    "tpch_q7",
-    "tpch_q8",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "dataset_split",
-    "stratified_sample",
-    "corpus_mixture",
-    "profile_documents",
-    "multimodal_payload_stats",
-    "multimodal_frame_sample",
-    "dedup_exact",
-    "docs_top_terms",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "repetition_metrics",
-    "pii_scan",
-    "decontaminate",
-    "pack_sequences",
-    "multimodal_features_long",
-    "embedding_centroids",
-    "model_scores",
+    # post-certification r7 change (VERDICT r7 "What's missing" #1)
+    "embedding_outliers",
+    # r2-gated stragglers, twice past the gate budget
     "events_hourly_anomaly",
     "expect_orders",
+    # r4-stale tier, registry order
+    "events_drift_psi",
+    "sessions_max_concurrency",
+    "events_trend",
+    "copurchase_pairs",
+    "events_sliding_window",
+    "scd2_customer_status",
+    "scd2_asof_enrich",
+    "events_trimmed_stats",
+    "event_transitions",
+    "session_attribution",
+    "full_outer_reconcile",
+    "multimodal_features",
+    "unigram_lm_score",
+    "bm25_topk",
+    "graph_pagerank",
+    "weighted_sample",
+    "dsir_weights",
+    "events_zorder",
+    "ann_multiprobe_topk",
+    "bpe_merges",
+    "kmeans_train",
+    "bigram_lm_score",
+    "pq_codes",
+    "ann_pq_topk",
+    "bpe_encode",
+    "token_budget",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "pmi_collocations",
+    "negative_sampling",
+    "ann_recall_report",
+    "source_kl_divergence",
+    "hybrid_retrieval",
+    # r5-stale tier, registry order (fills the ~50 budget)
+    "split_explode",
+    "inner_join_using",
+    "window_sum",
+    "conditional_window_sum",
+    "dedup_first_order",
+    "groupby_count",
+    "quantiles_per_group",
+    "category_rules",
+    "approx_distinct_users",
+    "approx_quantiles_events",
+    "heavy_hitters_cms",
+    "quantile_sketch_merge",
+    "corpus_release_report",
+    "events_gapfill",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

@@ -18,15 +18,40 @@ TPCH_TABLES = [
 ]
 
 
-# (sf_dir, name) -> inferred StructType. Every bare ``spark.read.parquet``
-# runs a one-task footer/schema-inference JOB before any action; a gate or
-# bench session reads the same ten tables hundreds of times, so the schema
-# is inferred once per path and DECLARED on every later read (declared
-# schemas skip the inference job entirely — the same contract read_files
-# documents for json/csv, and what a catalog provides at warehouse scale).
-# Keyed by path, populated only from Spark's own inference over that path,
-# so a hit can never disagree with what inference would have returned.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+# (sf_dir, name, freshness) -> inferred StructType. Every bare
+# ``spark.read.parquet`` runs a one-task footer/schema-inference JOB before
+# any action; a gate or bench session reads the same ten tables hundreds of
+# times, so the schema is inferred once per path and DECLARED on every
+# later read (declared schemas skip the inference job entirely — the same
+# contract read_files documents for json/csv, and what a catalog provides
+# at warehouse scale). Keyed by path PLUS a freshness token (mtime+size of
+# the file, or of its part files for a directory — ADVICE r7): a table
+# rewritten at the same path with a different schema gets a cache MISS and
+# fresh inference instead of silently declaring the stale schema.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _freshness_token(path: str) -> tuple:
+    """Cheap stat-based change detector for a parquet file or directory of
+    part files. Any rewrite (mtime), truncation/growth (size), or part-file
+    add/remove (count) changes the token; no data pages are read."""
+    import os
+
+    if os.path.isdir(path):
+        stats = sorted(
+            (f, os.stat(os.path.join(path, f)).st_mtime_ns, os.stat(os.path.join(path, f)).st_size)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return ("dir", tuple(stats))
+    st = os.stat(path)
+    return ("file", st.st_mtime_ns, st.st_size)
+
+
+def clear_schema_cache() -> None:
+    """Invalidate all cached schemas — for code that rewrites tables in
+    place within one process (test fixtures, regenerated testdata)."""
+    _SCHEMA_CACHE.clear()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,12 +69,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which require TIMESTAMP, whatever the physical encoding was."""
     from pyspark.sql import functions as F, types as T
 
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, _freshness_token(path))
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
-        df = spark.read.schema(cached).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(cached).parquet(path)
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
+        for stale in [k for k in _SCHEMA_CACHE if k[:2] == (sf_dir, name)]:
+            del _SCHEMA_CACHE[stale]  # one live token per table: rewrites don't leak entries
         _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         ts_type = df.schema["ts"].dataType
@@ -78,8 +106,12 @@ def footer_row_count(sf_dir: str, name: str) -> int:
     so DuckDB oracles sized from ``COUNT(*) OVER ()`` agree), and at
     warehouse scale the same number comes from catalog statistics instead.
 
-    Handles both layouts the testdata uses: a single ``<name>.parquet``
-    file and a Spark-written ``<name>.parquet/`` directory of part files.
+    Handles a single ``<name>.parquet`` file, a Spark-written
+    ``<name>.parquet/`` directory of part files, and nested layouts
+    (hive-partitioned ``key=val/part-*.parquet``) via a recursive walk.
+    A directory with NO parquet files raises instead of returning 0
+    (ADVICE r7): plan-time sizing (IVF k, simhash pieces, blocking width)
+    silently collapsing to its floor is worse than failing loudly.
     """
     import os
 
@@ -87,11 +119,18 @@ def footer_row_count(sf_dir: str, name: str) -> int:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
-        )
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"footer_row_count: no .parquet files under {path} — "
+                "plan-time sizing would silently collapse to its floor"
+            )
+        return sum(pq.read_metadata(f).num_rows for f in files)
     return pq.read_metadata(path).num_rows
 
 

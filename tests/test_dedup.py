@@ -605,6 +605,13 @@ def test_spread_global_window_gets_spread(spark, sf_dir):
         "s", F.sum("doc_id").over(Window.partitionBy("source"))
     )
     assert _spread(part_only, "doc_id") is part_only
+    # ADVICE r7: BOTH specs empty (Window.partitionBy() with no orderBy)
+    # renders a single bracket group — it also collapses output to ONE
+    # partition and must NOT be classified as cluster-governed.
+    both_empty = docs.withColumn("s", F.sum("doc_id").over(Window.partitionBy()))
+    out = _spread(both_empty, "doc_id")
+    assert out is not both_empty
+    assert out.rdd.getNumPartitions() == target
 
 
 def test_max_partition_bytes_parses_size_suffixes(spark):

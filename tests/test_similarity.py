@@ -406,3 +406,24 @@ def test_greedy_sweep_zero_vector_kept_and_inert(spark):
     cents = S.stride_centroids(df, 1)
     g = {r["vec_id"]: r["is_semantic_dup"] for r in S.semantic_dedup_greedy(df, cents, threshold=0.9).collect()}
     assert g == {1: False, 2: False, 3: True}
+
+
+def test_ivf_assign_survives_reserved_name_collisions(spark):
+    """ADVICE r7: caller columns literally named ``_nv`` / ``_cents`` must
+    pass through UNCHANGED — the internal norm/centroid-array names are
+    uniquified per call, so they can neither replace a caller column nor
+    make the centroid crossJoin ambiguous."""
+    rows = [(0, [1.0, 0.0], 11.0, "keep0"), (1, [0.0, 1.0], 22.0, "keep1")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, _nv double, _cents string"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = S.ivf_assign(df, cents)
+    assert out.columns == ["vec_id", "embedding", "_nv", "_cents", "cluster_id"]
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert got[0]["_nv"] == 11.0 and got[0]["_cents"] == "keep0"
+    assert got[1]["_nv"] == 22.0 and got[1]["_cents"] == "keep1"
+    assert got[0]["cluster_id"] == 0 and got[1]["cluster_id"] == 1

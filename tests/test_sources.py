@@ -135,3 +135,48 @@ def test_azure_sas_conf_applied(spark, tmp_path):
     # any missing key -> no-op (local file:// runs carry no azure.* keys)
     assert apply_azure_sas(spark, {"azure.sas_key": "x"}) is None
     assert apply_azure_sas(spark, {}) is None
+
+
+def test_footer_row_count_layouts_and_failures(spark, tmp_path, sf_dir):
+    """ADVICE r7: footer_row_count must handle nested (hive-partitioned)
+    layouts recursively and FAIL LOUDLY on a directory with no parquet
+    files — returning 0 would silently collapse plan-time sizing (IVF k,
+    simhash pieces, blocking width) to its floor."""
+    import pytest
+
+    from scala_etl_test_spark.sources.parquet_source import footer_row_count
+
+    # single-file layout (the testdata shape) agrees with COUNT(*)
+    n = footer_row_count(sf_dir, "region")
+    assert n == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # hive-partitioned nested layout: part files live one level down
+    df = spark.range(100).withColumn("k", (F.col("id") % 4).cast("int"))
+    df.write.partitionBy("k").mode("overwrite").parquet(str(tmp_path / "nested.parquet"))
+    assert footer_row_count(str(tmp_path), "nested") == 100
+
+    # empty directory: raise, never return 0
+    (tmp_path / "empty.parquet").mkdir()
+    with pytest.raises(FileNotFoundError, match="no .parquet files"):
+        footer_row_count(str(tmp_path), "empty")
+
+
+def test_schema_cache_detects_rewrite(spark, tmp_path):
+    """ADVICE r7: the declared-schema cache must not survive a table being
+    rewritten at the same path with a different schema — the freshness
+    token (mtime+size of the part files) forces re-inference."""
+    from pyspark.sql import types as T
+
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    d = str(tmp_path)
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(f"{d}/t.parquet")
+    first = read_table(spark, d, "t")
+    assert first.schema == T.StructType([T.StructField("a", T.LongType())])
+    # rewrite in place with a DIFFERENT schema
+    spark.range(3).select(
+        F.col("id").cast("int").alias("b"), F.lit("x").alias("c")
+    ).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    second = read_table(spark, d, "t")
+    assert set(second.columns) == {"b", "c"}, "stale cached schema survived a rewrite"
+    assert second.count() == 3
