@@ -31,7 +31,13 @@ from scala_etl_test_spark.streaming.sketches import (
     stream_absorb_cms,
     streaming_heavy_hitters,
 )
-from scala_etl_test_spark.streaming.cdc import read_state, stream_upsert
+from scala_etl_test_spark.streaming.cdc import (
+    merge_into_bucketed_state,
+    read_state,
+    read_state_bucketed,
+    stream_upsert,
+    stream_upsert_bucketed,
+)
 from scala_etl_test_spark.streaming.transitions import stateful_transitions
 from scala_etl_test_spark.streaming.sources import (
     run_available_now,
@@ -46,13 +52,16 @@ __all__ = [
     "hourly_rollup",
     "init_index",
     "read_merged_cms",
+    "merge_into_bucketed_state",
     "read_state",
+    "read_state_bucketed",
     "run_available_now",
     "stream_absorb_cms",
     "streaming_heavy_hitters",
     "sliding_rollup",
     "stream_incremental_dedup",
     "stream_upsert",
+    "stream_upsert_bucketed",
     "session_windows",
     "stateful_transitions",
     "stateful_user_sessions",

@@ -737,3 +737,118 @@ def test_stream_histogram_quantiles_match_batch_operator(spark, sf_dir, tmp_path
         ).collect()
     }
     assert got == want
+
+
+def test_cdc_bucketed_state_side_has_no_exchange(spark, tmp_path):
+    """VERDICT r7 item 5: when state is maintained bucketed with
+    n_buckets == shuffle.partitions, the per-batch anti-join reads the
+    state CO-LOCATED — exactly ONE Exchange in the plan (the batch-key
+    side), none above the bucketed state scan."""
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = str(tmp_path / "bstate")
+    seed = spark.createDataFrame(
+        [(i, 1, "x") for i in range(200)], "k long, v long, payload string"
+    )
+    merge_into_bucketed_state(spark, seed, d, ["k"], n, "v")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = read_state_bucketed(spark, d)
+        batch_keys = spark.createDataFrame([(3,), (7,)], "k long").distinct()
+        p = (
+            base.join(batch_keys, on=["k"], how="left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in p, p
+        assert "Bucketed: true" in p, f"state scan lost its bucket spec:\n{p}"
+        assert p.count("Exchange") == 1, f"state side re-shuffled:\n{p}"
+        # the semi-join (contested slice of the version-aware path) co-locates too
+        p2 = (
+            base.join(batch_keys, on=["k"], how="left_semi")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in p2 and p2.count("Exchange") == 1, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_streaming_cdc_bucketed_matches_plain(spark, sf_dir, tmp_path):
+    """The bucketed CDC stream must produce EXACTLY the state the plain
+    two-generation stream produces on the same two-batch feed (including
+    version-aware late-arrival handling), while keeping the state table
+    readable through the catalog with its bucket spec."""
+    import os as _os
+    import time as _time
+
+    from scala_etl_test_spark.operators.merge import latest_per_key
+    from scala_etl_test_spark.streaming.cdc import (
+        read_state_bucketed,
+        stream_upsert_bucketed,
+    )
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    half = len(ev) // 2
+    schema = read_table(spark, sf_dir, "events").schema
+    src = tmp_path / "bcdc_src"
+    src.mkdir()
+    table = str(tmp_path / "bcdc_table")
+    ckpt = str(tmp_path / "bcdc_ckpt")
+    base = _time.time() - 100
+
+    def _add(chunk, name, mtime):
+        out = tmp_path / f"_bstage_{name}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(str(out))
+        dst = src / f"{name}.parquet"
+        shutil.copy(next(out.glob("part-*.parquet")), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    _add(ev[:half], "000", base)
+    stream_upsert_bucketed(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], version_col="ts"
+    ).awaitTermination()
+    _add(ev[half:], "001", base + 10)
+    stream_upsert_bucketed(
+        stream_events_parquet(spark, str(src)), table, ckpt, ["user_id"], version_col="ts"
+    ).awaitTermination()
+
+    state = {r["user_id"]: r["event_id"] for r in read_state_bucketed(spark, table).collect()}
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_per_key(spark.createDataFrame(ev, schema), ["user_id"], "ts").collect()
+    }
+    assert state == want
+    # the catalog table the manifest points at carries the bucket spec
+    from scala_etl_test_spark.streaming.cdc import _gen_table, _read_manifest
+
+    desc = spark.sql(f"DESCRIBE EXTENDED {_gen_table(table, _read_manifest(table))}").collect()
+    desc_txt = "\n".join(str(r) for r in desc)
+    assert "user_id" in desc_txt and "Bucket" in desc_txt
+
+
+def test_streaming_cdc_bucketed_late_batch_cannot_regress(spark, tmp_path):
+    """Version-aware winners are resolved over the CONTESTED slice only —
+    a late batch carrying older versions must still lose to newer state."""
+    import datetime as _dt
+
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    d = str(tmp_path / "late_bstate")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def row(eid, day, uid, etype):
+        return (eid, _dt.datetime(2024, 1, day), uid, etype)
+
+    newer = spark.createDataFrame([row(10, 20, 1, "new"), row(11, 20, 2, "new")], schema)
+    merge_into_bucketed_state(spark, newer, d, ["user_id"], 4, "ts")
+    late = spark.createDataFrame([row(1, 5, 1, "old"), row(2, 25, 2, "newest")], schema)
+    merge_into_bucketed_state(spark, late, d, ["user_id"], 4, "ts")
+    state = {r["user_id"]: r["event_type"] for r in read_state_bucketed(spark, d).collect()}
+    assert state == {1: "new", 2: "newest"}

@@ -182,9 +182,50 @@ def stress_cdc(spark, sf_dir: str, out_dir: str) -> dict:
     }
 
 
+def stress_cdc_bucketed(spark, sf_dir: str, out_dir: str) -> dict:
+    """Bucketed-state CDC (VERDICT r7 item 5): same 10-batch feed as the
+    plain twin, state maintained as an external bucketed catalog table.
+    The per-batch JOIN is exchange-free on the state side (plan-gated in
+    tests/test_streaming.py); the per-batch wall still contains the
+    documented linear state REWRITE, so the signal here is (a) walls grow
+    at most linearly while state keys grow 10× and (b) the bucketed twin
+    tracks the plain twin (the co-location is not a regression at small
+    scale and removes the state shuffle at large scale)."""
+    from scala_etl_test_spark.streaming.cdc import (
+        read_state_bucketed,
+        stream_upsert_bucketed,
+    )
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    src = os.path.join(out_dir, "cdcb_src")
+    _build_event_batches(spark, sf_dir, src)
+    table = os.path.join(out_dir, "cdcb_table")
+    q = stream_upsert_bucketed(
+        stream_events_parquet(spark, src, max_files_per_trigger=1),
+        table,
+        os.path.join(out_dir, "cdcb_ckpt"),
+        ["user_id"],
+        version_col="ts",
+    )
+    q.awaitTermination()
+    walls = _batch_walls(q)
+    state_rows = read_state_bucketed(spark, table).count()
+    head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    return {
+        "twin": "cdc_upsert_bucketed",
+        "batches": len(walls),
+        "per_batch_wall_s": [round(w, 2) for w in walls],
+        "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
+        "state_rows": state_rows,
+    }
+
+
+_TWINS = {"dedup": stress_dedup, "cdc": stress_cdc, "cdc_bucketed": stress_cdc_bucketed}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--twin", default="all", choices=["dedup", "cdc", "all"])
+    ap.add_argument("--twin", default="all", choices=[*_TWINS, "all"])
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("out_dir", nargs="?", default="/tmp/stress_streaming")
     ns = ap.parse_args()
@@ -195,10 +236,9 @@ def main() -> int:
     os.makedirs(ns.out_dir, exist_ok=True)
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
-    twins = ["dedup", "cdc"] if ns.twin == "all" else [ns.twin]
+    twins = list(_TWINS) if ns.twin == "all" else [ns.twin]
     for t in twins:
-        result = (stress_dedup if t == "dedup" else stress_cdc)(spark, ns.sf_dir, ns.out_dir)
-        print(json.dumps(result))
+        print(json.dumps(_TWINS[t](spark, ns.sf_dir, ns.out_dir)))
     return 0
 
 
