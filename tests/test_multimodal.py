@@ -85,3 +85,96 @@ def test_resize_real_codec_is_marked_stub(spark):
     )
     with pytest.raises(Exception, match="codecs unavailable|NotImplementedError"):
         resize_media(media, use_real_codec=True).collect()
+
+
+def _png(width, height, color_type=6, bit_depth=8):
+    """Build a REAL (spec-valid, zlib-deflated, CRC'd) non-interlaced PNG
+    with stdlib only — what PIL would write for small RGB/RGBA/gray images."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = b"".join(
+        b"\x00"  # filter: None
+        + bytes((x * 37 + y * 11 + c * 5) % 256 for x in range(width) for c in range(channels))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_real_png():
+    """VERDICT r7 item 7: the real-codec image branch is LIVE for PNG on
+    the stdlib alone — dimensions from IHDR, pixel stream inflated and
+    length-verified (an integrity check, not a header sniff)."""
+    assert M.decode_media(_png(1, 1), "image", "image/png") == {
+        "width": 1, "height": 1, "n_frames": 1,
+    }
+    assert M.decode_media(_png(3, 2, color_type=2), "image", "image/png") == {
+        "width": 3, "height": 2, "n_frames": 1,
+    }
+    assert M.decode_media(_png(5, 4, color_type=0), "image", "image/png") == {
+        "width": 5, "height": 4, "n_frames": 1,
+    }
+
+
+def test_decode_media_rejects_corrupt_png():
+    import pytest as _pytest
+
+    good = _png(4, 4)
+    # lie about the dimensions: IHDR says 8x8 but the pixel stream is 4x4
+    import struct
+
+    tampered = good[:16] + struct.pack(">II", 8, 8) + good[24:]
+    with _pytest.raises(ValueError, match="corrupt PNG pixel stream"):
+        M.decode_media(tampered, "image", "image/png")
+    # not a PNG at all (and no PIL in this container): still a marked stub
+    if M._PILImage is None:
+        with _pytest.raises(NotImplementedError):
+            M.decode_media(b"\xff\xd8\xff jpeg-ish", "image", "image/jpeg")
+
+
+def test_extract_features_real_codec_over_real_pngs(spark):
+    """End-to-end: use_real_codec=True through the Arrow mapInPandas batch
+    succeeds on a column of real PNG payloads (the r7 stub gate flipped)."""
+    rows = [
+        (1, "image", _png(1, 1), "image/png", 1, 1, 1),
+        (2, "image", _png(6, 3, color_type=2), "image/png", 6, 3, 1),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_features(df, use_real_codec=True).collect()}
+    assert len(out) == 2
+    assert out[1]["byte_len"] == len(_png(1, 1))
+    assert len(out[2]["features"]) == 16
+
+
+def test_decode_media_png_property():
+    """Property: any spec-valid non-interlaced PNG (random small dims ×
+    gray/RGB/RGBA) decodes to exactly its IHDR dimensions."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        ct=st.sampled_from([0, 2, 6]),
+    )
+    def check(w, h, ct):
+        got = M.decode_media(_png(w, h, color_type=ct), "image", "image/png")
+        assert got == {"width": w, "height": h, "n_frames": 1}
+
+    check()
