@@ -15,13 +15,18 @@ in ANY registered query's physical plan, with no allowlist:
   ``MapInPandas`` / ``FlatMapGroupsInPandas``), which move columnar
   batches, not pickled rows.
 
-``BroadcastNestedLoopJoin`` itself is NOT gated: with a 1-row build side
-it is the correct scalar-join plan (measured: 33 registry queries use it
-exactly this way), and its row-count is a runtime property a static plan
-string cannot verify.
+``BroadcastNestedLoopJoin`` IS gated, structurally: a BNLJ is legal only
+when its build side is provably bounded — a global aggregate (exactly one
+row), a limit ≤ 1, a ≤1-row local relation, a small ``Range``/literal
+grid, or (by named allowlist, because the bound is a cardinality
+assumption the plan cannot prove) a GROUPED aggregate whose key is a
+documented low-cardinality dimension (sources, gate checks, sketch
+columns). A BNLJ whose build bottoms out in a raw scan or a join is the
+unguarded-cross failure mode and has no allowlist.
 
 This pins in CI what VERDICT r7's manual anti-pattern scan verified by
-hand ("zero row UDFs, zero unguarded cartesians").
+hand ("zero row UDFs, zero unguarded cartesians"), upgraded from
+"documented as 1-row" to "verified from the plan tree".
 """
 
 from __future__ import annotations
@@ -32,13 +37,121 @@ from scala_etl_test_spark.plans.queries import QUERIES
 
 FORBIDDEN_NODES = ("CartesianProduct", "BatchEvalPython")
 
+# BNLJ builds that are GROUPED aggregates or driver-literal tables: bounded
+# by a documented low-cardinality dimension, not provable from the plan.
+BNLJ_BOUNDED_BY_DESIGN: dict[str, str] = {
+    "source_overlap_matrix": "per-source sketch table (|sources| rows)",
+    "corpus_release_report": "per-check gate rows + per-source sketches",
+    "quality_filter_sweep": "per-threshold sweep grid",
+    "quantile_sketch_merge": "per-column merged-sketch rows",
+    "approx_overlap_sketch": "nested cross of two 1-row sketch scalars",
+    "pareto_revenue": "literal cutoff-threshold table (createDataFrame)",
+}
+
+
+def _children(node):
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    if name == "InMemoryTableScan":  # recurse into the cached plan
+        try:
+            return [node.relation().cachedPlan()]
+        except Exception:
+            return []
+    if name == "ReusedExchange":
+        try:
+            return [node.child()]
+        except Exception:
+            return []
+    return [node.children().apply(i) for i in range(node.children().length())]
+
+
+def _walk(node, out=None):
+    if out is None:
+        out = []
+    out.append(node)
+    for c in _children(node):
+        _walk(c, out)
+    return out
+
+
+def _classify_build(node):
+    """Classify a BNLJ build subtree by walking its single-child spine:
+    'scalar' (provably ≤1 row), 'bounded' (small plan-time-known literal),
+    'by_design' (grouped agg / literal table — needs the allowlist), or
+    'fail' (raw scan / join / anything unbounded)."""
+    while True:
+        name = node.nodeName()
+        if "Aggregate" in name:
+            try:
+                grouped = node.groupingExpressions().length() > 0
+            except Exception:
+                grouped = True
+            return ("by_design", f"{name} grouped") if grouped else ("scalar", name)
+        if name in ("GlobalLimit", "LocalLimit"):
+            try:
+                if node.limit() <= 1:
+                    return "scalar", "limit<=1"
+            except Exception:
+                pass
+        if name == "LocalTableScan":
+            try:
+                sz = node.rows().size()
+            except Exception:
+                sz = 2
+            return ("scalar", "1-row local") if sz <= 1 else ("bounded", f"local {sz} rows")
+        if name == "Range":
+            try:
+                ne = int(str(node.numElements()))
+            except Exception:
+                return "fail", "range of unknown size"
+            return ("bounded", f"range {ne}") if ne <= 4096 else ("fail", f"range {ne}")
+        if name == "Scan ExistingRDD":
+            return "by_design", "driver-literal table"
+        if "BroadcastNestedLoop" in name:
+            sub = [_classify_build(node.left())[0], _classify_build(node.right())[0]]
+            if all(c != "fail" for c in sub):
+                return "by_design", "nested scalar cross"
+            return "fail", "nested BNLJ over unbounded side"
+        kids = _children(node)
+        if len(kids) != 1:
+            return "fail", f"bottoms out at {name} ({len(kids)} children)"
+        node = kids[0]
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan_str = qe.executedPlan().toString()
     for node in FORBIDDEN_NODES:
-        assert node not in plan, (
+        assert node not in plan_str, (
             f"{name} plans a {node} — an unguarded all-pairs join or a "
-            f"row-at-a-time Python UDF cannot ship at scale:\n{plan}"
+            f"row-at-a-time Python UDF cannot ship at scale:\n{plan_str}"
         )
+    for n in _walk(qe.executedPlan()):
+        if "BroadcastNestedLoop" not in n.nodeName():
+            continue
+        side = n.buildSide().toString()
+        build = n.left() if "Left" in side else n.right()
+        cls, detail = _classify_build(build)
+        if cls in ("scalar", "bounded"):
+            continue
+        if cls == "by_design":
+            assert name in BNLJ_BOUNDED_BY_DESIGN, (
+                f"{name} broadcasts a cardinality-bound build ({detail}) in a "
+                "BNLJ without a BNLJ_BOUNDED_BY_DESIGN entry — add it with "
+                "the dimension that bounds it, or make the build scalar"
+            )
+            continue
+        pytest.fail(
+            f"{name} plans a BroadcastNestedLoopJoin whose build side is "
+            f"UNBOUNDED ({detail}) — this is an unguarded cross at scale:\n"
+            + plan_str
+        )
+
+
+def test_bnlj_allowlist_names_are_registered():
+    assert set(BNLJ_BOUNDED_BY_DESIGN) <= set(QUERIES), sorted(
+        set(BNLJ_BOUNDED_BY_DESIGN) - set(QUERIES)
+    )
