@@ -427,3 +427,30 @@ def test_ivf_assign_survives_reserved_name_collisions(spark):
     assert got[0]["_nv"] == 11.0 and got[0]["_cents"] == "keep0"
     assert got[1]["_nv"] == 22.0 and got[1]["_cents"] == "keep1"
     assert got[0]["cluster_id"] == 0 and got[1]["cluster_id"] == 1
+
+
+def test_ivf_assignment_prunes_as_write_time_partition_key(spark, sf_dir, tmp_path):
+    """The 100 TB story the IVF docstrings claim, pinned: write the
+    assigned corpus partitioned by ``cluster_id`` and a single-cell probe
+    becomes storage-aligned PARTITION PRUNING — the scan's
+    PartitionFilters carry the cell predicate, so 1/k of the data is
+    listed before any row filtering (at scale: nprobe cells of an IVF
+    search read only their directories)."""
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = S.stride_centroids(emb, 4)
+    assigned = S.ivf_assign(emb, cents)
+    d = str(tmp_path / "ivf_parts")
+    assigned.write.partitionBy("cluster_id").parquet(d)
+
+    probe = spark.read.parquet(d).filter(F.col("cluster_id") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "cluster_id" in m.group(1) and "= 2" in m.group(1), plan
+    # the pruned read returns exactly the cell's rows
+    want = assigned.filter(F.col("cluster_id") == 2).count()
+    assert probe.count() == want > 0
