@@ -177,3 +177,43 @@ def dedup_keep_representative(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def forget_documents(
+    df: DataFrame,
+    optout: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Right-to-be-forgotten with CONTENT closure (beyond-reference;
+    GDPR/CCPA erasure for a training corpus): drop every opted-out
+    document AND every member of its near-dup cluster — a retained
+    duplicate of an opted-out document retains the content the request
+    was about, so id-level deletion alone does not erase.
+
+    Shape: the opt-out list is request-sized (tiny next to the corpus) —
+    it broadcasts into a semi-join against the (node, component) table,
+    the doomed components fan out to their members via one more
+    cluster-keyed join, and the corpus is filtered with a single
+    left-anti join on id. The corpus itself is scanned once and never
+    shuffled; all join keys are the id/component columns of node-sized
+    tables. The doomed-member fan-out is deliberately NOT hint-broadcast:
+    one viral opt-out cluster could exceed the threshold, and the planner
+    picks broadcast itself when the closure is small.
+    """
+    opt_ids = optout.select(F.col(optout.columns[0]).alias("node")).distinct()
+    comp = connected_components(pairs, src, dst)
+    doomed = (
+        comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
+        .select("component")
+        .distinct()
+    )
+    doomed_members = comp.join(doomed, on="component", how="left_semi").select(
+        F.col("node").alias(id_col)
+    )
+    forget_ids = doomed_members.unionByName(
+        opt_ids.select(F.col("node").alias(id_col))
+    ).distinct()
+    return df.join(forget_ids, on=id_col, how="left_anti")

@@ -1089,6 +1089,39 @@ SELECT node, component FROM comp
 """
 
 
+def q_forget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten with content closure
+    (operators/cluster.py:forget_documents): a deterministic opt-out list
+    (doc_id % 97 == 0 — request-sized) is erased TOGETHER with every
+    member of each opted-out document's near-dup cluster, because a
+    retained duplicate retains the content. Returns the surviving corpus
+    ids; oracle recomputes the same closure with the shared recursive-CTE
+    component prefix."""
+    from scala_etl_test_spark.operators.cluster import forget_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    optout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return forget_documents(docs, optout, pairs).select("doc_id", "source")
+
+
+SQL_FORGET_DOCUMENTS = f"""
+WITH RECURSIVE {_cc_ctes()},
+optout AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+doomed AS (
+  SELECT DISTINCT component FROM comp
+  WHERE node IN (SELECT doc_id FROM optout)
+), forget AS (
+  SELECT doc_id FROM optout
+  UNION
+  SELECT node AS doc_id FROM comp
+  WHERE component IN (SELECT component FROM doomed)
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM forget)
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: near-dup cluster → drop non-
     representatives → language ID + quality scoring + token counting →
@@ -3820,6 +3853,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_sweep": q_quality_filter_sweep,
     "oov_rate": q_oov_rate,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "forget_documents": q_forget_documents,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3901,4 +3935,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "quality_filter_sweep": SQL_QUALITY_FILTER_SWEEP,
     "oov_rate": SQL_OOV_RATE,
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
+    "forget_documents": SQL_FORGET_DOCUMENTS,
 }

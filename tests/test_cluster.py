@@ -123,3 +123,66 @@ def test_copurchase_pairs_hand_case(spark, tmp_path):
     got = q_copurchase_pairs(spark, str(tmp_path)).collect()
     assert [(r["p1"], r["p2"], r["support"]) for r in got] == [(1, 2, 3)]
     assert got[0]["lift"] == 1.0
+
+
+def test_forget_documents_erases_whole_cluster(spark):
+    """Opting out ONE member of a near-dup cluster erases the whole
+    cluster (a retained duplicate retains the content); singleton
+    opt-outs erase only themselves; untouched clusters survive whole."""
+    from scala_etl_test_spark.operators.cluster import forget_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(1, 10)], "doc_id long, source string"
+    )
+    # clusters: {1,2,3} (chain), {4,5}; 6..9 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    optout = spark.createDataFrame([(2,), (7,)], "doc_id long")
+    kept = {r["doc_id"] for r in forget_documents(docs, optout, pairs).collect()}
+    # 2 opted out -> 1,2,3 all erased; 7 opted out (singleton) -> just 7
+    assert kept == {4, 5, 6, 8, 9}
+
+
+def test_forget_documents_no_optouts_is_identity(spark):
+    from scala_etl_test_spark.operators.cluster import forget_documents
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    optout = spark.createDataFrame([], "doc_id long")
+    kept = {r["doc_id"] for r in forget_documents(docs, optout, pairs).collect()}
+    assert kept == {1, 2}
+
+
+def test_forget_documents_erasure_audit(spark):
+    """Audit property: after forgetting, NO surviving document is a
+    near-dup (pair-connected, transitively) of any opted-out document —
+    the re-scan a deletion-verification gate would run."""
+    from scala_etl_test_spark.operators.cluster import (
+        connected_components,
+        forget_documents,
+    )
+
+    import random
+
+    rng = random.Random(8)
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "src") for i in range(n)], "doc_id long, source string"
+    )
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    optout = spark.createDataFrame([(i,) for i in range(0, n, 13)], "doc_id long")
+    kept = forget_documents(docs, optout, pairs)
+    comp = connected_components(pairs)
+    comp_of = {r["node"]: r["component"] for r in comp.collect()}
+    opted = {r["doc_id"] for r in optout.collect()}
+    doomed_comps = {comp_of[o] for o in opted if o in comp_of}
+    for r in kept.collect():
+        did = r["doc_id"]
+        assert did not in opted
+        assert comp_of.get(did) not in doomed_comps
