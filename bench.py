@@ -95,6 +95,11 @@ HEADLINE = [
     # unfiltered version at a 63× wall ratio) — benched so the exact-dedup
     # path's cost stays visible next to the minhash approximation it backs up
     "dedup_prefix_jaccard",
+    # round-8: right-to-be-forgotten with near-dup content closure (CC
+    # rounds + broadcast semi/anti joins) — the erasure path a corpus
+    # operator runs on every deletion request, benched like the other
+    # cluster-backed composites
+    "forget_documents",
 ]
 
 

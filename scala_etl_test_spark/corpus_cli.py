@@ -6,7 +6,7 @@ one parquet table per artifact:
 
     python -m scala_etl_test_spark.corpus_cli --data <dir> --out <dir> \
         [--split train=0.8,val=0.1,test=0.1] [--min-quality 0.5] \
-        [--redact-pii] [--max-top-ngram-frac 0.3]
+        [--redact-pii] [--max-top-ngram-frac 0.3] [--forget-ids <parquet>]
 
 Artifacts:
 - ``corpus_clean/``   — deduplicated + quality-gated docs with lang/quality/
@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> None:
         help="write the document-corpus governance gates (dup rate, quality "
         "retention, OOV, cross-source leakage) to {out}/release_report",
     )
+    parser.add_argument(
+        "--forget-ids",
+        default=None,
+        metavar="PARQUET",
+        help="parquet path with a doc_id column: erase these documents AND "
+        "every member of their near-dup clusters (content closure) from "
+        "every artifact — corpus_clean, splits, mixture, tokenizer",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -95,6 +103,17 @@ def main(argv: list[str] | None = None) -> None:
     pairs = q_dedup_minhash_pairs(spark, args.data).persist()
     comp = connected_components(pairs)
     comp.write.mode("overwrite").parquet(f"{args.out}/dedup_clusters")
+
+    if args.forget_ids is not None:
+        # erase BEFORE any artifact derives from the corpus: the opt-outs
+        # and their whole near-dup clusters (content closure) must be
+        # absent from corpus_clean, splits, mixture, and tokenizer alike.
+        # Pairs were discovered over the FULL corpus first, so duplicates
+        # of an opted-out doc are known and erased with it.
+        from scala_etl_test_spark.operators.cluster import forget_documents
+
+        optout = spark.read.parquet(args.forget_ids).select("doc_id")
+        docs = forget_documents(docs, optout, pairs, components=comp)
 
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

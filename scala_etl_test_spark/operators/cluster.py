@@ -186,6 +186,7 @@ def forget_documents(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Right-to-be-forgotten with CONTENT closure (beyond-reference;
     GDPR/CCPA erasure for a training corpus): drop every opted-out
@@ -202,9 +203,12 @@ def forget_documents(
     tables. The doomed-member fan-out is deliberately NOT hint-broadcast:
     one viral opt-out cluster could exceed the threshold, and the planner
     picks broadcast itself when the closure is small.
+
+    Pass ``components`` (a precomputed (node, component) map over the SAME
+    pairs) to skip the CC rounds — the corpus CLI already has it.
     """
     opt_ids = optout.select(F.col(optout.columns[0]).alias("node")).distinct()
-    comp = connected_components(pairs, src, dst)
+    comp = components if components is not None else connected_components(pairs, src, dst)
     doomed = (
         comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
         .select("component")

@@ -107,3 +107,33 @@ def test_corpus_cli_release_report(spark, sf_dir, tmp_path):
     }
     for name, row in rep.items():
         assert full[name] == (row["value"], row["passed"]), name
+
+
+def test_corpus_cli_forget_ids_erases_closure_everywhere(spark, sf_dir, tmp_path):
+    """--forget-ids: the opt-outs AND their whole near-dup clusters are
+    absent from EVERY artifact (corpus_clean, splits, mixture inputs) —
+    including cluster representatives that plain dedup would have kept."""
+    optout_ids = [0, 97, 194, 291, 388]
+    optout_path = str(tmp_path / "optout")
+    spark.createDataFrame([(i,) for i in optout_ids], "doc_id long").write.parquet(optout_path)
+
+    out = str(tmp_path / "corpus_forget")
+    main(["--data", sf_dir, "--out", out, "--forget-ids", optout_path])
+
+    clusters = spark.read.parquet(f"{out}/dedup_clusters")
+    clean = spark.read.parquet(f"{out}/corpus_clean")
+    splits = spark.read.parquet(f"{out}/splits")
+
+    comp_of = {r["node"]: r["component"] for r in clusters.collect()}
+    doomed_comps = {comp_of[i] for i in optout_ids if i in comp_of}
+    forgotten = set(optout_ids) | {
+        n for n, c in comp_of.items() if c in doomed_comps
+    }
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    split_ids = {r["doc_id"] for r in splits.select("doc_id").collect()}
+    assert not (clean_ids & forgotten), sorted(clean_ids & forgotten)
+    assert not (split_ids & forgotten), sorted(split_ids & forgotten)
+    # and the erasure is minimal: everything outside the closure still has
+    # a split assignment
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(split_ids) == n_docs - len(forgotten)
