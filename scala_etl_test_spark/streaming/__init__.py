@@ -18,6 +18,7 @@ its incremental-ingestion and analytics capabilities:
 from scala_etl_test_spark.streaming.dedup import (
     compact_index,
     dedup_events_within_watermark,
+    forget_from_index,
     init_index,
     stream_incremental_dedup,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "hourly_rollup",
     "init_index",
     "read_merged_cms",
+    "forget_from_index",
     "merge_into_bucketed_state",
     "read_state",
     "read_state_bucketed",

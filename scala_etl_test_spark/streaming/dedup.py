@@ -223,3 +223,103 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def forget_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    optout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    closure_rounds: int = 3,
+    max_bucket: int = 1000,
+) -> dict:
+    """Right-to-be-forgotten for the persisted LSH index — the streaming
+    twin of ``operators/cluster.forget_documents``, with the near-dup
+    CONTENT closure computed FROM THE INDEX ALONE (no document text):
+    the doomed set starts as the opt-out ids and expands through verified
+    near-dup neighbors — a band-bucket probe restricted to the doomed
+    ids' buckets plus exact-Jaccard verification over the STORED shingle
+    sets (``incremental_near_duplicates`` with the doomed rows passed as
+    the pre-built "batch") — iterated to a fixpoint. Near-dup clusters
+    are tiny cliques (diameter 2–3), so ``closure_rounds`` bounds the
+    loop the same way the CC convergence probes do; per-round work is
+    ∝ |doomed| × bucket hit rate, never corpus size, and the per-round
+    count probes are driver-bounded scalars.
+
+    The erased index is written to ``out_dir`` PRESERVING the per-batch
+    ``batch_id=N`` delta layout (the stream's replay guards keep
+    working); the caller swaps directories when ready — the same
+    side-effect-free contract as :func:`compact_index`. This is a
+    maintenance tool, not a plan-build path: it runs bounded jobs by
+    design. Returns ``{"n_optout", "n_forgotten", "rounds"}``.
+    """
+    shingles_full = spark.read.parquet(f"{index_dir}/shingles")
+    bands_full = spark.read.parquet(f"{index_dir}/bands")
+    idx_shingles = shingles_full.drop("batch_id")
+    idx_bands = bands_full.drop("batch_id")
+    empty_docs = spark.createDataFrame([], f"{id_col} BIGINT, {text_col} STRING")
+
+    doomed = (
+        optout.select(F.col(optout.columns[0]).alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_optout = n_doomed = doomed.count()
+    rounds = 0
+    for _ in range(closure_rounds):
+        d_shingles = idx_shingles.join(doomed, on=id_col, how="left_semi").localCheckpoint(
+            eager=True
+        )
+        d_bands = idx_bands.join(doomed, on=id_col, how="left_semi").localCheckpoint(
+            eager=True
+        )
+        pairs = incremental_near_duplicates(
+            empty_docs,
+            idx_shingles,
+            idx_bands,
+            text_col,
+            id_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            new_shingles=d_shingles,
+            new_bands=d_bands,
+        )
+        neighbors = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        doomed = doomed.unionByName(neighbors).distinct().localCheckpoint(eager=True)
+        rounds += 1
+        grown = doomed.count()
+        if grown == n_doomed:
+            break
+        n_doomed = grown
+
+    import os
+
+    for table, full in (("shingles", shingles_full), ("bands", bands_full)):
+        batch_ids = [r["batch_id"] for r in full.select("batch_id").distinct().collect()]
+        for bid in sorted(batch_ids):
+            kept = full.filter(F.col("batch_id") == bid).drop("batch_id").join(
+                doomed, on=id_col, how="left_anti"
+            )
+            _write_delta(kept, f"{out_dir}/{table}", bid)
+        # a fully-erased table can leave zero data files (empty writes may
+        # drop no part files): re-seed the -1 baseline with a single
+        # schema-bearing empty file so later reads never fail inference —
+        # the same guarantee init_index makes for an empty seed
+        has_files = any(
+            f.endswith(".parquet")
+            for root, _dirs, names in os.walk(f"{out_dir}/{table}")
+            for f in names
+        )
+        if not has_files:
+            _write_delta(
+                full.drop("batch_id").limit(0), f"{out_dir}/{table}", -1, single_file=True
+            )
+
+    return {"n_optout": n_optout, "n_forgotten": n_doomed, "rounds": rounds}

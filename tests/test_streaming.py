@@ -852,3 +852,85 @@ def test_streaming_cdc_bucketed_late_batch_cannot_regress(spark, tmp_path):
     merge_into_bucketed_state(spark, late, d, ["user_id"], 4, "ts")
     state = {r["user_id"]: r["event_type"] for r in read_state_bucketed(spark, d).collect()}
     assert state == {1: "new", 2: "newest"}
+
+
+def test_forget_from_index_closure_and_erasure(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten on the persisted LSH index: the closure is
+    computed FROM THE INDEX ALONE (opting out one member of a near-dup
+    cluster dooms its verified neighbors too), every doomed id's shingle
+    and band rows are gone from the erased index, the per-batch delta
+    layout survives, and re-ingesting a COPY of forgotten content finds
+    no pair in the erased index (the content is truly gone) while the
+    same probe against the ORIGINAL index still pairs."""
+    from scala_etl_test_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+    from scala_etl_test_spark.streaming.dedup import forget_from_index, init_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=16, bands=4, rows=4, shingle_n=3)
+    index_dir = str(tmp_path / "fidx")
+    init_index(spark, index_dir, docs, "text", "doc_id", **kw)
+
+    # pick an opt-out that HAS near-dups, from the ground-truth pair set
+    pairs = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.2, **kw)
+    some = pairs.orderBy("id_a", "id_b").first()
+    optout_id, known_dup = some["id_a"], some["id_b"]
+    optout = spark.createDataFrame([(optout_id,)], "doc_id long")
+
+    out_dir = str(tmp_path / "fidx_erased")
+    stats = forget_from_index(
+        spark, index_dir, out_dir, optout, threshold=0.2, max_bucket=10_000
+    )
+    assert stats["n_optout"] == 1
+    assert stats["n_forgotten"] >= 2  # the opt-out plus its verified near-dup(s)
+
+    erased_sh = spark.read.parquet(f"{out_dir}/shingles")
+    erased_bd = spark.read.parquet(f"{out_dir}/bands")
+    # closure members fully erased: the known near-dup's rows are gone too
+    for doomed_id in (optout_id, known_dup):
+        assert erased_sh.filter(F.col("doc_id") == doomed_id).count() == 0
+        assert erased_bd.filter(F.col("doc_id") == doomed_id).count() == 0
+    # layout: batch_id partition column still present and prunable
+    assert "batch_id" in erased_sh.columns and "batch_id" in erased_bd.columns
+    # erasure is minimal: nothing outside the closure was dropped
+    before = spark.read.parquet(f"{index_dir}/shingles")
+    kept_ids = {r["doc_id"] for r in erased_sh.select("doc_id").distinct().collect()}
+    all_ids = {r["doc_id"] for r in before.select("doc_id").distinct().collect()}
+    assert len(all_ids - kept_ids) == stats["n_forgotten"]
+
+    # a copy of the forgotten text re-ingested: no pair in the erased
+    # index, still pairs in the original — content-level erasure, not id
+    copy = docs.filter(F.col("doc_id") == optout_id).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    probe_erased = incremental_near_duplicates(
+        copy, erased_sh.drop("batch_id"), erased_bd.drop("batch_id"),
+        "text", "doc_id", threshold=0.2, **kw,
+    )
+    assert probe_erased.filter(F.col("id_b") != F.col("id_a")).filter(
+        F.col("id_a") < 1_000_000
+    ).count() == 0
+    probe_original = incremental_near_duplicates(
+        copy, before.drop("batch_id"),
+        spark.read.parquet(f"{index_dir}/bands").drop("batch_id"),
+        "text", "doc_id", threshold=0.2, **kw,
+    )
+    assert probe_original.filter(F.col("id_a") < 1_000_000).count() > 0
+
+
+def test_forget_from_index_empty_optout_is_identity(spark, sf_dir, tmp_path):
+    from scala_etl_test_spark.streaming.dedup import forget_from_index, init_index
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    index_dir = str(tmp_path / "fidx2")
+    init_index(spark, index_dir, docs, "text", "doc_id")
+    out_dir = str(tmp_path / "fidx2_erased")
+    stats = forget_from_index(
+        spark, index_dir, out_dir, spark.createDataFrame([], "doc_id long")
+    )
+    assert stats["n_forgotten"] == 0
+    a = spark.read.parquet(f"{index_dir}/shingles")
+    b = spark.read.parquet(f"{out_dir}/shingles")
+    assert a.count() == b.count()
