@@ -4288,6 +4288,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # unchanged code sorts last.  Staleness computed from CORRECTNESS_r*.json
 # (latest round containing each query name).
 _GATE_PRIORITY: list[str] = [
+    # added this round (r8) — no driver row yet
+    "forget_documents",
     # post-certification r7 change (VERDICT r7 "What's missing" #1)
     "embedding_outliers",
     # r2-gated stragglers, twice past the gate budget
