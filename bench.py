@@ -307,7 +307,9 @@ def main() -> None:
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
-        "sf": sf_val,
+        # an unparseable sf dir leaves sf_val as the raw string — cap it so
+        # a long path can never push the summary past the tail window
+        "sf": sf_val if isinstance(sf_val, float) else str(sf_val)[-24:],
         "extended_total": result["extended_total"],
         "extended_n": result["extended_n"],
         "wall_ratio_10x_data": (scaling or {}).get("wall_ratio_10x_data"),
@@ -317,7 +319,9 @@ def main() -> None:
         "solo_retime": solo_retime,
     }
     line = json.dumps(summary)
-    assert len(line) <= 300, f"summary line must stay under the tail window: {len(line)}"
+    if len(line) > 300:  # never die here: a missing summary recreates the
+        # r6/r7 unrecoverable-artifact failure this line exists to close
+        line = json.dumps({"metric": summary["metric"], "value": summary["value"], "unit": "sec"})
     print(line)
 
 

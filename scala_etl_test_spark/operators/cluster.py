@@ -207,7 +207,11 @@ def forget_documents(
     Pass ``components`` (a precomputed (node, component) map over the SAME
     pairs) to skip the CC rounds — the corpus CLI already has it.
     """
-    opt_ids = optout.select(F.col(optout.columns[0]).alias("node")).distinct()
+    # resolve the opt-out id column by NAME when present: a multi-column
+    # request frame whose first column is not the id must not silently
+    # anti-join on wrong values (a no-op erasure on a deletion path)
+    opt_col = id_col if id_col in optout.columns else optout.columns[0]
+    opt_ids = optout.select(F.col(opt_col).alias("node")).distinct()
     comp = components if components is not None else connected_components(pairs, src, dst)
     doomed = (
         comp.join(F.broadcast(opt_ids), on="node", how="left_semi")

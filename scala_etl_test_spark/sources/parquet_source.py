@@ -34,13 +34,22 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 def _freshness_token(path: str) -> tuple:
     """Cheap stat-based change detector for a parquet file or directory of
     part files. Any rewrite (mtime), truncation/growth (size), or part-file
-    add/remove (count) changes the token; no data pages are read."""
+    add/remove (count) changes the token; no data pages are read. The
+    directory branch walks RECURSIVELY (hive-partitioned key=val layouts
+    keep part files one level down — a top-level-only listing would return
+    a constant empty token and never detect a rewrite, the exact
+    stale-schema bug the token exists to prevent)."""
     import os
 
     if os.path.isdir(path):
         stats = sorted(
-            (f, os.stat(os.path.join(path, f)).st_mtime_ns, os.stat(os.path.join(path, f)).st_size)
-            for f in os.listdir(path)
+            (
+                os.path.relpath(os.path.join(root, f), path),
+                os.stat(os.path.join(root, f)).st_mtime_ns,
+                os.stat(os.path.join(root, f)).st_size,
+            )
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
         )
         return ("dir", tuple(stats))

@@ -147,24 +147,67 @@ def stream_upsert(
 
 
 def _state_prefix(table_dir: str) -> str:
-    """Catalog-safe table-name prefix derived from the state directory."""
+    """Catalog-safe table-name prefix derived from the state directory.
+    A short path hash is appended: the non-word squash alone would map
+    distinct directories (``state-a`` vs ``state_a``) to the SAME prefix,
+    and two streams sharing a prefix would clobber each other's
+    generation tables at the same gen number."""
+    import hashlib
     import re
 
-    return "cdc_" + re.sub(r"\W+", "_", str(pathlib.Path(table_dir).resolve())).strip("_").lower()
+    resolved = str(pathlib.Path(table_dir).resolve())
+    squashed = re.sub(r"\W+", "_", resolved).strip("_").lower()
+    return f"cdc_{squashed}_{hashlib.md5(resolved.encode()).hexdigest()[:8]}"
 
 
 def _gen_table(table_dir: str, gen: int) -> str:
     return f"{_state_prefix(table_dir)}_g{gen}"
 
 
+def _write_bucketspec(table_dir: str, key_cols: list[str], num_buckets: int) -> None:
+    import json
+
+    spec = pathlib.Path(table_dir) / "BUCKETSPEC"
+    tmp = spec.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"key_cols": list(key_cols), "num_buckets": int(num_buckets)}))
+    tmp.replace(spec)
+
+
+def _ensure_registered(spark: SparkSession, table_dir: str, gen: int) -> str:
+    """Re-register the generation's EXTERNAL bucketed table if the catalog
+    lost it — the default in-memory catalog dies with the process, but the
+    parquet files and the BUCKETSPEC sidecar survive, so a restarted
+    stream (or a fresh session calling read_state_bucketed) can rebuild
+    the registration and keep the co-located plan. Without this, resuming
+    from a checkpoint would crash on TABLE_OR_VIEW_NOT_FOUND even though
+    the state files exist."""
+    import json
+
+    name = _gen_table(table_dir, gen)
+    if spark.catalog.tableExists(name):
+        return name
+    spec = json.loads((pathlib.Path(table_dir) / "BUCKETSPEC").read_text())
+    gen_dir = _gen_dir(table_dir, gen)
+    ddl = spark.read.parquet(gen_dir)._jdf.schema().toDDL()
+    keys = ", ".join(f"`{k}`" for k in spec["key_cols"])
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {spec['num_buckets']} BUCKETS LOCATION '{gen_dir}'"
+    )
+    return name
+
+
 def read_state_bucketed(spark: SparkSession, table_dir: str) -> DataFrame | None:
     """Current bucketed state (the generation the MANIFEST points at),
     read THROUGH THE CATALOG so the planner sees the bucket spec — a bare
-    ``spark.read.parquet`` over the same files would forget it."""
+    ``spark.read.parquet`` over the same files would forget it. Survives
+    process restarts: a missing catalog entry is rebuilt from the
+    BUCKETSPEC sidecar (see :func:`_ensure_registered`)."""
     gen = _read_manifest(table_dir)
     if gen < 0:
         return None
-    return spark.table(_gen_table(table_dir, gen))
+    return spark.table(_ensure_registered(spark, table_dir, gen))
 
 
 def merge_into_bucketed_state(
@@ -185,7 +228,7 @@ def merge_into_bucketed_state(
     if current_gen < 0:
         merged = collapsed
     else:
-        base = spark.table(_gen_table(table_dir, current_gen))
+        base = spark.table(_ensure_registered(spark, table_dir, current_gen))
         batch_keys = collapsed.select(*keys).distinct()
         survivors = base.join(batch_keys, on=keys, how="left_anti")
         if version_col is not None:
@@ -207,6 +250,9 @@ def merge_into_bucketed_state(
         num_buckets,
         path=_gen_dir(table_dir, new_gen),
     )
+    # sidecar before the pointer flip: a restarted process must be able to
+    # re-register whatever generation the MANIFEST points at
+    _write_bucketspec(table_dir, keys, num_buckets)
     _write_manifest(table_dir, new_gen)
     # keep-last-2 pruning: pointer target and its predecessor survive
     for old in pathlib.Path(table_dir).glob("gen=*"):

@@ -254,7 +254,12 @@ def forget_from_index(
     working); the caller swaps directories when ready — the same
     side-effect-free contract as :func:`compact_index`. This is a
     maintenance tool, not a plan-build path: it runs bounded jobs by
-    design. Returns ``{"n_optout", "n_forgotten", "rounds"}``.
+    design. Returns ``{"n_optout", "n_forgotten", "rounds", "converged"}``
+    — ``converged=False`` means the doomed set was STILL GROWING when
+    ``closure_rounds`` ran out (a longer-than-expected near-dup chain):
+    the erasure is then a truncated closure and the caller must re-run
+    with a higher bound (or treat it as a failed deletion request) rather
+    than trust the audit.
     """
     shingles_full = spark.read.parquet(f"{index_dir}/shingles")
     bands_full = spark.read.parquet(f"{index_dir}/bands")
@@ -262,13 +267,15 @@ def forget_from_index(
     idx_bands = bands_full.drop("batch_id")
     empty_docs = spark.createDataFrame([], f"{id_col} BIGINT, {text_col} STRING")
 
+    opt_col = id_col if id_col in optout.columns else optout.columns[0]
     doomed = (
-        optout.select(F.col(optout.columns[0]).alias(id_col))
+        optout.select(F.col(opt_col).alias(id_col))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n_optout = n_doomed = doomed.count()
     rounds = 0
+    converged = False
     for _ in range(closure_rounds):
         d_shingles = idx_shingles.join(doomed, on=id_col, how="left_semi").localCheckpoint(
             eager=True
@@ -276,10 +283,18 @@ def forget_from_index(
         d_bands = idx_bands.join(doomed, on=id_col, how="left_semi").localCheckpoint(
             eager=True
         )
+        # The doomed rows are the probe "batch", so they must be EXCLUDED
+        # from the index side — the probe unions index+new, and duplicated
+        # (id, sh_h)/(id, band) rows violate _pair_overlap's distinct-rows
+        # precondition: size_a/n_common double, inflating Jaccard past the
+        # threshold (over-erasure of clean neighbors) while inflated
+        # bucket_size trips the max_bucket cap (true near-dups silently
+        # surviving erasure). Same hazard the stream's batch_id < N replay
+        # guard exists for (stream_incremental_dedup).
         pairs = incremental_near_duplicates(
             empty_docs,
-            idx_shingles,
-            idx_bands,
+            idx_shingles.join(doomed, on=id_col, how="left_anti"),
+            idx_bands.join(doomed, on=id_col, how="left_anti"),
             text_col,
             id_col,
             threshold=threshold,
@@ -296,6 +311,7 @@ def forget_from_index(
         rounds += 1
         grown = doomed.count()
         if grown == n_doomed:
+            converged = True  # a fixpoint round: the closure is complete
             break
         n_doomed = grown
 
@@ -322,4 +338,9 @@ def forget_from_index(
                 full.drop("batch_id").limit(0), f"{out_dir}/{table}", -1, single_file=True
             )
 
-    return {"n_optout": n_optout, "n_forgotten": n_doomed, "rounds": rounds}
+    return {
+        "n_optout": n_optout,
+        "n_forgotten": n_doomed,
+        "rounds": rounds,
+        "converged": converged or n_optout == 0,
+    }

@@ -186,3 +186,17 @@ def test_forget_documents_erasure_audit(spark):
         did = r["doc_id"]
         assert did not in opted
         assert comp_of.get(did) not in doomed_comps
+
+
+def test_forget_documents_resolves_optout_column_by_name(spark):
+    """Regression (round-8 review): a multi-column opt-out frame whose
+    FIRST column is not the id must still erase by doc_id — positional
+    selection would silently anti-join on wrong values (a no-op erasure
+    on a deletion path)."""
+    from scala_etl_test_spark.operators.cluster import forget_documents
+
+    docs = spark.createDataFrame([(i, "s") for i in range(1, 6)], "doc_id long, source string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    optout = spark.createDataFrame([("req-7", 2)], "request_id string, doc_id long")
+    kept = {r["doc_id"] for r in forget_documents(docs, optout, pairs).collect()}
+    assert kept == {3, 4, 5}

@@ -180,3 +180,22 @@ def test_schema_cache_detects_rewrite(spark, tmp_path):
     second = read_table(spark, d, "t")
     assert set(second.columns) == {"b", "c"}, "stale cached schema survived a rewrite"
     assert second.count() == 3
+
+
+def test_schema_cache_detects_partitioned_rewrite(spark, tmp_path):
+    """Regression (round-8 review): the freshness token must walk
+    hive-partitioned layouts recursively — a top-level-only listing
+    yields a constant empty token and never detects the rewrite."""
+    from scala_etl_test_spark.sources.parquet_source import read_table
+
+    d = str(tmp_path)
+    spark.range(8).select(
+        F.col("id").alias("a"), (F.col("id") % 2).cast("int").alias("k")
+    ).write.partitionBy("k").parquet(f"{d}/pt.parquet")
+    first = read_table(spark, d, "pt")
+    assert set(first.columns) == {"a", "k"}
+    spark.range(4).select(
+        F.lit("x").alias("b"), (F.col("id") % 2).cast("int").alias("k")
+    ).write.partitionBy("k").mode("overwrite").parquet(f"{d}/pt.parquet")
+    second = read_table(spark, d, "pt")
+    assert set(second.columns) == {"b", "k"}, "stale schema survived a partitioned rewrite"

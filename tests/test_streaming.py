@@ -934,3 +934,70 @@ def test_forget_from_index_empty_optout_is_identity(spark, sf_dir, tmp_path):
     a = spark.read.parquet(f"{index_dir}/shingles")
     b = spark.read.parquet(f"{out_dir}/shingles")
     assert a.count() == b.count()
+
+
+def test_forget_from_index_no_double_count_inflation(spark, tmp_path):
+    """Regression (round-8 review): the doomed rows are the probe batch
+    and MUST be excluded from the index side of the closure probe —
+    leaving them in unions duplicate (id, shingle) rows into the Jaccard
+    verification, inflating size_a and n_common so a NON-duplicate
+    neighbor crosses the threshold and gets over-erased. Pinned corpus:
+    A–B true Jaccard 6/14 ≈ 0.43 (below threshold 0.5; the duplicated
+    form would read 12/18 ≈ 0.67), A–C 0.818 (a true near-dup)."""
+    from scala_etl_test_spark.streaming.dedup import forget_from_index, init_index
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, shared + " a1 a2 a3 a4"), (2, shared + " b1 b2 b3 b4"), (3, shared + " a1 a2 a3 c1")],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "dc_idx")
+    init_index(spark, index_dir, docs, "text", "doc_id", num_hashes=16, bands=16, rows=1)
+    out_dir = str(tmp_path / "dc_erased")
+    stats = forget_from_index(
+        spark, index_dir, out_dir,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        threshold=0.5, closure_rounds=3,
+    )
+    assert stats["converged"] is True
+    assert stats["n_forgotten"] == 2  # A and its TRUE near-dup C; never B
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_dir}/shingles").select("doc_id").distinct().collect()
+    }
+    assert kept == {2}, f"over-erasure: non-duplicate doc 2 must survive, kept={kept}"
+
+
+def test_cdc_bucketed_state_survives_catalog_loss(spark, tmp_path):
+    """Regression (round-8 review): the default in-memory catalog dies
+    with the process, but the state parquet + BUCKETSPEC sidecar survive —
+    a resumed stream (or fresh session) must re-register the generation
+    table and keep merging, not crash on TABLE_OR_VIEW_NOT_FOUND."""
+    from scala_etl_test_spark.streaming.cdc import (
+        _gen_table,
+        _read_manifest,
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    d = str(tmp_path / "restart_state")
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, v long, p string")
+    merge_into_bucketed_state(spark, b1, d, ["k"], 4, "v")
+    # simulate process restart: catalog gone, files + sidecar remain
+    spark.sql(f"DROP TABLE IF EXISTS {_gen_table(d, _read_manifest(d))}")
+    state = read_state_bucketed(spark, d)
+    assert {tuple(r) for r in state.collect()} == {(1, 10, "a"), (2, 10, "b")}
+    # and the next merge reads the re-registered base with its bucket spec
+    spark.sql(f"DROP TABLE IF EXISTS {_gen_table(d, _read_manifest(d))}")
+    b2 = spark.createDataFrame([(2, 20, "B"), (3, 5, "c")], "k long, v long, p string")
+    merge_into_bucketed_state(spark, b2, d, ["k"], 4, "v")
+    got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "B"), (3, 5, "c")}
+
+
+def test_cdc_state_prefix_no_collisions(tmp_path):
+    """state-a and state_a must not share a catalog prefix (they would
+    clobber each other's generation tables at the same gen number)."""
+    from scala_etl_test_spark.streaming.cdc import _state_prefix
+
+    assert _state_prefix(str(tmp_path / "state-a")) != _state_prefix(str(tmp_path / "state_a"))
