@@ -179,6 +179,42 @@ def dedup_keep_representative(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def forget_closure_ids(
+    optout: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """The erasure CLOSURE shared by every persisted-artifact forget path
+    (batch corpus, LSH index, IVF corpus, PQ code tables): expand a
+    request-sized opt-out list to every member of each opted-out id's
+    near-dup cluster, returned as a single-column (``id_col``) DataFrame.
+
+    Shape: the opt-out list broadcasts into a semi-join against the
+    (node, component) table, doomed components fan out to members via one
+    cluster-keyed join. The fan-out is deliberately NOT hint-broadcast:
+    one viral opt-out cluster could exceed the threshold, and the planner
+    picks broadcast itself when the closure is small. Pass ``components``
+    (a precomputed (node, component) map over the SAME pairs) to skip the
+    CC rounds."""
+    opt_col = id_col if id_col in optout.columns else optout.columns[0]
+    opt_ids = optout.select(F.col(opt_col).alias("node")).distinct()
+    comp = components if components is not None else connected_components(pairs, src, dst)
+    doomed = (
+        comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
+        .select("component")
+        .distinct()
+    )
+    doomed_members = comp.join(doomed, on="component", how="left_semi").select(
+        F.col("node").alias(id_col)
+    )
+    return doomed_members.unionByName(
+        opt_ids.select(F.col("node").alias(id_col))
+    ).distinct()
+
+
 def forget_documents(
     df: DataFrame,
     optout: DataFrame,
@@ -206,22 +242,12 @@ def forget_documents(
 
     Pass ``components`` (a precomputed (node, component) map over the SAME
     pairs) to skip the CC rounds — the corpus CLI already has it.
+
+    Closure computation lives in :func:`forget_closure_ids` (shared with
+    the IVF/PQ artifact erasure paths); the opt-out id column is resolved
+    by NAME when present so a multi-column request frame whose first
+    column is not the id cannot silently anti-join on wrong values (a
+    no-op erasure on a deletion path).
     """
-    # resolve the opt-out id column by NAME when present: a multi-column
-    # request frame whose first column is not the id must not silently
-    # anti-join on wrong values (a no-op erasure on a deletion path)
-    opt_col = id_col if id_col in optout.columns else optout.columns[0]
-    opt_ids = optout.select(F.col(opt_col).alias("node")).distinct()
-    comp = components if components is not None else connected_components(pairs, src, dst)
-    doomed = (
-        comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
-        .select("component")
-        .distinct()
-    )
-    doomed_members = comp.join(doomed, on="component", how="left_semi").select(
-        F.col("node").alias(id_col)
-    )
-    forget_ids = doomed_members.unionByName(
-        opt_ids.select(F.col("node").alias(id_col))
-    ).distinct()
+    forget_ids = forget_closure_ids(optout, pairs, id_col, src, dst, components)
     return df.join(forget_ids, on=id_col, how="left_anti")

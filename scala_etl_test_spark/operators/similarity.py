@@ -725,3 +725,110 @@ def lloyd_spherical(
             .localCheckpoint()
         )
     return cents
+
+
+def erase_from_assigned(
+    assigned: DataFrame, forget_ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Logical erasure over an IVF-assigned corpus: one broadcast-sized
+    left-anti join on the id — the plan shape :func:`forget_from_ivf`
+    materializes cell-locally on disk. ``forget_ids`` is the CLOSED set
+    (opt-out ids plus near-dup cluster members,
+    :func:`~scala_etl_test_spark.operators.cluster.forget_closure_ids`);
+    closure is computed on the content side (document near-dup pairs) and
+    applied to the vector side, because a retained embedding of erased
+    content still retains the content."""
+    key = id_col if id_col in forget_ids.columns else forget_ids.columns[0]
+    doomed = forget_ids.select(F.col(key).alias(id_col)).distinct()
+    return assigned.join(doomed, on=id_col, how="left_anti")
+
+
+def forget_from_ivf(
+    spark,
+    corpus_path: str,
+    forget_ids: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Right-to-be-forgotten on a PERSISTED IVF ANN corpus — a parquet
+    table written ``partitionBy(cluster_col)`` (the write-time layout
+    :func:`ivf_assign`'s docstring promises) — by CELL-LOCAL rewrite:
+    only the partitions that actually contain a doomed id are rewritten;
+    every other cell's files are left byte-identical on disk. At 100 TB a
+    deletion request touches a handful of cells out of ~√n, so erasure
+    costs O(touched cells), never a corpus rewrite.
+
+    Phases (each leaning on the partition layout):
+
+    1. **Locate** — a column-pruned scan of (id, partition value) only
+       (the partition column is directory metadata, so this reads one
+       physical column), broadcast-semi-joined with the request; the
+       touched-cell list collects to the driver (bounded by the cell
+       count, the same k-row model-metadata class as PQ codebooks).
+    2. **Rewrite** — a PARTITION-PRUNED read of just the touched cells
+       (``PartitionFilters`` carry the IN-list — plan-gated in
+       tests/test_similarity.py), one broadcast left-anti join, staged
+       under ``<corpus>/_erasure_staging`` (underscore-prefixed ⇒
+       invisible to parquet readers) on the SAME filesystem.
+    3. **Swap** — per touched cell: delete the live ``cluster=X`` dir,
+       rename the staged one in (Hadoop FileSystem API, so the same code
+       runs on HDFS/object-store-with-rename). A cell whose rows are ALL
+       doomed stages nothing and its directory is simply deleted —
+       dynamic partition overwrite would silently KEEP such a cell,
+       which is why the swap is explicit. Crash mid-swap leaves already-
+       swapped cells erased and the rest pending (re-running the same
+       request converges); a transactional table format is the
+       production answer for atomicity, as with the CDC generation
+       manifests (streaming/cdc.py).
+
+    Returns per-cell evidence: (cluster, rows_erased, rows_after) with
+    rows_after re-read through the pruned post-swap layout.
+
+    Ref parity: beyond-reference (the reference has no deletion path);
+    closure semantics shared with operators/cluster.py:forget_documents.
+    """
+    key = id_col if id_col in forget_ids.columns else forget_ids.columns[0]
+    doomed = forget_ids.select(F.col(key).alias(id_col)).distinct()
+    corpus = spark.read.parquet(corpus_path)
+    touched_rows = (
+        corpus.select(id_col, cluster_col)
+        .join(F.broadcast(doomed), on=id_col, how="left_semi")
+        .groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("rows_erased"))
+        .collect()
+    )
+    stats_schema = f"{cluster_col} long, rows_erased long, rows_after long"
+    if not touched_rows:
+        return spark.createDataFrame([], stats_schema)
+    cells = [r[cluster_col] for r in touched_rows]
+    erased = {r[cluster_col]: r["rows_erased"] for r in touched_rows}
+
+    survivors = corpus.filter(F.col(cluster_col).isin(cells)).join(
+        F.broadcast(doomed), on=id_col, how="left_anti"
+    )
+    staging = corpus_path.rstrip("/") + "/_erasure_staging"
+    survivors.write.mode("overwrite").partitionBy(cluster_col).parquet(staging)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(corpus_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for c in cells:
+        live = hpath(f"{corpus_path.rstrip('/')}/{cluster_col}={c}")
+        staged = hpath(f"{staging}/{cluster_col}={c}")
+        fs.delete(live, True)
+        if fs.exists(staged):
+            fs.rename(staged, live)
+    fs.delete(hpath(staging), True)
+
+    after = {
+        r[cluster_col]: r["n"]
+        for r in spark.read.parquet(corpus_path)
+        .filter(F.col(cluster_col).isin(cells))
+        .groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(int(c), int(erased[c]), int(after.get(c, 0))) for c in sorted(cells)],
+        stats_schema,
+    )

@@ -4277,73 +4277,71 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first 50 registry entries in insertion order per round.  Round-8 priority
-# (per VERDICT r7 item 1): (1) embedding_outliers -- its cosine evaluation
-# was rewritten onto precomputed norms in the final r7 commit AFTER that
-# round's certification run, so its last driver gate is 3 rounds stale;
-# (2) the two r2-gated stragglers that have missed the ~50 budget twice
-# (they sat at positions 51-52 of the r7 list); (3) the remaining 33
-# entries whose last driver gate is r4, in registry order; (4) the stalest
-# r5-gated entries to fill the budget.  Everything gated green in r5-r7 on
-# unchanged code sorts last.  Staleness computed from CORRECTNESS_r*.json
-# (latest round containing each query name).
+# first ~50 registry entries in insertion order per round.  Round-9
+# priority (per VERDICT r8 item 1): (1) forget_from_ivf — added this
+# round, no driver row yet; (2) the 29 queries whose last driver gate is
+# r5 (3 rounds stale — the judge's hard requirement: all of them green
+# this round), in registry order; (3) the judge-named stalest-r6 entries
+# (dedup_prefix_jaccard, dedup_minhash_pairs, segmentation_rules,
+# validate_normalize, topk_customers), then further r6-gated entries in
+# registry order to fill the ~51 budget.  Everything gated green in
+# r7/r8 on unchanged code sorts last.  Staleness computed from
+# CORRECTNESS_r*.json (latest round containing each query name).
 _GATE_PRIORITY: list[str] = [
-    # added this round (r8) — no driver row yet
-    "forget_documents",
-    # post-certification r7 change (VERDICT r7 "What's missing" #1)
-    "embedding_outliers",
-    # r2-gated stragglers, twice past the gate budget
-    "events_hourly_anomaly",
-    "expect_orders",
-    # r4-stale tier, registry order
-    "events_drift_psi",
-    "sessions_max_concurrency",
-    "events_trend",
-    "copurchase_pairs",
-    "events_sliding_window",
-    "scd2_customer_status",
-    "scd2_asof_enrich",
-    "events_trimmed_stats",
-    "event_transitions",
-    "session_attribution",
-    "full_outer_reconcile",
-    "multimodal_features",
-    "unigram_lm_score",
-    "bm25_topk",
-    "graph_pagerank",
-    "weighted_sample",
-    "dsir_weights",
-    "events_zorder",
-    "ann_multiprobe_topk",
-    "bpe_merges",
-    "kmeans_train",
-    "bigram_lm_score",
-    "pq_codes",
-    "ann_pq_topk",
-    "bpe_encode",
-    "token_budget",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "pmi_collocations",
-    "negative_sampling",
-    "ann_recall_report",
-    "source_kl_divergence",
-    "hybrid_retrieval",
-    # r5-stale tier, registry order (fills the ~50 budget)
-    "split_explode",
-    "inner_join_using",
-    "window_sum",
-    "conditional_window_sum",
-    "dedup_first_order",
-    "groupby_count",
-    "quantiles_per_group",
-    "category_rules",
-    "approx_distinct_users",
-    "approx_quantiles_events",
-    "heavy_hitters_cms",
-    "quantile_sketch_merge",
-    "corpus_release_report",
+    # added this round (r9) — no driver row yet
+    "forget_from_ivf",
+    # r5-stale tier (ALL 29 — VERDICT r8 item 1), registry order
     "events_gapfill",
+    "events_ab_welch",
+    "events_ks_drift",
+    "kanon_audit",
+    "events_lateness_audit",
+    "events_changepoint",
+    "lineitem_corr_matrix",
+    "orders_checksum",
+    "customer_balance_ntiles",
+    "events_ewma",
+    "approx_distinct_sketch_merge",
+    "approx_overlap_sketch",
+    "training_set_pit",
+    "funnel_latency",
+    "event_path_trigrams",
+    "fk_integrity_audit",
+    "pseudonymize_referential",
+    "join_size_profile",
+    "prorate_order_totals",
+    "pareto_revenue",
+    "chunk_dedup",
+    "dedup_snm",
+    "item_cf_neighbors",
+    "graph_triangles",
+    "decontaminate_bloom_audit",
+    "source_overlap_matrix",
+    "quality_filter_sweep",
+    "oov_rate",
+    "cdc_chunk_dedup",
+    # r6-stale tier: judge-named first, then registry order (fills ~51)
+    "dedup_prefix_jaccard",
+    "dedup_minhash_pairs",
+    "segmentation_rules",
+    "validate_normalize",
+    "topk_customers",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "tpch_q6",
+    "semi_join_exists",
+    "anti_join_no_orders",
+    "topk_docs_per_source",
+    "skew_salted_join",
+    "skew_distinct_count",
+    "asof_last_purchase",
+    "tpch_q14",
+    "tpch_q10",
+    "tpch_q18",
+    "events_cube",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

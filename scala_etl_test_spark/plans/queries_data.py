@@ -1122,6 +1122,60 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM forget)
 """
 
 
+def q_forget_from_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure reaching the ANN artifact
+    (operators/similarity.py:erase_from_assigned /
+    operators/cluster.py:forget_closure_ids): the SAME opt-out request as
+    ``forget_documents`` (doc_id % 97 == 0), closed over document near-dup
+    clusters on the CONTENT side, then applied to the VECTOR side — the
+    IVF-assigned embedding corpus (vec_id ↔ doc_id) — because a retained
+    embedding of erased content still retains the content. Returns the
+    surviving (vec_id, cluster_id) index; the persisted-layout twin
+    (cell-local partition rewrite, only touched ``cluster_id=`` dirs) is
+    pinned in tests/test_similarity.py::TestForgetFromIvf."""
+    from scala_etl_test_spark.operators.cluster import forget_closure_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, cent)
+    docs = _t(spark, sf_dir, "documents")
+    optout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    doomed = forget_closure_ids(optout, pairs, "doc_id")
+    return S.erase_from_assigned(assigned, doomed).select("vec_id", "cluster_id")
+
+
+SQL_FORGET_FROM_IVF = f"""
+WITH RECURSIVE {_cc_ctes()},
+optout AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+doomed AS (
+  SELECT DISTINCT component FROM comp
+  WHERE node IN (SELECT doc_id FROM optout)
+), forget AS (
+  SELECT doc_id FROM optout
+  UNION
+  SELECT node AS doc_id FROM comp
+  WHERE component IN (SELECT component FROM doomed)
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster_id FROM assign a
+WHERE a.vec_id NOT IN (SELECT doc_id FROM forget)
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: near-dup cluster → drop non-
     representatives → language ID + quality scoring + token counting →
@@ -3854,6 +3908,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "forget_documents": q_forget_documents,
+    "forget_from_ivf": q_forget_from_ivf,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3936,4 +3991,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "oov_rate": SQL_OOV_RATE,
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "forget_documents": SQL_FORGET_DOCUMENTS,
+    "forget_from_ivf": SQL_FORGET_FROM_IVF,
 }

@@ -54,6 +54,7 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "corpus_clean": "includes connected-components cluster rounds",
     "corpus_prepare": "includes connected-components cluster rounds",
     "forget_documents": "includes connected-components cluster rounds",
+    "forget_from_ivf": "includes connected-components cluster rounds",
     # --- driver-bounded sketch point queries ---
     "heavy_hitters_cms": "CMS point queries need the JVM sketch object; "
     "bounded at top_n + 1 small jobs",

@@ -215,3 +215,59 @@ def test_residual_topk_dim_mismatch_raises(emb, codebook):
     enc = residual_pq_encode(emb, cent, codebook)
     with pytest.raises(ValueError):
         ivf_pq_residual_topk(enc, cent, codebook, [0.0] * 60, k=3)
+
+
+def test_forget_from_pq_codes_cell_local_and_probe_clean(emb, codebook, tmp_path):
+    """Erasure reaches the PQ artifact (operators/pq.py:forget_from_pq_codes):
+    doomed code rows leave the partitioned table via a cell-local rewrite
+    (untouched cells byte-identical), an IVFADC probe over the erased table
+    never returns a forgotten id, and the codebook file-set is untouched by
+    construction (it is not stored in the code table at all)."""
+    import os
+
+    from scala_etl_test_spark.operators.pq import forget_from_pq_codes
+    from scala_etl_test_spark.operators.similarity import ivf_assign, stride_centroids
+
+    spark = emb.sparkSession
+    cent = stride_centroids(emb, 8)
+    enc = pq_encode(ivf_assign(emb, cent), codebook, keep_cols=["cluster_id"])
+    path = str(tmp_path / "codes")
+    enc.write.partitionBy("cluster_id").parquet(path)
+
+    def cell_files():
+        return {
+            d: sorted(
+                (f, os.path.getsize(os.path.join(path, d, f)), os.stat(os.path.join(path, d, f)).st_mtime_ns)
+                for f in os.listdir(os.path.join(path, d))
+                if not f.startswith((".", "_"))
+            )
+            for d in os.listdir(path)
+            if d.startswith("cluster_id=")
+        }
+
+    before = cell_files()
+    live = spark.read.parquet(path)
+    doomed_ids = [
+        r["vec_id"]
+        for r in live.filter(F.col("cluster_id") == 1).select("vec_id").orderBy("vec_id").limit(2).collect()
+    ]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    stats = {r["cluster_id"]: r for r in forget_from_pq_codes(spark, path, doomed).collect()}
+    assert set(stats) == {1} and stats[1]["rows_erased"] == 2
+
+    after = cell_files()
+    for d in before:
+        if d == "cluster_id=1":
+            assert before[d] != after[d]
+        else:
+            assert before[d] == after[d], f"untouched cell {d} changed"
+
+    erased = spark.read.parquet(path)
+    assert erased.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+    # probe with every cell: even at full nprobe no forgotten id can rank
+    from scala_etl_test_spark.operators.pq import ivf_pq_topk
+
+    qv = [float(v) for v in emb.select("embedding").first()[0]]
+    hits = ivf_pq_topk(erased, cent, codebook, qv, k=50, nprobe=8)
+    got = {r["vec_id"] for r in hits.collect()}
+    assert not got & set(doomed_ids)

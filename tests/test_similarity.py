@@ -454,3 +454,107 @@ def test_ivf_assignment_prunes_as_write_time_partition_key(spark, sf_dir, tmp_pa
     # the pruned read returns exactly the cell's rows
     want = assigned.filter(F.col("cluster_id") == 2).count()
     assert probe.count() == want > 0
+
+
+class TestForgetFromIvf:
+    """Erasure on the PERSISTED IVF layout (operators/similarity.py:
+    forget_from_ivf): only the cells containing a doomed id are rewritten;
+    everything else is byte-identical on disk; a probe over the erased
+    index can never return a forgotten id."""
+
+    @staticmethod
+    def _cell_files(root):
+        """{cluster dir → {file → (size, mtime_ns)}} for every data file."""
+        import os
+
+        out = {}
+        for d in os.listdir(root):
+            if not d.startswith("cluster_id="):
+                continue
+            full = os.path.join(root, d)
+            out[d] = {
+                f: (os.path.getsize(os.path.join(full, f)), os.stat(os.path.join(full, f)).st_mtime_ns)
+                for f in os.listdir(full)
+                if not f.startswith((".", "_"))
+            }
+        return out
+
+    @pytest.fixture()
+    def corpus(self, spark, emb, tmp_path):
+        cents = S.stride_centroids(emb, 4)
+        d = str(tmp_path / "ivf_corpus")
+        S.ivf_assign(emb, cents).write.partitionBy("cluster_id").parquet(d)
+        return d
+
+    def test_only_touched_cells_rewritten_and_probe_clean(self, spark, emb, corpus, query_vec):
+        before = self._cell_files(corpus)
+        assert len(before) == 4
+        live = spark.read.parquet(corpus)
+        # doom 3 ids confined to ONE cell, so 3 cells must stay untouched
+        cell = live.filter(F.col("cluster_id") == 2)
+        doomed_ids = [r["vec_id"] for r in cell.select("vec_id").orderBy("vec_id").limit(3).collect()]
+        doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+
+        stats = {r["cluster_id"]: r for r in S.forget_from_ivf(spark, corpus, doomed).collect()}
+        assert set(stats) == {2}
+        assert stats[2]["rows_erased"] == 3
+
+        after = self._cell_files(corpus)
+        for d in before:
+            if d == "cluster_id=2":
+                assert before[d] != after[d], "touched cell must be rewritten"
+            else:
+                assert before[d] == after[d], f"untouched cell {d} changed on disk"
+
+        erased = spark.read.parquet(corpus)
+        assert erased.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+        assert erased.count() == emb.count() - 3
+        assert stats[2]["rows_after"] == erased.filter(F.col("cluster_id") == 2).count()
+        # probe over the erased index: a forgotten id never comes back, and
+        # the probe is still partition pruning (PartitionFilters carry the cell)
+        cents = S.stride_centroids(emb, 4)
+        hits = S.ivf_topk(erased, cents, query_vec, k=50, nprobe=4)
+        assert not {r["vec_id"] for r in hits.collect()} & set(doomed_ids)
+        probe = erased.filter(F.col("cluster_id") == 2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None and "cluster_id" in m.group(1), plan
+
+    def test_fully_doomed_cell_directory_removed(self, spark, corpus):
+        import os
+
+        live = spark.read.parquet(corpus)
+        cell_ids = [r["vec_id"] for r in live.filter(F.col("cluster_id") == 3).select("vec_id").collect()]
+        assert cell_ids
+        doomed = spark.createDataFrame([(i,) for i in cell_ids], "vec_id long")
+        stats = {r["cluster_id"]: r for r in S.forget_from_ivf(spark, corpus, doomed).collect()}
+        assert stats[3]["rows_after"] == 0
+        # dynamic partition overwrite would have KEPT this dir (nothing staged
+        # for it); the explicit swap deletes it
+        assert not os.path.exists(os.path.join(corpus, "cluster_id=3"))
+        assert not os.path.exists(os.path.join(corpus, "_erasure_staging"))
+        assert spark.read.parquet(corpus).filter(F.col("cluster_id") == 3).count() == 0
+
+    def test_no_op_request_touches_nothing(self, spark, corpus):
+        before = self._cell_files(corpus)
+        doomed = spark.createDataFrame([(10_000_000,)], "vec_id long")
+        stats = S.forget_from_ivf(spark, corpus, doomed)
+        assert stats.count() == 0
+        assert self._cell_files(corpus) == before
+
+    def test_content_closure_reaches_the_vector_side(self, spark, emb, corpus):
+        """The cross-modal contract q_forget_from_ivf exercises: closure
+        computed on document near-dup PAIRS, applied to vec ids — a near-dup
+        of an opted-out doc is erased, an unrelated doc survives."""
+        from scala_etl_test_spark.operators.cluster import forget_closure_ids
+
+        optout = spark.createDataFrame([(1,)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 7), (7, 9), (3, 4)], "id_a long, id_b long")
+        doomed = forget_closure_ids(optout, pairs, "doc_id")
+        assert {r["doc_id"] for r in doomed.collect()} == {1, 7, 9}
+        S.forget_from_ivf(spark, corpus, doomed, id_col="vec_id")
+        left = {r["vec_id"] for r in spark.read.parquet(corpus).select("vec_id").collect()}
+        assert not left & {1, 7, 9}
+        assert {3, 4} <= left  # minimality: the unrelated component survives
