@@ -114,12 +114,23 @@ def _decode_png(payload: bytes) -> dict:
         pos += 12 + ln  # length + type + data + crc
         if ct == b"IEND":
             break
-    raw = zlib.decompress(bytes(idat))
+    # Bound the inflate by the size IHDR promises BEFORE allocating
+    # (ADVICE r8): untrusted corpus payloads include decompression bombs —
+    # a tiny crafted IDAT must not allocate gigabytes on an executor. A
+    # stream longer than expected (overflow or compressed leftover) is as
+    # corrupt as a short one; truncated/garbage streams surface as the
+    # documented ValueError, not a raw zlib.error.
     stride = (width * _PNG_CHANNELS[color_type] * bit_depth + 7) // 8
     expected = height * (1 + stride)  # +1 filter byte per scanline
-    if len(raw) != expected:
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError(
-            f"corrupt PNG pixel stream: {len(raw)} bytes inflated, expected {expected}"
+            f"corrupt PNG pixel stream: {len(raw)} bytes inflated "
+            f"(eof={dec.eof}), expected {expected}"
         )
     return {"width": int(width), "height": int(height), "n_frames": 1}
 

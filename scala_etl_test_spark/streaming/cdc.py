@@ -164,13 +164,41 @@ def _gen_table(table_dir: str, gen: int) -> str:
     return f"{_state_prefix(table_dir)}_g{gen}"
 
 
-def _write_bucketspec(table_dir: str, key_cols: list[str], num_buckets: int) -> None:
+def _write_bucketspec(
+    table_dir: str, key_cols: list[str], num_buckets: int, gen: int | None = None
+) -> None:
+    """Persist the bucket spec. The authoritative copy lives PER
+    GENERATION (``gen=N/_BUCKETSPEC`` — underscore-prefixed so parquet
+    readers ignore it), written before the MANIFEST flip: bucket width is
+    a physical property of one generation's files, and a table-global
+    sidecar can disagree with the generation the pointer targets (ADVICE
+    r8: crash between sidecar write and pointer flip, or a cross-session
+    read of the predecessor gen after a width change, would register a
+    generation under a width that doesn't match its files — Spark then
+    assumes pmod(hash, n_declared) co-location and a "co-located"
+    SMJ/anti-join silently drops matches). The table-global ``BUCKETSPEC``
+    is still written as a compatibility fallback for pre-existing tables."""
     import json
 
-    spec = pathlib.Path(table_dir) / "BUCKETSPEC"
-    tmp = spec.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"key_cols": list(key_cols), "num_buckets": int(num_buckets)}))
-    tmp.replace(spec)
+    payload = json.dumps({"key_cols": list(key_cols), "num_buckets": int(num_buckets)})
+    targets = [pathlib.Path(table_dir) / "BUCKETSPEC"]
+    if gen is not None:
+        targets.insert(0, pathlib.Path(_gen_dir(table_dir, gen)) / "_BUCKETSPEC")
+    for spec in targets:
+        tmp = spec.with_suffix(".tmp")
+        tmp.write_text(payload)
+        tmp.replace(spec)
+
+
+def _read_bucketspec(table_dir: str, gen: int) -> dict:
+    """The generation's own spec when present (authoritative), else the
+    legacy table-global sidecar."""
+    import json
+
+    per_gen = pathlib.Path(_gen_dir(table_dir, gen)) / "_BUCKETSPEC"
+    if per_gen.exists():
+        return json.loads(per_gen.read_text())
+    return json.loads((pathlib.Path(table_dir) / "BUCKETSPEC").read_text())
 
 
 def _ensure_registered(spark: SparkSession, table_dir: str, gen: int) -> str:
@@ -181,12 +209,10 @@ def _ensure_registered(spark: SparkSession, table_dir: str, gen: int) -> str:
     the registration and keep the co-located plan. Without this, resuming
     from a checkpoint would crash on TABLE_OR_VIEW_NOT_FOUND even though
     the state files exist."""
-    import json
-
     name = _gen_table(table_dir, gen)
     if spark.catalog.tableExists(name):
         return name
-    spec = json.loads((pathlib.Path(table_dir) / "BUCKETSPEC").read_text())
+    spec = _read_bucketspec(table_dir, gen)
     gen_dir = _gen_dir(table_dir, gen)
     ddl = spark.read.parquet(gen_dir)._jdf.schema().toDDL()
     keys = ", ".join(f"`{k}`" for k in spec["key_cols"])
@@ -250,9 +276,11 @@ def merge_into_bucketed_state(
         num_buckets,
         path=_gen_dir(table_dir, new_gen),
     )
-    # sidecar before the pointer flip: a restarted process must be able to
-    # re-register whatever generation the MANIFEST points at
-    _write_bucketspec(table_dir, keys, num_buckets)
+    # per-generation sidecar before the pointer flip: whatever generation
+    # the MANIFEST ends up pointing at carries its OWN width, so a crash
+    # between these writes can never register a generation under a width
+    # that doesn't match its physical files (ADVICE r8)
+    _write_bucketspec(table_dir, keys, num_buckets, gen=new_gen)
     _write_manifest(table_dir, new_gen)
     # keep-last-2 pruning: pointer target and its predecessor survive
     for old in pathlib.Path(table_dir).glob("gen=*"):
@@ -273,18 +301,31 @@ def stream_upsert_bucketed(
     """Start (availableNow) a foreachBatch CDC merge maintaining a BUCKETED
     state table — the exchange-free-on-state twin of :func:`stream_upsert`.
     ``num_buckets`` is fixed at table creation (size one bucket ≈ 100-200 MB
-    at the target state size) and defaults to the session's
-    ``spark.sql.shuffle.partitions`` — matching the maintenance session's
-    shuffle width is what makes the state side exchange-free (module
-    docstring). The checkpoint makes replays idempotent exactly as in the
-    plain path."""
+    at the target state size): on a RESUME over existing state it is pinned
+    from the current generation's ``_BUCKETSPEC`` sidecar — never re-derived
+    from the live session conf, so a maintenance session started with a
+    different ``spark.sql.shuffle.partitions`` keeps the width the physical
+    files actually have (ADVICE r8). Only a fresh table defaults to the
+    session's shuffle width — matching the maintenance session's shuffle
+    width is what makes the state side exchange-free (module docstring).
+    The checkpoint makes replays idempotent exactly as in the plain path."""
+    pinned: dict[str, int] = {}
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if "n" not in pinned:
+            if num_buckets:
+                pinned["n"] = int(num_buckets)
+            else:
+                gen = _read_manifest(table_dir)
+                pinned["n"] = (
+                    int(_read_bucketspec(table_dir, gen)["num_buckets"])
+                    if gen >= 0
+                    else int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+                )
         collapsed = latest_per_key(batch_df, list(key_cols), version_col)
         merge_into_bucketed_state(
-            spark, collapsed, table_dir, list(key_cols), n, version_col
+            spark, collapsed, table_dir, list(key_cols), pinned["n"], version_col
         )
 
     return (

@@ -245,9 +245,16 @@ def forget_from_index(
     sets (``incremental_near_duplicates`` with the doomed rows passed as
     the pre-built "batch") — iterated to a fixpoint. Near-dup clusters
     are tiny cliques (diameter 2–3), so ``closure_rounds`` bounds the
-    loop the same way the CC convergence probes do; per-round work is
-    ∝ |doomed| × bucket hit rate, never corpus size, and the per-round
-    count probes are driver-bounded scalars.
+    loop the same way the CC convergence probes do. Per-round cost,
+    precisely (ADVICE r8): the SHUFFLE/VERIFY work — bucket probes, pair
+    generation, Jaccard verification — is ∝ |doomed| × bucket hit rate,
+    but each round also pays one full SCAN of the stored shingles/bands
+    (the doomed/clean anti-join splits read the whole index; scan-bound,
+    no shuffle). With closure_rounds defaulting to 3 that is ≤3 linear
+    scans total — the alternative (materializing the anti-joined index
+    per round to scan incrementally) would WRITE a near-full index copy
+    per round, which is strictly worse. The per-round count probes are
+    driver-bounded scalars.
 
     The erased index is written to ``out_dir`` PRESERVING the per-batch
     ``batch_id=N`` delta layout (the stream's replay guards keep

@@ -178,3 +178,49 @@ def test_decode_media_png_property():
         assert got == {"width": w, "height": h, "n_frames": 1}
 
     check()
+
+
+def test_decode_media_bounds_decompression_bombs():
+    """ADVICE r8: a tiny crafted IDAT must not allocate gigabytes on an
+    executor — the inflate is bounded by what IHDR promises, and a
+    truncated pixel stream raises the documented ValueError, never a raw
+    zlib.error."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(ct, data):
+        return struct.pack(">I", len(data)) + ct + data + struct.pack(
+            ">I", zlib.crc32(ct + data)
+        )
+
+    # IHDR claims 1x1 grayscale (expected = 1*(1+1) = 2 bytes) but the
+    # IDAT inflates to ~64 MiB: allocation must stop at expected+1 bytes
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb_idat = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KiB compressed
+    bomb = (
+        M._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_idat)
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 100_000
+    with _pytest.raises(ValueError, match="corrupt PNG pixel stream"):
+        M._decode_png(bomb)
+
+    # truncated IDAT (valid zlib prefix, stream cut off) → ValueError too
+    good_idat = zlib.compress(b"\x00\x00")
+    trunc = (
+        M._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", good_idat[: len(good_idat) - 3])
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="corrupt PNG pixel stream"):
+        M._decode_png(trunc)
+
+    # pure zlib garbage → wrapped, not raw zlib.error
+    junk = M._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x99" * 40) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="corrupt PNG pixel stream"):
+        M._decode_png(junk)

@@ -1001,3 +1001,101 @@ def test_cdc_state_prefix_no_collisions(tmp_path):
     from scala_etl_test_spark.streaming.cdc import _state_prefix
 
     assert _state_prefix(str(tmp_path / "state-a")) != _state_prefix(str(tmp_path / "state_a"))
+
+
+def test_cdc_bucketspec_is_per_generation(spark, tmp_path):
+    """ADVICE r8 (medium): the bucket spec is a physical property of ONE
+    generation's files. A width change between generations must leave each
+    generation registered under ITS OWN width — a crash between the legacy
+    global-sidecar write and the MANIFEST flip (simulated here by making
+    the global sidecar disagree) can no longer register a generation under
+    a width that doesn't match its files (which would silently drop
+    matches in a 'co-located' merge)."""
+    import json
+    import pathlib as _pl
+
+    from scala_etl_test_spark.streaming.cdc import (
+        _gen_dir,
+        _gen_table,
+        _read_manifest,
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    d = str(tmp_path / "pergen_state")
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], "k long, v long, p string")
+    merge_into_bucketed_state(spark, b1, d, ["k"], 4, "v")
+    gen1 = _read_manifest(d)
+    assert json.loads((_pl.Path(_gen_dir(d, gen1)) / "_BUCKETSPEC").read_text())["num_buckets"] == 4
+
+    # width change in the next generation (explicit num_buckets): both
+    # generations keep their own specs on disk
+    b2 = spark.createDataFrame([(2, 20, "B"), (3, 5, "c")], "k long, v long, p string")
+    merge_into_bucketed_state(spark, b2, d, ["k"], 8, "v")
+    gen2 = _read_manifest(d)
+    assert json.loads((_pl.Path(_gen_dir(d, gen2)) / "_BUCKETSPEC").read_text())["num_buckets"] == 8
+    assert json.loads((_pl.Path(_gen_dir(d, gen1)) / "_BUCKETSPEC").read_text())["num_buckets"] == 4
+
+    # corrupt the GLOBAL sidecar (the crash/width-change hazard): a fresh
+    # registration of the live generation must use the per-gen spec, so the
+    # merge result stays correct
+    (_pl.Path(d) / "BUCKETSPEC").write_text(json.dumps({"key_cols": ["k"], "num_buckets": 16}))
+    spark.sql(f"DROP TABLE IF EXISTS {_gen_table(d, gen2)}")
+    got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "B"), (3, 5, "c")}
+    tbl = spark.sql(f"DESCRIBE TABLE EXTENDED {_gen_table(d, gen2)}").collect()
+    n_txt = next(r["data_type"] for r in tbl if r["col_name"] == "Num Buckets")
+    assert int(n_txt) == 8
+
+    b3 = spark.createDataFrame([(3, 1, "late"), (4, 1, "d")], "k long, v long, p string")
+    merge_into_bucketed_state(spark, b3, d, ["k"], 8, "v")
+    got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "B"), (3, 5, "c"), (4, 1, "d")}
+
+
+def test_cdc_bucketed_resume_pins_width_from_sidecar(spark, sf_dir, tmp_path):
+    """ADVICE r8: stream_upsert_bucketed with num_buckets=None must pin the
+    width from the existing generation's sidecar on resume — NOT re-derive
+    it from the live session's shuffle.partitions, which may have changed
+    across maintenance sessions."""
+    from scala_etl_test_spark.sources.parquet_source import read_table
+    from scala_etl_test_spark.streaming.cdc import (
+        _gen_dir,
+        _read_bucketspec,
+        _read_manifest,
+        read_state_bucketed,
+        stream_upsert_bucketed,
+    )
+    from scala_etl_test_spark.streaming.sources import stream_events_parquet
+
+    events = read_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    table, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        stream_upsert_bucketed(
+            stream_events_parquet(spark, src), table, ckpt, ["user_id"], version_col="ts"
+        ).awaitTermination()
+        assert _read_bucketspec(table, _read_manifest(table))["num_buckets"] == 4
+
+        # new maintenance session regime: different shuffle width; more data
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        events2 = read_table(spark, sf_dir, "events").limit(400)
+        events2.write.mode("overwrite").parquet(str(tmp_path / "src2"))
+        stream_upsert_bucketed(
+            stream_events_parquet(spark, str(tmp_path / "src2")),
+            table,
+            str(tmp_path / "ck2"),
+            ["user_id"],
+            version_col="ts",
+        ).awaitTermination()
+        gen = _read_manifest(table)
+        assert _read_bucketspec(table, gen)["num_buckets"] == 4, (
+            "resume must keep the physical width, not adopt the new session conf"
+        )
+        assert read_state_bucketed(spark, table).count() > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)

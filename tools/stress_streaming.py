@@ -209,7 +209,10 @@ def stress_cdc_bucketed(spark, sf_dir: str, out_dir: str) -> dict:
     )
     q.awaitTermination()
     walls = _batch_walls(q)
-    state_rows = read_state_bucketed(spark, table).count()
+    # zero batches (empty sf events / failed feed build) → no state table;
+    # report empty like the walls/head guards instead of dying (ADVICE r8)
+    state = read_state_bucketed(spark, table)
+    state_rows = state.count() if state is not None else 0
     head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
     return {
         "twin": "cdc_upsert_bucketed",
