@@ -64,7 +64,7 @@ from __future__ import annotations
 import pathlib
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scala_etl_test_spark.operators.merge import latest_per_key, upsert
 
@@ -93,6 +93,42 @@ def read_state(spark: SparkSession, table_dir: str) -> DataFrame | None:
     return spark.read.parquet(_gen_dir(table_dir, gen))
 
 
+def merge_into_state(
+    spark: SparkSession,
+    collapsed: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+) -> None:
+    """One CDC merge of an already latest-per-key ``collapsed`` batch into
+    the plain two-generation table at ``table_dir`` — the per-batch body of
+    :func:`stream_upsert`, module-level so the crossover stress harness can
+    time it head-to-head against :func:`merge_into_bucketed_state`."""
+    current_gen = _read_manifest(table_dir)
+    if current_gen < 0:
+        merged = collapsed
+    else:
+        base = spark.read.parquet(_gen_dir(table_dir, current_gen))
+        if version_col is not None:
+            # version-aware: the state row's version competes with the
+            # batch's — a LATE micro-batch (older versions arriving
+            # after newer state) must NOT regress the state, which
+            # plain upsert's batch-always-wins replace would do
+            merged = latest_per_key(base.unionByName(collapsed), key_cols, version_col)
+        else:
+            # no version column: arrival order IS the order (SCD-1
+            # batch-wins), the documented at-least-once contract
+            merged = upsert(base, collapsed, key_cols, version_col)
+    new_gen = current_gen + 1
+    merged.write.mode("overwrite").parquet(_gen_dir(table_dir, new_gen))
+    _write_manifest(table_dir, new_gen)
+    # keep-last-2 pruning: the pointer target and its predecessor
+    for old in pathlib.Path(table_dir).glob("gen=*"):
+        g = int(old.name.split("=", 1)[1])
+        if g < new_gen - 1:
+            shutil.rmtree(old, ignore_errors=True)
+
+
 def stream_upsert(
     changes: DataFrame,
     table_dir: str,
@@ -107,31 +143,7 @@ def stream_upsert(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         collapsed = latest_per_key(batch_df, key_cols, version_col)
-        current_gen = _read_manifest(table_dir)
-        if current_gen < 0:
-            merged = collapsed
-        else:
-            base = spark.read.parquet(_gen_dir(table_dir, current_gen))
-            if version_col is not None:
-                # version-aware: the state row's version competes with the
-                # batch's — a LATE micro-batch (older versions arriving
-                # after newer state) must NOT regress the state, which
-                # plain upsert's batch-always-wins replace would do
-                merged = latest_per_key(
-                    base.unionByName(collapsed), key_cols, version_col
-                )
-            else:
-                # no version column: arrival order IS the order (SCD-1
-                # batch-wins), the documented at-least-once contract
-                merged = upsert(base, collapsed, key_cols, version_col)
-        new_gen = current_gen + 1
-        merged.write.mode("overwrite").parquet(_gen_dir(table_dir, new_gen))
-        _write_manifest(table_dir, new_gen)
-        # keep-last-2 pruning: the pointer target and its predecessor
-        for old in pathlib.Path(table_dir).glob("gen=*"):
-            g = int(old.name.split("=", 1)[1])
-            if g < new_gen - 1:
-                shutil.rmtree(old, ignore_errors=True)
+        merge_into_state(spark, collapsed, table_dir, key_cols, version_col)
 
     return (
         changes.writeStream.foreachBatch(_merge)
@@ -246,36 +258,89 @@ def merge_into_bucketed_state(
 ) -> None:
     """One CDC merge of an already latest-per-key ``collapsed`` batch into
     the bucketed two-generation state at ``table_dir``. See the module
-    docstring for why no branch of this plan exchanges the state side."""
+    docstring for why no branch of this plan exchanges the state side.
+
+    Round-9 reformulation (VERDICT r8 item 4 — the crossover was measured,
+    not asserted, and the original anti+semi+window shape lost): the
+    survivors/contested split scanned the FULL-WIDTH state TWICE (the two
+    join branches share no subtree), which at 1M × 400-byte rows cost more
+    than the plain twin's single scan-shuffle-window pass. The merge is now
+    ONE full-width state scan with the winner resolved ROW-LOCALLY:
+
+    - ``updated``: state LEFT JOIN broadcast(batch) — per state row, take
+      the batch's columns when the batch row is strictly newer (or wins the
+      deterministic tie-break), else keep the state row. Semantics are
+      EXACTLY ``latest_per_key``'s window order (version DESC with nulls
+      losing, ties by ascending ``xxhash64`` over the state column order) —
+      pinned against the plain twin by test_streaming_cdc_bucketed_matches_plain.
+    - ``inserts``: batch keys absent from the state — an anti-join against
+      the KEYS-ONLY state projection (parquet column pruning reads just the
+      key columns), SMJ-hinted so the state side can never be chosen as a
+      broadcast build (state keys are corpus-sized at scale); the bucketed
+      scan satisfies the SMJ distribution, so the batch side's exchange is
+      the plan's ONLY Exchange.
+
+    The state's payload columns are scanned once and never shuffled/sorted;
+    the per-batch shuffle is O(batch). ``autoBucketedScan`` is pinned OFF
+    for the merge: the broadcast join imposes no distribution requirement,
+    so the planner would otherwise drop the bucketed scan and the
+    bucket-misaligned write tasks would fan out tasks×buckets files
+    (measured: 485 files/gen, compounding into slow scans every batch).
+    The first generation is explicitly ``repartition(num_buckets, keys)``
+    for the same reason."""
     from scala_etl_test_spark.sources.bucketing import write_bucketed
 
     keys = list(key_cols)
     current_gen = _read_manifest(table_dir)
-    if current_gen < 0:
-        merged = collapsed
-    else:
-        base = spark.table(_ensure_registered(spark, table_dir, current_gen))
-        batch_keys = collapsed.select(*keys).distinct()
-        survivors = base.join(batch_keys, on=keys, how="left_anti")
-        if version_col is not None:
-            # contested slice only: state rows whose key the batch touches
-            # (batch-sized), so the winner window shuffles O(batch) rows —
-            # a late batch still cannot regress state
-            contested = base.join(batch_keys, on=keys, how="left_semi")
-            winners = latest_per_key(
-                contested.unionByName(collapsed), keys, version_col
-            )
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        if current_gen < 0:
+            merged = collapsed.repartition(num_buckets, *keys)
         else:
-            winners = collapsed
-        merged = survivors.unionByName(winners)
-    new_gen = current_gen + 1
-    write_bucketed(
-        merged,
-        _gen_table(table_dir, new_gen),
-        keys,
-        num_buckets,
-        path=_gen_dir(table_dir, new_gen),
-    )
+            base = spark.table(_ensure_registered(spark, table_dir, current_gen))
+            cols = base.columns
+            batch = F.broadcast(
+                collapsed.select(
+                    F.lit(True).alias("_b_hit"),
+                    *[F.col(c).alias(f"_b_{c}") for c in cols],
+                )
+            )
+            joined = base.join(
+                batch,
+                on=[F.col(k) == F.col(f"_b_{k}") for k in keys],
+                how="left",
+            )
+            if version_col is not None:
+                sv, bv = F.col(version_col), F.col(f"_b_{version_col}")
+                h_s = F.xxhash64(*[F.col(c) for c in cols])
+                h_b = F.xxhash64(*[F.col(f"_b_{c}") for c in cols])
+                newer = (bv > sv) | (bv.isNotNull() & sv.isNull())
+                batch_wins = newer | (bv.eqNullSafe(sv) & (h_b < h_s))
+            else:
+                batch_wins = F.lit(True)
+            take_batch = F.col("_b_hit").isNotNull() & batch_wins
+            updated = joined.select(
+                *[
+                    F.when(take_batch, F.col(f"_b_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in cols
+                ]
+            )
+            inserts = collapsed.join(
+                base.select(*keys).hint("merge"), on=keys, how="left_anti"
+            ).select(*cols)
+            merged = updated.unionByName(inserts)
+        new_gen = current_gen + 1
+        write_bucketed(
+            merged,
+            _gen_table(table_dir, new_gen),
+            keys,
+            num_buckets,
+            path=_gen_dir(table_dir, new_gen),
+        )
+    finally:
+        spark.conf.set(auto_key, prev_auto)
     # per-generation sidecar before the pointer flip: whatever generation
     # the MANIFEST ends up pointing at carries its OWN width, so a crash
     # between these writes can never register a generation under a width

@@ -223,7 +223,88 @@ def stress_cdc_bucketed(spark, sf_dir: str, out_dir: str) -> dict:
     }
 
 
-_TWINS = {"dedup": stress_dedup, "cdc": stress_cdc, "cdc_bucketed": stress_cdc_bucketed}
+def stress_cdc_crossover(spark, sf_dir: str, out_dir: str) -> dict:
+    """Head-to-head per-batch merge wall, plain vs bucketed state, at
+    growing state key counts with realistic (400-byte) payloads — the
+    crossover measurement VERDICT r8 item 4 demanded instead of the
+    asserted trade. Times the two merge BODIES directly (same streaming
+    scaffolding otherwise), 5 batches of 1% of the keys each.
+
+    Reading it (r9 numbers in the round log): after the one-scan merge
+    reformulation the bucketed twin sits within ~1.2-1.3× of plain at
+    100k-1M keys (r8: 2-3×), with the residual being saveAsTable DDL +
+    the in-bucket sort. The O(batch)-vs-O(state) SHUFFLE win cannot show
+    as wall time on a single JVM (a local full-state shuffle is memory
+    bandwidth); its evidence is the plan — exactly one batch-sized
+    Exchange (plan-gated) — which prices in when the shuffle crosses a
+    network. Flatness across the 10× key growth is the scale signal."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        merge_into_state,
+        read_state,
+        read_state_bucketed,
+    )
+
+    wide = "x" * 400
+    cpus = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def mk(K, B, ts):
+        return spark.range(B).select(
+            (F.col("id") * 17 % K).alias("user_id"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.concat(F.lit(wide), F.col("id").cast("string")).alias("payload"),
+        )
+
+    per_k = {}
+    for K in (100_000, 1_000_000):
+        pd_, bd = f"{out_dir}/xplain_{K}", f"{out_dir}/xbuck_{K}"
+        seed = spark.range(K).select(
+            F.col("id").alias("user_id"),
+            F.lit(0).cast("long").alias("ts"),
+            F.concat(F.lit(wide), F.lit("seed")).alias("payload"),
+        )
+        merge_into_state(spark, seed, pd_, ["user_id"], "ts")
+        merge_into_bucketed_state(spark, seed, bd, ["user_id"], cpus, "ts")
+        B = max(K // 100, 1000)
+        pw, bw = [], []
+        for b in range(1, 6):
+            batch = mk(K, B, b)
+            t0 = _time.perf_counter()
+            merge_into_state(spark, batch, pd_, ["user_id"], "ts")
+            pw.append(round(_time.perf_counter() - t0, 3))
+            t0 = _time.perf_counter()
+            merge_into_bucketed_state(spark, batch, bd, ["user_id"], cpus, "ts")
+            bw.append(round(_time.perf_counter() - t0, 3))
+        p_state, b_state = read_state(spark, pd_), read_state_bucketed(spark, bd)
+        rows_ok = (
+            (p_state.count() if p_state is not None else 0)
+            == (b_state.count() if b_state is not None else 0)
+            == K
+        )
+        per_k[K] = {
+            "batch_rows": B,
+            "plain_walls": pw,
+            "bucketed_walls": bw,
+            "plain_med": sorted(pw)[len(pw) // 2],
+            "bucketed_med": sorted(bw)[len(bw) // 2],
+            "rows_ok": rows_ok,
+        }
+        per_k[K]["ratio_bucketed_over_plain"] = round(
+            per_k[K]["bucketed_med"] / per_k[K]["plain_med"], 2
+        )
+    return {"twin": "cdc_crossover", "per_keys": per_k}
+
+
+_TWINS = {
+    "dedup": stress_dedup,
+    "cdc": stress_cdc,
+    "cdc_bucketed": stress_cdc_bucketed,
+    "cdc_crossover": stress_cdc_crossover,
+}
 
 
 def main() -> int:
