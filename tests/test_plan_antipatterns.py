@@ -39,13 +39,20 @@ FORBIDDEN_NODES = ("CartesianProduct", "BatchEvalPython")
 
 # BNLJ builds that are GROUPED aggregates or driver-literal tables: bounded
 # by a documented low-cardinality dimension, not provable from the plan.
-BNLJ_BOUNDED_BY_DESIGN: dict[str, str] = {
-    "source_overlap_matrix": "per-source sketch table (|sources| rows)",
-    "corpus_release_report": "per-check gate rows + per-source sketches",
-    "quality_filter_sweep": "per-threshold sweep grid",
-    "quantile_sketch_merge": "per-column merged-sketch rows",
-    "approx_overlap_sketch": "nested cross of two 1-row sketch scalars",
-    "pareto_revenue": "literal cutoff-threshold table (createDataFrame)",
+# Each entry carries a RUNTIME CAP (VERDICT r8 item 5): the build side's
+# actual row count, read from the executed plan's BroadcastExchange
+# metrics at the fixture SF, must stay under it — a silently grown
+# dimension (a 10k-threshold sweep grid, an exploding source taxonomy)
+# fails CI instead of shipping an unbounded broadcast. Caps are several
+# times the observed cardinality, small enough that anything failing them
+# is no longer "low-cardinality by design".
+BNLJ_BOUNDED_BY_DESIGN: dict[str, tuple[str, int]] = {
+    "source_overlap_matrix": ("per-source sketch table (|sources| rows)", 64),
+    "corpus_release_report": ("per-check gate rows + per-source sketches", 64),
+    "quality_filter_sweep": ("per-threshold sweep grid", 64),
+    "quantile_sketch_merge": ("per-column merged-sketch rows", 64),
+    "approx_overlap_sketch": ("nested cross of two 1-row sketch scalars", 4),
+    "pareto_revenue": ("literal cutoff-threshold table (createDataFrame)", 16),
 }
 
 
@@ -155,3 +162,96 @@ def test_bnlj_allowlist_names_are_registered():
     assert set(BNLJ_BOUNDED_BY_DESIGN) <= set(QUERIES), sorted(
         set(BNLJ_BOUNDED_BY_DESIGN) - set(QUERIES)
     )
+
+
+def _final_children(node):
+    """Like _children, but follows AQE to the FINAL executed plan and
+    into query-stage wrappers — required to read runtime metrics."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        try:
+            return [node.finalPhysicalPlan()]
+        except Exception:
+            return [node.initialPlan()]
+    if "QueryStage" in name:
+        try:
+            return [node.plan()]
+        except Exception:
+            pass
+    if name == "InMemoryTableScan":
+        try:
+            return [node.relation().cachedPlan()]
+        except Exception:
+            return []
+    return [node.children().apply(i) for i in range(node.children().length())]
+
+
+def _walk_final(node, out=None):
+    if out is None:
+        out = []
+    out.append(node)
+    for c in _final_children(node):
+        _walk_final(c, out)
+    return out
+
+
+def _metric(node, key):
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == key:
+            return int(kv._2().value())
+    return None
+
+
+def bnlj_build_rows(df) -> list[int]:
+    """EXECUTE ``df`` and return the actual broadcast row count of every
+    BroadcastNestedLoopJoin build side, read from the final adaptive
+    plan's BroadcastExchange metrics."""
+    df.write.mode("overwrite").format("noop").save()
+    rows = []
+    for n in _walk_final(df._jdf.queryExecution().executedPlan()):
+        if "BroadcastNestedLoop" not in n.nodeName():
+            continue
+        side = n.buildSide().toString()
+        build = n.left() if "Left" in side else n.right()
+        for b in _walk_final(build):
+            if "BroadcastExchange" in b.nodeName():
+                got = _metric(b, "numOutputRows")
+                if got is not None:
+                    rows.append(got)
+                break
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(BNLJ_BOUNDED_BY_DESIGN))
+def test_bnlj_by_design_builds_respect_runtime_caps(spark, sf_dir, name):
+    """VERDICT r8 item 5: the allowlist's 'low-cardinality by design'
+    claims are now enforced at runtime — every BNLJ build in the query's
+    executed plan must broadcast at most the declared cap's rows."""
+    why, cap = BNLJ_BOUNDED_BY_DESIGN[name]
+    spark.catalog.clearCache()
+    rows = bnlj_build_rows(QUERIES[name](spark, sf_dir))
+    spark.catalog.clearCache()
+    assert rows, (
+        f"{name} is allowlisted for a by-design BNLJ build but its executed "
+        "plan has none — stale allowlist entry, remove it"
+    )
+    assert max(rows) <= cap, (
+        f"{name}'s BNLJ build broadcast {max(rows)} rows, over its declared "
+        f"cap {cap} ({why}) — the bounding dimension grew; this is no "
+        "longer a bounded broadcast"
+    )
+
+
+def test_bnlj_runtime_cap_detects_a_grown_dimension(spark):
+    """The red path: a deliberately over-grown grouped-aggregate build
+    must be measured at its true size (what a cap violation looks like)."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(5000).groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df = spark.range(10).crossJoin(F.broadcast(grid.select(F.col("id").alias("g"), "n")))
+    rows = bnlj_build_rows(df)
+    assert rows and max(rows) == 5000, rows
+    cap = 64
+    assert max(rows) > cap  # the gate above would fail exactly here
