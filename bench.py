@@ -100,6 +100,10 @@ HEADLINE = [
     # operator runs on every deletion request, benched like the other
     # cluster-backed composites
     "forget_documents",
+    # round-9: the same closure applied to the ANN artifact (logical form
+    # of the cell-local IVF erasure) — benched so the vector-side deletion
+    # path's cost stays visible next to the corpus-side one
+    "forget_from_ivf",
 ]
 
 

@@ -749,6 +749,7 @@ def forget_from_ivf(
     forget_ids: DataFrame,
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
+    sub_partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Right-to-be-forgotten on a PERSISTED IVF ANN corpus — a parquet
     table written ``partitionBy(cluster_col)`` (the write-time layout
@@ -807,7 +808,11 @@ def forget_from_ivf(
         F.broadcast(doomed), on=id_col, how="left_anti"
     )
     staging = corpus_path.rstrip("/") + "/_erasure_staging"
-    survivors.write.mode("overwrite").partitionBy(cluster_col).parquet(staging)
+    # sub_partition_cols: a delta-layout corpus (streaming/ann.py appends
+    # under cluster_id=K/batch_id=N/) keeps its inner partition spine —
+    # batch provenance survives erasure so replay guards keep working
+    spine = [cluster_col, *(sub_partition_cols or [])]
+    survivors.write.mode("overwrite").partitionBy(*spine).parquet(staging)
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path

@@ -32,6 +32,13 @@ from scala_etl_test_spark.streaming.sketches import (
     stream_absorb_cms,
     streaming_heavy_hitters,
 )
+from scala_etl_test_spark.streaming.ann import (
+    append_batch_to_ivf,
+    forget_from_ivf_index,
+    init_ivf_index,
+    ivf_index_topk,
+    stream_append_ivf,
+)
 from scala_etl_test_spark.streaming.cdc import (
     merge_into_bucketed_state,
     read_state,
@@ -48,8 +55,13 @@ from scala_etl_test_spark.streaming.sources import (
 )
 
 __all__ = [
+    "append_batch_to_ivf",
     "compact_index",
     "dedup_events_within_watermark",
+    "forget_from_ivf_index",
+    "init_ivf_index",
+    "ivf_index_topk",
+    "stream_append_ivf",
     "hourly_rollup",
     "init_index",
     "read_merged_cms",

@@ -1099,3 +1099,142 @@ def test_cdc_bucketed_resume_pins_width_from_sidecar(spark, sf_dir, tmp_path):
         assert read_state_bucketed(spark, table).count() > 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+class TestStreamAppendIvf:
+    """The ANN artifact's maintenance quadrant (streaming/ann.py): appends
+    are cell-routed O(batch) writes against FROZEN centroids; replay is
+    exactly-once via the _APPENDLOG marker; erasure composes with the
+    delta layout and cannot be undone by a replay."""
+
+    @pytest.fixture()
+    def index(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import init_ivf_index
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        d = str(tmp_path / "ivf_index")
+        init_ivf_index(spark, d, emb, n_centroids=4)
+        return d, emb
+
+    @staticmethod
+    def _shifted(emb, r, max_id):
+        return emb.select(
+            (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"), "embedding", "label"
+        )
+
+    def test_append_probe_and_cell_locality(self, spark, index, tmp_path):
+        import os
+
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, ivf_index_topk
+        from scala_etl_test_spark.streaming.ann import _corpus_dir, read_ivf_corpus
+
+        d, emb = index
+        n = emb.count()
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        assert append_batch_to_ivf(spark, d, self._shifted(emb, 1, max_id), 1)
+        corpus = read_ivf_corpus(spark, d)
+        assert corpus.count() == 2 * n
+
+        # cell-local: a batch confined to ONE cell adds files only there
+        cd = _corpus_dir(d)
+        def files_by_cell():
+            return {
+                c: sorted(str(p) for p in pathlib.Path(cd, c).rglob("*.parquet"))
+                for c in os.listdir(cd)
+                if c.startswith("cluster_id=")
+            }
+        before = files_by_cell()
+        one_cell_ids = [
+            r["vec_id"]
+            for r in corpus.filter(F.col("cluster_id") == 2).select("vec_id").limit(50).collect()
+        ]
+        batch2 = corpus.filter(F.col("vec_id").isin(one_cell_ids)).select(
+            (F.col("vec_id") + F.lit(10 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        assert append_batch_to_ivf(spark, d, batch2, 2)
+        after = files_by_cell()
+        for c in before:
+            if c == "cluster_id=2":
+                assert set(before[c]) < set(after[c]), "touched cell must gain files"
+            else:
+                assert before[c] == after[c], f"untouched cell {c} changed"
+
+        # the probe serves appended vectors through partition pruning
+        import re
+
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        hits = ivf_index_topk(spark, d, qv, k=2 * n + 100, nprobe=4)
+        got = {r["vec_id"] for r in hits.collect()}
+        assert got & {i + max_id for i in range(n)}, "appended vectors must be servable"
+        probe = read_ivf_corpus(spark, d).filter(F.col("cluster_id") == 2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cluster_id" in m.group(1), plan
+
+    def test_replay_is_exactly_once(self, spark, index):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf
+        from scala_etl_test_spark.streaming.ann import _corpus_dir, _marker, read_ivf_corpus
+
+        d, emb = index
+        n = emb.count()
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        batch = self._shifted(emb, 1, max_id)
+        assert append_batch_to_ivf(spark, d, batch, 7) is True
+        # replay with the marker present: skipped, no duplicates
+        assert append_batch_to_ivf(spark, d, batch, 7) is False
+        assert read_ivf_corpus(spark, d).count() == 2 * n
+        # crash simulation: data committed but marker lost — the replay
+        # wipes the partial remnants and re-appends exactly once
+        import shutil as _sh
+
+        _sh.rmtree(_marker(d, 7))
+        assert append_batch_to_ivf(spark, d, batch, 7) is True
+        assert read_ivf_corpus(spark, d).count() == 2 * n
+        got = read_ivf_corpus(spark, d).groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        assert got == 0, "replay duplicated rows"
+
+    def test_stream_end_to_end_and_erasure_replay_safety(self, spark, index, tmp_path):
+        import os, time as _t
+
+        from scala_etl_test_spark.streaming import (
+            append_batch_to_ivf,
+            forget_from_ivf_index,
+            stream_append_ivf,
+        )
+        from scala_etl_test_spark.streaming.ann import _marker, read_ivf_corpus
+
+        d, emb = index
+        n = emb.count()
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        src = tmp_path / "emb_src"
+        src.mkdir()
+        base = _t.time() - 100
+        for r in (1, 2):
+            stage = tmp_path / f"_stage{r}"
+            self._shifted(emb, r, max_id).coalesce(1).write.mode("overwrite").parquet(str(stage))
+            dst = src / f"b{r}.parquet"
+            shutil.copy(next(stage.glob("part-*.parquet")), dst)
+            os.utime(dst, (base + r, base + r))
+        sdf = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+        stream_append_ivf(sdf, d, str(tmp_path / "ck")).awaitTermination()
+        corpus = read_ivf_corpus(spark, d)
+        assert corpus.count() == 3 * n
+
+        # erase one appended batch's worth of ids (content closure is the
+        # caller's move — tested on the batch operator); layout + markers
+        # must survive so a REPLAY of the erased batch stays a no-op
+        doomed_ids = [max_id + i for i in range(0, n, 2)]
+        doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+        stats = forget_from_ivf_index(spark, d, doomed)
+        assert stats.count() > 0
+        left = read_ivf_corpus(spark, d)
+        assert left.filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+        assert "batch_id" in left.columns  # delta spine preserved
+        # marker still present ⇒ a direct replay of the erased batch is
+        # skipped — forgotten vectors cannot resurrect
+        assert _marker(d, 0).exists() or _marker(d, 1).exists()
+        replay = self._shifted(emb, 1, max_id)
+        for b in (0, 1):
+            if _marker(d, b).exists():
+                assert append_batch_to_ivf(spark, d, replay, b) is False
+        assert read_ivf_corpus(spark, d).filter(F.col("vec_id").isin(doomed_ids)).count() == 0

@@ -299,11 +299,51 @@ def stress_cdc_crossover(spark, sf_dir: str, out_dir: str) -> dict:
     return {"twin": "cdc_crossover", "per_keys": per_k}
 
 
+def stress_ann_append(spark, sf_dir: str, out_dir: str) -> dict:
+    """Per-batch wall of the IVF maintenance stream (streaming/ann.py) as
+    the corpus grows 10×: batch N appends a 1×-sized embedding batch to an
+    index holding N-1 batches. Per-batch work is O(batch·k) assignment +
+    an O(batch) cell-routed write — INDEPENDENT of corpus size — so the
+    trend must stay flat; a rising trend means an append started reading
+    or rewriting the corpus."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.streaming.ann import (
+        append_batch_to_ivf,
+        init_ivf_index,
+        read_ivf_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    d = os.path.join(out_dir, "ann_index")
+    init_ivf_index(spark, d, emb, n_centroids=16)
+    walls = []
+    for r in range(1, BATCHES):
+        batch = emb.select(
+            (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        t0 = _time.perf_counter()
+        append_batch_to_ivf(spark, d, batch, r)
+        walls.append(round(_time.perf_counter() - t0, 2))
+    head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    return {
+        "twin": "ann_append",
+        "batches": len(walls),
+        "per_batch_wall_s": walls,
+        "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
+        "corpus_rows": read_ivf_corpus(spark, d).count(),
+    }
+
+
 _TWINS = {
     "dedup": stress_dedup,
     "cdc": stress_cdc,
     "cdc_bucketed": stress_cdc_bucketed,
     "cdc_crossover": stress_cdc_crossover,
+    "ann_append": stress_ann_append,
 }
 
 
