@@ -558,3 +558,52 @@ class TestForgetFromIvf:
         left = {r["vec_id"] for r in spark.read.parquet(corpus).select("vec_id").collect()}
         assert not left & {1, 7, 9}
         assert {3, 4} <= left  # minimality: the unrelated component survives
+
+
+def test_forget_from_ivf_randomized_erasure_audit(spark, emb, tmp_path):
+    """Seeded-random audit of the cell-local rewrite: for arbitrary doomed
+    sets (empty → spanning several cells → everything-in-a-cell), the
+    erased corpus equals exactly {corpus} − {doomed}, per-cell stats match
+    ground truth, and cells with no doomed member are never rewritten."""
+    import os
+    import random
+
+    cents = S.stride_centroids(emb, 4)
+    all_rows = {
+        r["vec_id"]: r["cluster_id"]
+        for r in S.ivf_assign(emb, cents).select("vec_id", "cluster_id").collect()
+    }
+    rng = random.Random(99)
+    ids = sorted(all_rows)
+    for case in range(3):
+        d = str(tmp_path / f"audit_{case}")
+        S.ivf_assign(emb, cents).write.partitionBy("cluster_id").parquet(d)
+        doomed_ids = sorted(rng.sample(ids, rng.choice([0, 7, 40])))
+        before = {
+            c: sorted(os.listdir(os.path.join(d, c)))
+            for c in os.listdir(d)
+            if c.startswith("cluster_id=")
+        }
+        doomed = spark.createDataFrame([(i,) for i in doomed_ids] or [(None,)], "vec_id long")
+        stats = {r["cluster_id"]: r for r in S.forget_from_ivf(spark, d, doomed).collect()}
+
+        want_touched = {all_rows[i] for i in doomed_ids}
+        assert set(stats) == want_touched
+        from collections import Counter
+
+        per_cell_doomed = Counter(all_rows[i] for i in doomed_ids)
+        for c, s in stats.items():
+            assert s["rows_erased"] == per_cell_doomed[c]
+        survivors = {
+            r["vec_id"] for r in spark.read.parquet(d).select("vec_id").collect()
+        }
+        assert survivors == set(ids) - set(doomed_ids)
+        after = {
+            c: sorted(os.listdir(os.path.join(d, c)))
+            for c in os.listdir(d)
+            if c.startswith("cluster_id=")
+        }
+        for c in before:
+            cell = int(c.split("=", 1)[1])
+            if cell not in want_touched:
+                assert before[c] == after[c], f"case {case}: untouched {c} rewritten"

@@ -1238,3 +1238,46 @@ class TestStreamAppendIvf:
             if _marker(d, b).exists():
                 assert append_batch_to_ivf(spark, d, replay, b) is False
         assert read_ivf_corpus(spark, d).filter(F.col("vec_id").isin(doomed_ids)).count() == 0
+
+
+def test_cdc_bucketed_rowlocal_merge_matches_latest_per_key_randomized(spark, tmp_path):
+    """Randomized equivalence for the r9 one-scan merge: the row-local
+    winner logic (strictly-newer OR latest_per_key's exact tie order —
+    version desc nulls-LAST, xxhash64 asc) must reproduce
+    latest-per-key-over-the-whole-feed for ANY batch split, including
+    exact version ties, NULL versions, and keys colliding across
+    batches. Seeded-random cross-check (a handful of examples — each
+    costs real Spark merges), same convention as test_properties.py."""
+    import random
+
+    from scala_etl_test_spark.operators.merge import latest_per_key
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    rng = random.Random(909)
+    for case in range(4):
+        rows = [
+            (
+                rng.randrange(8),  # key: heavy collisions
+                rng.choice([None, 0, 1, 1, 2]),  # version: ties + NULLs
+                f"p{case}_{i}_{rng.randrange(1000)}",
+            )
+            for i in range(40)
+        ]
+        feed = spark.createDataFrame(rows, "k long, v long, p string")
+        d = str(tmp_path / f"rnd_{case}")
+        # random 3-way batch split, merged in order
+        cut1, cut2 = sorted((rng.randrange(41), rng.randrange(41)))
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, 40)):
+            chunk = rows[lo:hi]
+            if not chunk:
+                continue
+            batch = latest_per_key(
+                spark.createDataFrame(chunk, "k long, v long, p string"), ["k"], "v"
+            )
+            merge_into_bucketed_state(spark, batch, d, ["k"], 4, "v")
+        got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+        want = {tuple(r) for r in latest_per_key(feed, ["k"], "v").collect()}
+        assert got == want, f"case {case}: batched merge diverged from whole-feed latest_per_key"
