@@ -78,12 +78,23 @@ def main(argv: list[str] | None = None) -> None:
         "retention, OOV, cross-source leakage) to {out}/release_report",
     )
     parser.add_argument(
+        "--ann-index",
+        type=int,
+        default=None,
+        metavar="K",
+        help="build the IVF ANN index artifact ({out}/ann_index: frozen "
+        "K-centroid sidecar + corpus partitioned by cluster_id) over the "
+        "embeddings of the CLEAN corpus — requires embeddings.parquet "
+        "(vec_id aligned with doc_id)",
+    )
+    parser.add_argument(
         "--forget-ids",
         default=None,
         metavar="PARQUET",
         help="parquet path with a doc_id column: erase these documents AND "
         "every member of their near-dup clusters (content closure) from "
-        "every artifact — corpus_clean, splits, mixture, tokenizer",
+        "every artifact — corpus_clean, splits, mixture, tokenizer, and "
+        "(with --ann-index) the vector index",
     )
     args = parser.parse_args(argv)
 
@@ -199,6 +210,26 @@ def main(argv: list[str] | None = None) -> None:
             budget=args.pack_budget,
         )
         packed.write.mode("overwrite").parquet(f"{args.out}/tokenizer/packed")
+
+    if args.ann_index is not None:
+        # the vector index is a DERIVED artifact like any other: built from
+        # the CLEAN corpus AFTER erasure/dedup/quality gating, so a
+        # --forget-ids closure is absent from it by construction (a later
+        # deletion request against an already-shipped index is
+        # streaming/ann.forget_from_ivf_index's job). Cell-partitioned
+        # layout ⇒ probes are partition pruning (plan-gated in tests).
+        import shutil as _shutil
+
+        from scala_etl_test_spark.streaming.ann import init_ivf_index
+
+        if args.ann_index < 1:
+            raise SystemExit("--ann-index must be >= 1")
+        emb = read_table(spark, args.data, "embeddings")
+        live = emb.join(
+            clean.select(F.col("doc_id").alias("vec_id")), on="vec_id", how="left_semi"
+        )
+        _shutil.rmtree(f"{args.out}/ann_index", ignore_errors=True)
+        init_ivf_index(spark, f"{args.out}/ann_index", live, n_centroids=args.ann_index)
 
     if args.release_report:
         # the document-corpus gates, from the SAME builder behind the

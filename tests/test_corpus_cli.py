@@ -137,3 +137,45 @@ def test_corpus_cli_forget_ids_erases_closure_everywhere(spark, sf_dir, tmp_path
     # a split assignment
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(split_ids) == n_docs - len(forgotten)
+
+
+def test_corpus_cli_ann_index_artifact_and_forget_composition(spark, sf_dir, tmp_path):
+    """--ann-index: the vector index is a first-class derived artifact —
+    partitioned by cluster_id (probe = partition pruning), covering exactly
+    the CLEAN corpus's embeddings, and a --forget-ids closure is absent
+    from it by construction."""
+    import os
+    import re
+
+    optout_ids = [0, 97]
+    optout_path = str(tmp_path / "optout")
+    spark.createDataFrame([(i,) for i in optout_ids], "doc_id long").write.parquet(optout_path)
+    out = str(tmp_path / "corpus_ann")
+    main(["--data", sf_dir, "--out", out, "--ann-index", "4", "--forget-ids", optout_path])
+
+    from scala_etl_test_spark.streaming.ann import ivf_index_topk, read_ivf_corpus
+
+    idx = f"{out}/ann_index"
+    corpus = read_ivf_corpus(spark, idx)
+    clean_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/corpus_clean").select("doc_id").collect()
+    }
+    emb_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id").collect()
+    }
+    got = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert got == (clean_ids & emb_ids), "index must cover exactly the clean corpus"
+    assert not (got & set(optout_ids))
+    # physical layout: cluster_id dirs on disk; a probe is partition pruning
+    cells = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("cluster_id=")]
+    assert 1 <= len(cells) <= 4
+    qv = [
+        float(v)
+        for v in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").limit(1).first()["embedding"]
+    ]
+    hits = ivf_index_topk(spark, idx, qv, k=10, nprobe=2)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster_id", plan), plan
+    assert {r["vec_id"] for r in hits.collect()} <= got
