@@ -98,6 +98,10 @@ SHOWCASE = [
         "bpe_merges",
         "After ONE corpus-sized shuffle to weighted word types, every merge iteration is vocabulary-sized: pair counting, greedy occurrence selection, and rewriting are higher-order array expressions, and the winning pair re-enters as a one-row broadcast.",
     ),
+    (
+        "forget_from_ivf",
+        "The deletion path for the vector index: the request-sized closure broadcasts into the final LEFT ANTI against the assigned corpus — the corpus itself is scanned once, never shuffled; on the persisted partitionBy(cluster_id) layout the same anti-join becomes a cell-local rewrite (only touched partitions).",
+    ),
 ]
 
 
