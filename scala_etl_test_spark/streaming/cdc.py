@@ -301,29 +301,35 @@ def merge_into_bucketed_state(
         else:
             base = spark.table(_ensure_registered(spark, table_dir, current_gen))
             cols = base.columns
+            # internal names must not collide with caller columns (the
+            # ivf_assign ADVICE-r7 lesson): a state table with a column
+            # literally named "_b_<key>" would make the join ambiguous
+            pre = "_b_"
+            while f"{pre}hit" in cols or any(f"{pre}{c}" in cols for c in cols):
+                pre += "_"
             batch = F.broadcast(
                 collapsed.select(
-                    F.lit(True).alias("_b_hit"),
-                    *[F.col(c).alias(f"_b_{c}") for c in cols],
+                    F.lit(True).alias(f"{pre}hit"),
+                    *[F.col(c).alias(f"{pre}{c}") for c in cols],
                 )
             )
             joined = base.join(
                 batch,
-                on=[F.col(k) == F.col(f"_b_{k}") for k in keys],
+                on=[F.col(k) == F.col(f"{pre}{k}") for k in keys],
                 how="left",
             )
             if version_col is not None:
-                sv, bv = F.col(version_col), F.col(f"_b_{version_col}")
+                sv, bv = F.col(version_col), F.col(f"{pre}{version_col}")
                 h_s = F.xxhash64(*[F.col(c) for c in cols])
-                h_b = F.xxhash64(*[F.col(f"_b_{c}") for c in cols])
+                h_b = F.xxhash64(*[F.col(f"{pre}{c}") for c in cols])
                 newer = (bv > sv) | (bv.isNotNull() & sv.isNull())
                 batch_wins = newer | (bv.eqNullSafe(sv) & (h_b < h_s))
             else:
                 batch_wins = F.lit(True)
-            take_batch = F.col("_b_hit").isNotNull() & batch_wins
+            take_batch = F.col(f"{pre}hit").isNotNull() & batch_wins
             updated = joined.select(
                 *[
-                    F.when(take_batch, F.col(f"_b_{c}")).otherwise(F.col(c)).alias(c)
+                    F.when(take_batch, F.col(f"{pre}{c}")).otherwise(F.col(c)).alias(c)
                     for c in cols
                 ]
             )

@@ -1281,3 +1281,22 @@ def test_cdc_bucketed_rowlocal_merge_matches_latest_per_key_randomized(spark, tm
         got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
         want = {tuple(r) for r in latest_per_key(feed, ["k"], "v").collect()}
         assert got == want, f"case {case}: batched merge diverged from whole-feed latest_per_key"
+
+
+def test_cdc_bucketed_merge_survives_hostile_column_names(spark, tmp_path):
+    """A state schema whose columns collide with the merge's internal
+    aliases (_b_<col>, _b_hit) must still merge correctly — the prefix is
+    uniquified per call (the ivf_assign ADVICE-r7 lesson applied here)."""
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    schema = "k long, v long, _b_k long, _b_hit string"
+    d = str(tmp_path / "hostile")
+    b1 = spark.createDataFrame([(1, 10, 111, "s1"), (2, 10, 222, "s2")], schema)
+    merge_into_bucketed_state(spark, b1, d, ["k"], 4, "v")
+    b2 = spark.createDataFrame([(2, 20, 999, "B2"), (3, 5, 333, "s3")], schema)
+    merge_into_bucketed_state(spark, b2, d, ["k"], 4, "v")
+    got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+    assert got == {(1, 10, 111, "s1"), (2, 20, 999, "B2"), (3, 5, 333, "s3")}
