@@ -257,12 +257,15 @@ def main() -> None:
     prev_timings: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        prev_timings = {
-            k: float(v)
-            for k, v in json.load(open(os.path.join(here, ".bench_last.json")))[
-                "queries"
-            ].items()
-        }
+        _prev = json.load(open(os.path.join(here, ".bench_last.json")))
+        # a sidecar from a different scale/width (a dev run at sf0.01 or
+        # other SPARK_GRAFT_CPUS) would flag every query as a regression
+        # and burn SOLO_RULE_CAP×3 pointless solo runs — only trust minima
+        # measured under the SAME regime (r9 review finding #4)
+        _sf_here = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+        if str(_prev.get("sf")) != _sf_here or int(_prev.get("cpus", -1)) != int(cpus):
+            raise ValueError("sidecar regime mismatch")
+        prev_timings = {k: float(v) for k, v in _prev["queries"].items()}
     except (OSError, ValueError, KeyError, TypeError):
         newest = max(
             (f for f in glob.glob(os.path.join(here, "BENCH_r*.json"))),

@@ -98,6 +98,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = parser.parse_args(argv)
 
+    if args.ann_index is not None:
+        # validate BEFORE the pipeline runs: failing K<1 or a missing
+        # embeddings table after hours of dedup/CC/splits work is the worst
+        # possible place (r9 review finding #7)
+        import os as _os
+
+        if args.ann_index < 1:
+            raise SystemExit("--ann-index must be >= 1")
+        if not _os.path.exists(f"{args.data}/embeddings.parquet"):
+            raise SystemExit(
+                f"--ann-index requires {args.data}/embeddings.parquet (vec_id "
+                "aligned with doc_id); not found"
+            )
+
     from pyspark.sql import functions as F
 
     from scala_etl_test_spark.operators import text as X
@@ -222,8 +236,6 @@ def main(argv: list[str] | None = None) -> None:
 
         from scala_etl_test_spark.streaming.ann import init_ivf_index
 
-        if args.ann_index < 1:
-            raise SystemExit("--ann-index must be >= 1")
         emb = read_table(spark, args.data, "embeddings")
         live = emb.join(
             clean.select(F.col("doc_id").alias("vec_id")), on="vec_id", how="left_semi"

@@ -82,6 +82,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Decompression-bomb ceiling on what an IHDR may PROMISE (not just what the
+# stream delivers): 2^26 px ≈ 8192×8192, ~320 MB of RGBA scanlines — far
+# above real corpus images, far below an executor OOM. Module-level so a
+# trusted-corpus pipeline can raise it deliberately.
+PNG_MAX_PIXELS = 1 << 26
+
 
 def _decode_png(payload: bytes) -> dict:
     """Minimal REAL PNG decode on the stdlib alone (struct + zlib): parse
@@ -105,6 +111,16 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError(f"malformed PNG: unknown color type {color_type}")
     if interlace != 0:
         raise NotImplementedError("interlaced PNG needs a full codec (PIL branch)")
+    # the inflate bound below is derived from IHDR, which is ATTACKER
+    # CONTROLLED for untrusted corpus payloads (r9 review finding #3): a
+    # header claiming 46341×46341 would make "expected" itself ~2 GB and
+    # the bomb guard toothless. Cap the promise first — same defense as
+    # PIL's MAX_IMAGE_PIXELS decompression-bomb limit.
+    if width * height > PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {width}x{height} exceed the decode pixel cap "
+            f"({PNG_MAX_PIXELS}); raise PNG_MAX_PIXELS for trusted corpora"
+        )
     idat = bytearray()
     pos = 8
     while pos + 8 <= len(payload):

@@ -790,7 +790,15 @@ def forget_from_ivf(
     """
     key = id_col if id_col in forget_ids.columns else forget_ids.columns[0]
     doomed = forget_ids.select(F.col(key).alias(id_col)).distinct()
-    corpus = spark.read.parquet(corpus_path)
+    stats_schema = f"{cluster_col} long, rows_erased long, rows_after long"
+    try:
+        corpus = spark.read.parquet(corpus_path)
+    except Exception:
+        # a fully-erased corpus has no parquet files left to infer a schema
+        # from (r9 review finding #2): the documented "re-running the same
+        # request converges" contract means this is a successful no-op, not
+        # a crash — there is nothing left to forget
+        return spark.createDataFrame([], stats_schema)
     touched_rows = (
         corpus.select(id_col, cluster_col)
         .join(F.broadcast(doomed), on=id_col, how="left_semi")
@@ -798,7 +806,6 @@ def forget_from_ivf(
         .agg(F.count(F.lit(1)).alias("rows_erased"))
         .collect()
     )
-    stats_schema = f"{cluster_col} long, rows_erased long, rows_after long"
     if not touched_rows:
         return spark.createDataFrame([], stats_schema)
     cells = [r[cluster_col] for r in touched_rows]
@@ -825,14 +832,20 @@ def forget_from_ivf(
             fs.rename(staged, live)
     fs.delete(hpath(staging), True)
 
-    after = {
-        r[cluster_col]: r["n"]
-        for r in spark.read.parquet(corpus_path)
-        .filter(F.col(cluster_col).isin(cells))
-        .groupBy(cluster_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        after = {
+            r[cluster_col]: r["n"]
+            for r in spark.read.parquet(corpus_path)
+            .filter(F.col(cluster_col).isin(cells))
+            .groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:
+        # every cell was fully doomed ⇒ every directory was deleted and the
+        # rows_after re-read has no files to infer a schema from — the
+        # evidence frame still reports the erasure (finding #2)
+        after = {}
     return spark.createDataFrame(
         [(int(c), int(erased[c]), int(after.get(c, 0))) for c in sorted(cells)],
         stats_schema,

@@ -63,10 +63,14 @@ from __future__ import annotations
 
 import pathlib
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scala_etl_test_spark.operators.merge import latest_per_key, upsert
+
+
+_MERGE_CONF_LOCK = threading.Lock()
 
 
 def _gen_dir(table_dir: str, gen: int) -> str:
@@ -293,6 +297,12 @@ def merge_into_bucketed_state(
     keys = list(key_cols)
     current_gen = _read_manifest(table_dir)
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    # the set/restore window mutates SESSION state: serialize concurrent
+    # merges on one session so thread B cannot capture thread A's "false"
+    # as its restore value (or have its bucketed scan dropped mid-merge by
+    # A's finally) — r9 review finding #6. Streams are safe regardless
+    # (per-query session clones); this guards the public batch API.
+    _MERGE_CONF_LOCK.acquire()
     prev_auto = spark.conf.get(auto_key, "true")
     spark.conf.set(auto_key, "false")
     try:
@@ -307,9 +317,16 @@ def merge_into_bucketed_state(
             pre = "_b_"
             while f"{pre}hit" in cols or any(f"{pre}{c}" in cols for c in cols):
                 pre += "_"
+            # the marker must ALSO be distinct from every ALIASED column: a
+            # state column literally named "hit" makes f"{pre}hit" collide
+            # with its alias for ANY prefix (r9 review finding #1 — growing
+            # the prefix can never fix that one)
+            hit, n = f"{pre}hit", 0
+            while hit in {f"{pre}{c}" for c in cols}:
+                hit, n = f"{pre}hit{n}", n + 1
             batch = F.broadcast(
                 collapsed.select(
-                    F.lit(True).alias(f"{pre}hit"),
+                    F.lit(True).alias(hit),
                     *[F.col(c).alias(f"{pre}{c}") for c in cols],
                 )
             )
@@ -326,7 +343,7 @@ def merge_into_bucketed_state(
                 batch_wins = newer | (bv.eqNullSafe(sv) & (h_b < h_s))
             else:
                 batch_wins = F.lit(True)
-            take_batch = F.col(f"{pre}hit").isNotNull() & batch_wins
+            take_batch = F.col(hit).isNotNull() & batch_wins
             updated = joined.select(
                 *[
                     F.when(take_batch, F.col(f"{pre}{c}")).otherwise(F.col(c)).alias(c)
@@ -347,6 +364,7 @@ def merge_into_bucketed_state(
         )
     finally:
         spark.conf.set(auto_key, prev_auto)
+        _MERGE_CONF_LOCK.release()
     # per-generation sidecar before the pointer flip: whatever generation
     # the MANIFEST ends up pointing at carries its OWN width, so a crash
     # between these writes can never register a generation under a width

@@ -224,3 +224,29 @@ def test_decode_media_bounds_decompression_bombs():
     junk = M._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x99" * 40) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="corrupt PNG pixel stream"):
         M._decode_png(junk)
+
+
+def test_decode_media_caps_promised_dimensions():
+    """r9 review finding #3: the inflate bound is derived from IHDR, which
+    is attacker-controlled — a header promising gigapixels must be rejected
+    BEFORE any allocation, like PIL's MAX_IMAGE_PIXELS."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(ct, data):
+        return struct.pack(">I", len(data)) + ct + data + struct.pack(
+            ">I", zlib.crc32(ct + data)
+        )
+
+    side = 46341  # side*side > 2^31 > PNG_MAX_PIXELS
+    ihdr = struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0)
+    bomb = (
+        M._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="pixel cap"):
+        M._decode_png(bomb)

@@ -183,6 +183,13 @@ def _final_children(node):
             return [node.relation().cachedPlan()]
         except Exception:
             return []
+    if name == "ReusedExchange":
+        # an AQE-reused broadcast build would otherwise bottom out childless
+        # and escape the cap read (r9 review finding #5)
+        try:
+            return [node.child()]
+        except Exception:
+            return []
     return [node.children().apply(i) for i in range(node.children().length())]
 
 

@@ -607,3 +607,24 @@ def test_forget_from_ivf_randomized_erasure_audit(spark, emb, tmp_path):
             cell = int(c.split("=", 1)[1])
             if cell not in want_touched:
                 assert before[c] == after[c], f"case {case}: untouched {c} rewritten"
+
+
+def test_forget_from_ivf_full_corpus_erasure_and_rerun_converge(spark, emb, tmp_path):
+    """r9 review finding #2: erasing EVERY row deletes every cell directory;
+    the evidence frame must still come back (rows_after=0), and re-running
+    the same request on the emptied corpus must be a clean no-op — the
+    documented convergence contract, not a schema-inference crash."""
+    cents = S.stride_centroids(emb, 4)
+    d = str(tmp_path / "fullerase")
+    S.ivf_assign(emb, cents).write.partitionBy("cluster_id").parquet(d)
+    everyone = spark.createDataFrame(
+        [(r["vec_id"],) for r in emb.select("vec_id").collect()], "vec_id long"
+    )
+    stats = {r["cluster_id"]: r for r in S.forget_from_ivf(spark, d, everyone).collect()}
+    assert stats and all(s["rows_after"] == 0 for s in stats.values())
+    import os
+
+    assert not [c for c in os.listdir(d) if c.startswith("cluster_id=")]
+    # convergence: the second run reports an empty stats frame, no crash
+    again = S.forget_from_ivf(spark, d, everyone)
+    assert again.count() == 0

@@ -1300,3 +1300,24 @@ def test_cdc_bucketed_merge_survives_hostile_column_names(spark, tmp_path):
     merge_into_bucketed_state(spark, b2, d, ["k"], 4, "v")
     got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
     assert got == {(1, 10, 111, "s1"), (2, 20, 999, "B2"), (3, 5, 333, "s3")}
+
+
+def test_cdc_bucketed_merge_survives_a_column_named_hit(spark, tmp_path):
+    """r9 review finding #1 (was a live AMBIGUOUS_REFERENCE crash): a state
+    column literally named 'hit' collides with the internal marker alias
+    for ANY prefix — the marker name is now uniquified separately."""
+    from scala_etl_test_spark.streaming.cdc import (
+        merge_into_bucketed_state,
+        read_state_bucketed,
+    )
+
+    schema = "k long, v long, hit string"
+    d = str(tmp_path / "hitcol")
+    merge_into_bucketed_state(
+        spark, spark.createDataFrame([(1, 10, "a"), (2, 10, "b")], schema), d, ["k"], 4, "v"
+    )
+    merge_into_bucketed_state(
+        spark, spark.createDataFrame([(2, 20, "B"), (3, 5, "c")], schema), d, ["k"], 4, "v"
+    )
+    got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "B"), (3, 5, "c")}
