@@ -104,6 +104,15 @@ HEADLINE = [
     # of the cell-local IVF erasure) — benched so the vector-side deletion
     # path's cost stays visible next to the corpus-side one
     "forget_from_ivf",
+    # round-9: eval-contamination audit (near-dup pairs straddling the
+    # train/val/test boundary, naive vs cluster-safe split) — the
+    # release-blocking governance gate, cluster-backed like
+    # forget_documents. lsh_recall_audit stays OUT of the headline on
+    # purpose: its ground-truth side is exact all-pairs within a hash
+    # stratum — quadratic in stratum size BY DESIGN — so its wall measures
+    # the audit's chosen stratum, not an engine path (solo numbers live in
+    # the round log).
+    "split_leakage_audit",
 ]
 
 

@@ -200,3 +200,50 @@ def cross_source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def split_leakage_audit(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit a train/val/test assignment against a near-duplicate pair
+    list: every pair whose two members landed in DIFFERENT splits leaks
+    eval content into training (the model memorizes the train copy and is
+    scored on its near-twin). Returns one row per straddled split pair —
+    ``(split_a, split_b, n_pairs, n_docs_a, n_docs_b)`` with the split
+    names normalized so ``split_a < split_b`` lexicographically and the
+    doc counts are distinct members on each side. An empty result is the
+    pass condition; :func:`sampling.leakage_safe_split` produces it by
+    construction (hash the cluster representative, not the row id).
+
+    Scale shape: the near-dup pair list is tiny relative to the corpus
+    (it is dedup output), so the two equi-joins that attach each member's
+    split shuffle O(pairs) + O(corpus) once each with AQE free to
+    broadcast the pair side; the report aggregation is bounded by
+    ``C(n_splits, 2)`` groups. No windows, no cartesians.
+    """
+    a = assignments.select(F.col(id_col).alias("_la"), F.col(split_col).alias("_sa"))
+    b = assignments.select(F.col(id_col).alias("_lb"), F.col(split_col).alias("_sb"))
+    straddled = (
+        pairs.select("id_a", "id_b")
+        .join(a, on=F.col("id_a") == F.col("_la"))
+        .join(b, on=F.col("id_b") == F.col("_lb"))
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    lo_first = F.col("_sa") < F.col("_sb")
+    return (
+        straddled.select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+            F.when(lo_first, F.col("id_a")).otherwise(F.col("id_b")).alias("_doc_a"),
+            F.when(lo_first, F.col("id_b")).otherwise(F.col("id_a")).alias("_doc_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("_doc_a").alias("n_docs_a"),
+            F.countDistinct("_doc_b").alias("n_docs_b"),
+        )
+    )

@@ -1465,3 +1465,53 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def pair_recall_report(
+    true_pairs: DataFrame,
+    found_pairs: DataFrame,
+    score_col: str = "jaccard",
+    band_width: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Measured recall of an approximate pair finder against exact ground
+    truth, per similarity band — the index-honesty report for the text
+    side (the ANN side has :func:`similarity.ann_recall_report`).
+
+    ``true_pairs`` is the lossless pair set (e.g.
+    :func:`prefix_jaccard_join`, whose no-false-negative guarantee is the
+    point); ``found_pairs`` the approximate finder's output over the SAME
+    id space (e.g. :func:`minhash_near_duplicates` — its banding s-curve
+    means recall climbs with similarity, and this report shows exactly
+    where). Both must normalize ``id_a < id_b``. Returns one row per
+    ``band_width``-wide similarity band of the TRUE pairs:
+    ``(band, n_true, n_found, recall)`` where ``band`` is the integer
+    floor(score / band_width) clamped to the last full band, so the
+    top band is closed ([0.8, 1.0] at the default width).
+
+    Scale shape: a single equi-join of two pair lists on (id_a, id_b) —
+    both are dedup OUTPUT (orders of magnitude below corpus scale) — and
+    a bounded aggregation (≤ 1/band_width groups). The expensive exact
+    ground truth is the caller's choice of scope; on a full corpus it is
+    typically run over a sampled stratum, which changes nothing here.
+    """
+    n_bands = int(round(1.0 / band_width))
+    band = F.least(F.floor(F.col(score_col) * F.lit(float(n_bands))), F.lit(n_bands - 1))
+    hits = found_pairs.select("id_a", "id_b", F.lit(1).alias("_hit"))
+    return (
+        true_pairs.select("id_a", "id_b", band.cast("int").alias("band"))
+        .join(hits, on=["id_a", "id_b"], how="left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_found"),
+        )
+        .select(
+            "band",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found").cast("double") / F.col("n_true"), round_digits).alias(
+                "recall"
+            ),
+        )
+    )

@@ -309,3 +309,16 @@ def dsir_importance_weights(
             F.round(F.sum("_lr"), round_digits).alias("log_weight"),
         )
     )
+
+
+def shard_by_hash(df: DataFrame, key_col: str, n_shards: int, shard_col: str = "shard_id") -> DataFrame:
+    """Content-addressed export sharding: ``shard = md5(key) mod n_shards``.
+    The manifest primitive for corpus export — a doc's shard is a pure
+    function of its key, so shards are reproducible across engines and
+    reruns, stable under corpus growth (a doc never migrates), and
+    balanced in expectation. Row-local projection, zero shuffles; pair
+    with ``write.partitionBy(shard_col)`` for the physical layout.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    return df.withColumn(shard_col, hash_bucket(F.col(key_col), n_shards))

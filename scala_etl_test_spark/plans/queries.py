@@ -4290,6 +4290,9 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 _GATE_PRIORITY: list[str] = [
     # added this round (r9) — no driver row yet
     "forget_from_ivf",
+    "split_leakage_audit",
+    "lsh_recall_audit",
+    "shard_manifest",
     # r5-stale tier (ALL 29 — VERDICT r8 item 1), registry order
     "events_gapfill",
     "events_ab_welch",

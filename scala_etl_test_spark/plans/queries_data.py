@@ -92,7 +92,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(docs_rel: str = "documents") -> str:
     from scala_etl_test_spark.operators.dedup import MINHASH_PRIME, minhash_params
 
     mins = ",\n         ".join(
@@ -107,7 +107,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH shingled0 AS (
   SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
-  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents) AS d(doc_id, text, w),
+  FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM {docs_rel}) AS d(doc_id, text, w),
        LATERAL (SELECT {_shingles_sql(_SHINGLE_N)} AS sh) AS s
 ), shingled AS (
   SELECT doc_id, shingle,
@@ -1358,6 +1358,227 @@ FROM (
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
   FROM documents
 )
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit of the train/val/test assignment
+    (operators/contamination.py:split_leakage_audit): near-dup pairs whose
+    members straddle a split boundary leak test content into training. Two
+    strategies are audited side by side — ``by_doc`` (hash the row id, the
+    naive split every pipeline starts with) versus ``by_cluster``
+    (operators/sampling.py:leakage_safe_split — hash the connected-component
+    representative), which is leak-free BY CONSTRUCTION and therefore
+    contributes zero rows. The oracle recomputes both splits and the
+    transitive closure with the shared recursive-CTE prefix, so the
+    zero-leak claim is checked, not asserted."""
+    from scala_etl_test_spark.operators.cluster import connected_components
+    from scala_etl_test_spark.operators.contamination import split_leakage_audit
+    from scala_etl_test_spark.operators.sampling import assign_split, leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).transform(tracked_persist)
+    naive = assign_split(docs, "doc_id", _SPLIT_WEIGHTS)
+    comp = connected_components(pairs)
+    safe = leakage_safe_split(docs, pairs, "doc_id", _SPLIT_WEIGHTS, components=comp)
+    by_doc = split_leakage_audit(naive, pairs).withColumn("strategy", F.lit("by_doc"))
+    by_cluster = split_leakage_audit(safe, pairs).withColumn(
+        "strategy", F.lit("by_cluster")
+    )
+    return (
+        by_doc.unionByName(by_cluster)
+        .select("strategy", "split_a", "split_b", "n_pairs", "n_docs_a", "n_docs_b")
+        .orderBy("strategy", "split_a", "split_b")
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+)
+_SPLIT_CASE_SQL = (
+    "CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes()},
+naive AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+  FROM (SELECT doc_id, {_SPLIT_BUCKET_SQL.format(key="doc_id")} AS b FROM documents)
+), safe AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS split
+  FROM (
+    SELECT d.doc_id,
+           {_SPLIT_BUCKET_SQL.format(key="coalesce(c.component, d.doc_id)")} AS b
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  )
+), leaks AS (
+  SELECT 'by_doc' AS strategy, s1.split AS sp_a, s2.split AS sp_b, p.id_a, p.id_b
+  FROM pairs0 p
+  JOIN naive s1 ON s1.doc_id = p.id_a
+  JOIN naive s2 ON s2.doc_id = p.id_b
+  WHERE s1.split <> s2.split
+  UNION ALL
+  SELECT 'by_cluster', s1.split, s2.split, p.id_a, p.id_b
+  FROM pairs0 p
+  JOIN safe s1 ON s1.doc_id = p.id_a
+  JOIN safe s2 ON s2.doc_id = p.id_b
+  WHERE s1.split <> s2.split
+)
+SELECT strategy,
+       LEAST(sp_a, sp_b) AS split_a,
+       GREATEST(sp_a, sp_b) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN sp_a < sp_b THEN id_a ELSE id_b END) AS BIGINT) AS n_docs_a,
+       CAST(COUNT(DISTINCT CASE WHEN sp_a < sp_b THEN id_b ELSE id_a END) AS BIGINT) AS n_docs_b
+FROM leaks
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+_RECALL_STRATUM_MOD, _RECALL_STRATUM_KEEP = 10, 6  # 60% of doc ids
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-honesty report for the text-dedup side
+    (operators/dedup.py:pair_recall_report): measured recall of the
+    MinHash-LSH finder (16 hashes, 4×4 banding — s-curve midpoint ≈ 0.71)
+    against the LOSSLESS prefix-filter ground truth at the same verify
+    threshold and shingle space, per 0.2-wide Jaccard band. The ANN twin is
+    ``ann_recall_report``; this is its exact-set-similarity counterpart —
+    the number a corpus owner reads before trusting LSH at a threshold.
+
+    The audit runs on a content-hash STRATUM of the corpus (60% of doc
+    ids): exact all-pairs ground truth over a full corpus is exactly what
+    LSH exists to avoid, so the production shape is a stratum audit. A
+    pair enters the stratum iff BOTH members hash in — probability p² for
+    every pair regardless of its similarity — so per-band recall on the
+    stratum is an unbiased estimate of corpus recall, and the stratum is
+    reproducible (md5, no RNG). Both the finder and the ground truth see
+    the same stratum; a pair's LSH band signatures don't depend on what
+    else is in the corpus (only the bucket cap does), so stratum recall
+    faithfully reflects the banding s-curve being audited."""
+    from scala_etl_test_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        hash_bucket(F.col("doc_id"), _RECALL_STRATUM_MOD) < _RECALL_STRATUM_KEEP
+    )
+    # one persisted (id, sh_h) table feeds BOTH sides — the ground truth and
+    # the finder audit the same shingle space, and the corpus-sized explode
+    # runs once, not twice
+    sh = D.shingle_table(docs, "text", "doc_id", _SHINGLE_N).transform(tracked_persist)
+    truth = D.prefix_jaccard_join(
+        docs, "text", "doc_id", threshold=_MINHASH_T, shingle_n=_SHINGLE_N, shingles=sh
+    )
+    found = D.minhash_near_duplicates(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows=_ROWS,
+        shingle_n=_SHINGLE_N,
+        threshold=_MINHASH_T,
+        shingles=sh,
+    )
+    return D.pair_recall_report(truth, found).orderBy("band")
+
+
+def _lsh_recall_sql() -> str:
+    stratum = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"% {_RECALL_STRATUM_MOD} < {_RECALL_STRATUM_KEEP}"
+    )
+    return f"""
+WITH sdocs AS (
+  SELECT * FROM documents WHERE {stratum}
+), truth AS (
+  WITH shingled AS (
+    SELECT DISTINCT d.doc_id, unnest(sh) AS shingle
+    FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM sdocs) AS d(doc_id, text, w),
+         LATERAL (SELECT {_shingles_sql(_SHINGLE_N)} AS sh) AS s
+  ), sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+  ), common AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+    FROM shingled sa
+    JOIN shingled sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT co.id_a, co.id_b,
+         CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) AS jaccard
+  FROM common co
+  JOIN sizes za ON za.doc_id = co.id_a
+  JOIN sizes zb ON zb.doc_id = co.id_b
+  WHERE CAST(co.n_common AS DOUBLE) / (za.set_size + zb.set_size - co.n_common) >= {_MINHASH_T}
+), found AS (
+  SELECT id_a, id_b FROM ({_minhash_sql("sdocs")})
+), banded AS (
+  SELECT CAST(LEAST(FLOOR(t.jaccard * 5.0), 4) AS INTEGER) AS band,
+         CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_found,
+       round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard manifest (operators/sampling.py:shard_by_hash):
+    content-addressed ``md5(doc_id) mod 16`` shard assignment — row-local,
+    reproducible, growth-stable — with per-shard doc count, char mass,
+    distinct sources, and corpus share. The manifest a corpus release ships
+    next to its ``partitionBy(shard_id)`` layout so consumers can verify
+    balance without scanning payloads."""
+    from scala_etl_test_spark.operators.sampling import shard_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        shard_by_hash(docs, "doc_id", _N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+    t = g.agg(F.sum("n_docs").alias("_total"))
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_chars_total",
+            "n_sources",
+            F.round(F.col("n_docs").cast("double") / F.col("_total"), 9).alias("share"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH sh AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_N_SHARDS} AS shard_id,
+         n_chars, source
+  FROM documents
+), g AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM sh GROUP BY shard_id
+), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g)
+SELECT shard_id, n_docs, n_chars_total, n_sources,
+       round(CAST(n_docs AS DOUBLE) / total, 9) AS share
+FROM g, t ORDER BY shard_id
 """
 
 
@@ -3909,6 +4130,9 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "forget_documents": q_forget_documents,
     "forget_from_ivf": q_forget_from_ivf,
+    "split_leakage_audit": q_split_leakage_audit,
+    "lsh_recall_audit": q_lsh_recall_audit,
+    "shard_manifest": q_shard_manifest,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -3992,4 +4216,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "forget_documents": SQL_FORGET_DOCUMENTS,
     "forget_from_ivf": SQL_FORGET_FROM_IVF,
+    "split_leakage_audit": _split_leakage_sql(),
+    "lsh_recall_audit": _lsh_recall_sql(),
+    "shard_manifest": SQL_SHARD_MANIFEST,
 }

@@ -118,3 +118,55 @@ class TestCrossSourceOverlap:
         assert len(out) == 1
         assert out[0]["n_shared_shingles"] == 1
         assert out[0]["jaccard"] == 1.0
+
+
+class TestSplitLeakageAudit:
+    """split_leakage_audit: straddled near-dup pairs per split pair, with
+    normalized split names and per-side distinct doc counts."""
+
+    def _audit(self, spark, assignments, pairs):
+        from scala_etl_test_spark.operators.contamination import split_leakage_audit
+
+        a = spark.createDataFrame(assignments, "doc_id long, split string")
+        p = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_docs_a"], r["n_docs_b"])
+            for r in split_leakage_audit(a, p).collect()
+        }
+
+    def test_straddled_pairs_counted_same_split_excluded(self, spark):
+        assignments = [(1, "train"), (2, "test"), (3, "train"), (4, "val"), (5, "train")]
+        pairs = [(1, 2), (1, 3), (2, 4), (4, 5)]
+        got = self._audit(spark, assignments, pairs)
+        # (1,3) is train/train → not a leak; names normalize lexicographically
+        assert got == {
+            ("test", "train"): (1, 1, 1),
+            ("test", "val"): (1, 1, 1),
+            ("train", "val"): (1, 1, 1),
+        }
+
+    def test_distinct_doc_counts_vs_pair_counts(self, spark):
+        # one train doc near-dups THREE test docs: 3 pairs, 1 train doc
+        assignments = [(1, "train"), (2, "test"), (3, "test"), (4, "test")]
+        pairs = [(1, 2), (1, 3), (1, 4)]
+        got = self._audit(spark, assignments, pairs)
+        assert got == {("test", "train"): (3, 3, 1)}
+
+    def test_leakage_safe_split_audits_clean(self, spark):
+        """The by-cluster split's audit is EMPTY for every pair list, and
+        the naive by-doc split leaks on a crafted cross-split pair."""
+        from scala_etl_test_spark.operators.contamination import split_leakage_audit
+        from scala_etl_test_spark.operators.sampling import assign_split, leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 61)], "doc_id long")
+        weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+        naive = assign_split(docs, "doc_id", weights)
+        by_split = {r["doc_id"]: r["split"] for r in naive.collect()}
+        # craft a pair that straddles the naive split (ids exist: 60 ids
+        # across 3 splits always yield a cross-split pair)
+        id_a = next(i for i in by_split if by_split[i] == "train")
+        id_b = next(i for i in by_split if by_split[i] != "train")
+        pairs = spark.createDataFrame([(min(id_a, id_b), max(id_a, id_b))], "id_a long, id_b long")
+        assert split_leakage_audit(naive, pairs).count() == 1
+        safe = leakage_safe_split(docs, pairs, "doc_id", weights)
+        assert split_leakage_audit(safe, pairs).count() == 0

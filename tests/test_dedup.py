@@ -872,3 +872,35 @@ def test_simhash_banded_plan_has_no_cartesian_at_any_pieces(spark, docs):
     for q in (1, 2, 3):
         plan = D.simhash_pairs_banded(fp, "doc_id", 4, pieces=q)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan, q
+
+
+class TestPairRecallReport:
+    """pair_recall_report: per-band recall of an approximate pair finder
+    against exact ground truth (band = floor(score/width), top band closed)."""
+
+    def _report(self, spark, true_rows, found_rows, **kw):
+        from scala_etl_test_spark.operators.dedup import pair_recall_report
+
+        t = spark.createDataFrame(true_rows, "id_a long, id_b long, jaccard double")
+        f = spark.createDataFrame(found_rows, "id_a long, id_b long")
+        return {
+            r["band"]: (r["n_true"], r["n_found"], r["recall"])
+            for r in pair_recall_report(t, f, **kw).collect()
+        }
+
+    def test_bands_and_recall(self, spark):
+        true_rows = [(1, 2, 0.25), (3, 4, 0.55), (5, 6, 0.85), (7, 8, 1.0)]
+        found_rows = [(3, 4), (7, 8)]
+        got = self._report(spark, true_rows, found_rows)
+        # jaccard 1.0 clamps into the top band (4) alongside 0.85
+        assert got == {1: (1, 0, 0.0), 2: (1, 1, 1.0), 4: (2, 1, 0.5)}
+
+    def test_found_only_pairs_ignored(self, spark):
+        """Pairs the finder reports that are NOT in the ground truth (e.g.
+        below-threshold verifications) never inflate recall."""
+        got = self._report(spark, [(1, 2, 0.9)], [(1, 2), (9, 9)])
+        assert got == {4: (1, 1, 1.0)}
+
+    def test_custom_band_width(self, spark):
+        got = self._report(spark, [(1, 2, 0.3), (3, 4, 0.9)], [(3, 4)], band_width=0.25)
+        assert got == {1: (1, 0, 0.0), 3: (1, 1, 1.0)}

@@ -55,6 +55,7 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "corpus_prepare": "includes connected-components cluster rounds",
     "forget_documents": "includes connected-components cluster rounds",
     "forget_from_ivf": "includes connected-components cluster rounds",
+    "split_leakage_audit": "includes connected-components cluster rounds",
     # --- driver-bounded sketch point queries ---
     "heavy_hitters_cms": "CMS point queries need the JVM sketch object; "
     "bounded at top_n + 1 small jobs",

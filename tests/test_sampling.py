@@ -234,3 +234,36 @@ def test_token_budget_no_int64_overflow(spark):
     }
     assert sum(got.values()) == budget
     assert got == {"a": 250_000_000, "b": 750_000_000}
+
+
+class TestShardByHash:
+    def test_range_and_determinism(self, spark):
+        from scala_etl_test_spark.operators.sampling import shard_by_hash
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        got = {r["doc_id"]: r["shard_id"] for r in shard_by_hash(df, "doc_id", 16).collect()}
+        assert set(got) == set(range(200))
+        assert all(0 <= s < 16 for s in got.values())
+        assert len(set(got.values())) > 1  # spreads across shards
+        again = {r["doc_id"]: r["shard_id"] for r in shard_by_hash(df, "doc_id", 16).collect()}
+        assert got == again
+
+    def test_growth_stable_membership(self, spark):
+        """A doc keeps its shard when the corpus grows — content-addressed,
+        not position-addressed."""
+        from scala_etl_test_spark.operators.sampling import shard_by_hash
+
+        small = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        big = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        s = {r["doc_id"]: r["shard_id"] for r in shard_by_hash(small, "doc_id", 8).collect()}
+        b = {r["doc_id"]: r["shard_id"] for r in shard_by_hash(big, "doc_id", 8).collect()}
+        assert all(b[k] == v for k, v in s.items())
+
+    def test_invalid_shard_count_rejected(self, spark):
+        import pytest as _pytest
+
+        from scala_etl_test_spark.operators.sampling import shard_by_hash
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError):
+            shard_by_hash(df, "doc_id", 0)

@@ -95,6 +95,14 @@ FAMILIES = {
         "dedup_prefix_jaccard",
         "dedup_clusters",
         "corpus_clean",
+        # r9: cluster-backed split-leakage governance gate (minhash pairs +
+        # CC + two split audits — the corpus-clean cost shape)
+        "split_leakage_audit",
+        # r9: LSH recall audit — its ground truth is exact all-pairs within
+        # a 60% hash stratum, so like dedup_prefix_jaccard its candidate
+        # volume is quadratic in the SATURATED replica's vocabulary regime
+        # by design; read its ratio next to dedup_prefix_jaccard's
+        "lsh_recall_audit",
     ],
     # blocked-jaccard / governance tier over the same documents replica;
     # NOT hybrid_retrieval — it fuses ann_cosine_topk, the brute-force
@@ -109,6 +117,9 @@ FAMILIES = {
         "source_overlap_matrix",
         "quality_filter_sweep",
         "corpus_release_report",
+        # r9: content-addressed export sharding manifest (row-local hash +
+        # one bounded groupBy — must be flatly linear)
+        "shard_manifest",
     ],
     # range/as-of/skew/interval join shapes — the rel queries whose cost
     # is NOT a plain equi-join and could hide super-linear growth; plus
