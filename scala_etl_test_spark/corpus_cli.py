@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> None:
         "--release-report",
         action="store_true",
         help="write the document-corpus governance gates (dup rate, quality "
-        "retention, OOV, cross-source leakage) to {out}/release_report",
+        "retention, OOV, cross-source leakage, split leakage) to "
+        "{out}/release_report",
     )
     parser.add_argument(
         "--ann-index",
@@ -175,7 +176,8 @@ def main(argv: list[str] | None = None) -> None:
         docs, pairs, "doc_id", weights, components=comp
     ).select("doc_id", "split")
     splits.write.mode("overwrite").parquet(f"{args.out}/splits")
-    pairs.unpersist()
+    # pairs stay persisted through --release-report: its split-leakage gate
+    # re-reads them, and an unpersist here would re-run the whole minhash
 
     # mixture over the CLEAN corpus: weighting sources by their raw counts
     # would over-sample exactly the near-dup/low-quality mass just gated out
@@ -247,11 +249,26 @@ def main(argv: list[str] | None = None) -> None:
         # the document-corpus gates, from the SAME builder behind the
         # registered corpus_release_report query (events-based gates don't
         # apply to a documents-only pipeline run)
+        from scala_etl_test_spark.operators.contamination import split_leakage_audit
         from scala_etl_test_spark.plans.queries_data import document_release_gates
 
-        document_release_gates(docs).orderBy("check").write.mode(
+        # fifth gate: audit the split artifact THIS RUN just shipped — the
+        # assignment is leakage-safe by construction, so any straddled
+        # near-dup pair here means the artifact on disk is not the one the
+        # pipeline computed (read back from parquet on purpose)
+        leak_gate = (
+            split_leakage_audit(spark.read.parquet(f"{args.out}/splits"), pairs)
+            .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("double").alias("value"))
+            .select(
+                F.lit("split_leakage_pairs").alias("check"),
+                F.round("value", 6).alias("value"),
+                (F.col("value") == 0).alias("passed"),
+            )
+        )
+        document_release_gates(docs).unionByName(leak_gate).orderBy("check").write.mode(
             "overwrite"
         ).parquet(f"{args.out}/release_report")
+    pairs.unpersist()
 
     n_docs, n_clean = docs.count(), clean.count()
     clean.unpersist()

@@ -95,9 +95,14 @@ def test_corpus_cli_release_report(spark, sf_dir, tmp_path):
         "quality_retention_at_075",
         "oov_token_rate_max",
         "cross_source_jaccard_max",
+        "split_leakage_pairs",
     }
     for r in rep.values():
         assert r["value"] is not None and isinstance(r["passed"], bool)
+    # the shipped split artifact is leakage-safe by construction — the
+    # self-audit gate must report exactly zero straddled pairs AND pass
+    assert rep["split_leakage_pairs"]["value"] == 0.0
+    assert rep["split_leakage_pairs"]["passed"] is True
     # the document-corpus slice must agree with the registered gate query
     from scala_etl_test_spark.plans.queries import QUERIES
 
@@ -106,6 +111,8 @@ def test_corpus_cli_release_report(spark, sf_dir, tmp_path):
         for r in QUERIES["corpus_release_report"](spark, sf_dir).collect()
     }
     for name, row in rep.items():
+        if name == "split_leakage_pairs":
+            continue  # CLI-only gate: audits this run's own split artifact
         assert full[name] == (row["value"], row["passed"]), name
 
 
