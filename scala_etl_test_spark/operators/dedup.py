@@ -1497,7 +1497,13 @@ def pair_recall_report(
     """
     n_bands = int(round(1.0 / band_width))
     band = F.least(F.floor(F.col(score_col) * F.lit(float(n_bands))), F.lit(n_bands - 1))
-    hits = found_pairs.select("id_a", "id_b", F.lit(1).alias("_hit"))
+    # a finder emitting the same pair twice must not double-count it (the
+    # left join would fan out the true row, inflating n_true AND n_found)
+    hits = (
+        found_pairs.select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_hit", F.lit(1))
+    )
     return (
         true_pairs.select("id_a", "id_b", band.cast("int").alias("band"))
         .join(hits, on=["id_a", "id_b"], how="left")

@@ -904,3 +904,9 @@ class TestPairRecallReport:
     def test_custom_band_width(self, spark):
         got = self._report(spark, [(1, 2, 0.3), (3, 4, 0.9)], [(3, 4)], band_width=0.25)
         assert got == {1: (1, 0, 0.0), 3: (1, 1, 1.0)}
+
+    def test_duplicate_found_pairs_not_double_counted(self, spark):
+        """A finder emitting the same pair twice must not fan out the true
+        row (recall must stay <= 1 and n_true must stay the true count)."""
+        got = self._report(spark, [(1, 2, 0.9)], [(1, 2), (1, 2)])
+        assert got == {4: (1, 1, 1.0)}
