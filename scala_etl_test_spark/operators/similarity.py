@@ -850,3 +850,141 @@ def forget_from_ivf(
         [(int(c), int(erased[c]), int(after.get(c, 0))) for c in sorted(cells)],
         stats_schema,
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact distributed covariance of an embedding column, in long form:
+    one row per unordered dimension pair ``(dim_i <= dim_j, cov)`` — the
+    second-moment input to whitening / PCA / OPQ rotation, the standard
+    preprocessing step before PQ coding or cosine indexing at scale.
+
+    Reproducibility contract (same trick as :func:`centroid_sums`):
+    components are quantized to ``scale`` fixed-point FIRST, and every
+    reduction after that is integer — Σq_i as int64, Σq_i·q_j summed in
+    DECIMAL(38,0) (the int64 pair product is ≤ scale², but its corpus sum
+    overflows int64 at ~1e10 rows × unit vectors) — so the result is
+    bit-identical across runs, partitionings, and engines; the ONE double
+    division happens after all sums, on the exact integer numerator
+    ``n·S_ij − S_i·S_j``.
+
+    Scale shape: NO self-join — the d(d+1)/2 pair products are built
+    ROW-LOCALLY with nested array transforms (at d=64: 2080 elements per
+    row) and feed one (dim_i, dim_j)-keyed partial-combined aggregation;
+    first moments are a second narrow d-keyed aggregate broadcast back
+    onto the d²-row pair table. Work is rows × d²/2 — linear in the
+    corpus for fixed d, the unavoidable cost of exact second moments.
+    """
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.round(v * scale, 0).cast("long"),
+    )
+    base = df.select(q.alias("_q"))
+    d = F.size("_q")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("dim_i"),
+                    j.alias("dim_j"),
+                    (F.element_at("_q", (i + 1).cast("int"))
+                     * F.element_at("_q", (j + 1).cast("int"))).alias("_prod"),
+                ),
+            ),
+        )
+    )
+    pair_rows = base.select(F.explode(pair_structs).alias("_p")).select(
+        F.col("_p.dim_i").cast("long").alias("dim_i"),
+        F.col("_p.dim_j").cast("long").alias("dim_j"),
+        F.col("_p._prod").cast("decimal(38,0)").alias("_prod"),
+    )
+    second = pair_rows.groupBy("dim_i", "dim_j").agg(
+        F.sum("_prod").alias("_s_ij"), F.count(F.lit(1)).alias("_n")
+    )
+    firsts = (
+        base.select(F.posexplode("_q").alias("dim", "_v"))
+        .groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"))
+    )
+    num = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_s_ij")
+        - F.col("_s_i") * F.col("_s_j")
+    )
+    den = (
+        F.col("_n").cast("double") * F.col("_n").cast("double")
+        * F.lit(float(scale) * float(scale))
+    )
+    return (
+        second.join(
+            F.broadcast(firsts.select(F.col("dim").alias("dim_i"), F.col("_s").alias("_s_i"))),
+            on="dim_i",
+        )
+        .join(
+            F.broadcast(firsts.select(F.col("dim").alias("dim_j"), F.col("_s").alias("_s_j"))),
+            on="dim_j",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(num.cast("double") / den, round_digits).alias("cov"),
+        )
+    )
+
+
+def pca_components_from_cov(cov_rows, d: int, k: int) -> list[list[float]]:
+    """Top-``k`` principal directions from :func:`embedding_covariance`
+    output — a k×d list-of-lists of unit eigenvectors, eigenvalue-DESC.
+
+    Driver-side numpy on the d×d matrix: eigendecomposition of a
+    64×64 covariance is MODEL-PARAMETER work (the PQ-codebook / BPE-merge
+    collect precedent — d² scalars, not corpus data). Sign convention
+    pinned for determinism: each eigenvector is flipped so its
+    largest-|component| entry is positive (numpy's sign is otherwise
+    arbitrary), ties broken by the lower index winning.
+    """
+    import numpy as np
+
+    m = np.zeros((d, d))
+    for r in cov_rows.collect():
+        m[r["dim_i"], r["dim_j"]] = m[r["dim_j"], r["dim_i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)  # ascending eigenvalues, orthonormal
+    order = np.argsort(vals)[::-1][:k]
+    out = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        out.append([float(x) for x in v])
+    return out
+
+
+def project_to_components(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Row-local projection onto literal principal directions: adds
+    ``out_col`` = [v·c_1, …, v·c_k]. The components ship as plan literals
+    (k×d doubles — the zero-shuffle literal-codebook pattern of
+    operators/pq.py), so the projection is a narrow codegen map: no join,
+    no UDF, pushdown-friendly. Pair with :func:`embedding_covariance` +
+    :func:`pca_components_from_cov` for the whiten-then-index pipeline.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dots = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in comp]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*dots))

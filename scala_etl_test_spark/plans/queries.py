@@ -4293,6 +4293,7 @@ _GATE_PRIORITY: list[str] = [
     "split_leakage_audit",
     "lsh_recall_audit",
     "shard_manifest",
+    "embedding_covariance",
     # r5-stale tier (ALL 29 — VERDICT r8 item 1), registry order
     "events_gapfill",
     "events_ab_welch",

@@ -1582,6 +1582,45 @@ FROM g, t ORDER BY shard_id
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance of the embedding column
+    (operators/similarity.py:embedding_covariance): all-integer fixed-point
+    sums (quantize-then-sum, DECIMAL pair products) with ONE double
+    division at the end — bit-identical across runs, partitionings, and
+    engines, which is what makes a whitening/PCA/OPQ preprocessing step
+    auditable. Pair products are built row-locally (no self-join); the
+    oracle replays the identical integer arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_covariance(emb).orderBy("dim_i", "dim_j")
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH q AS (
+  SELECT list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), pair AS (
+  SELECT i AS dim_i, j AS dim_j,
+         SUM(qv[i + 1] * qv[j + 1]) AS s_ij,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q,
+       LATERAL (SELECT unnest(range(0, len(qv))) AS i) AS a,
+       LATERAL (SELECT unnest(range(i, len(qv))) AS j) AS b
+  GROUP BY 1, 2
+), firsts AS (
+  SELECT i AS dim, SUM(qv[i + 1]) AS s
+  FROM q, LATERAL (SELECT unnest(range(0, len(qv))) AS i) AS a
+  GROUP BY 1
+)
+SELECT p.dim_i, p.dim_j,
+       round(CAST(p.n * p.s_ij - fa.s * fb.s AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1000000000000.0), 9) AS cov
+FROM pair p
+JOIN firsts fa ON fa.dim = p.dim_i
+JOIN firsts fb ON fb.dim = p.dim_j
+ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary payload columns)
 # --------------------------------------------------------------------------
@@ -4133,6 +4172,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_audit": q_split_leakage_audit,
     "lsh_recall_audit": q_lsh_recall_audit,
     "shard_manifest": q_shard_manifest,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -4219,4 +4259,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "split_leakage_audit": _split_leakage_sql(),
     "lsh_recall_audit": _lsh_recall_sql(),
     "shard_manifest": SQL_SHARD_MANIFEST,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
 }

@@ -170,3 +170,40 @@ class TestSplitLeakageAudit:
         assert split_leakage_audit(naive, pairs).count() == 1
         safe = leakage_safe_split(docs, pairs, "doc_id", weights)
         assert split_leakage_audit(safe, pairs).count() == 0
+
+    def test_randomized_vs_python_reference(self, spark):
+        """Seeded-random cross-check against an independent Python
+        reference (same pattern as the CC union-find property): pair
+        counts, normalization, and per-side distinct doc counts."""
+        import random
+        from collections import defaultdict
+
+        from scala_etl_test_spark.operators.contamination import split_leakage_audit
+
+        rng = random.Random(909)
+        for _ in range(3):
+            n = 40
+            splits = {i: rng.choice(["train", "val", "test"]) for i in range(n)}
+            pairs = set()
+            while len(pairs) < 25:
+                a, b = rng.sample(range(n), 2)
+                pairs.add((min(a, b), max(a, b)))
+            ref: dict = defaultdict(lambda: [0, set(), set()])
+            for a, b in sorted(pairs):
+                sa, sb = splits[a], splits[b]
+                if sa == sb:
+                    continue
+                lo, hi = (sa, sb) if sa < sb else (sb, sa)
+                da, db = (a, b) if sa < sb else (b, a)
+                e = ref[(lo, hi)]
+                e[0] += 1
+                e[1].add(da)
+                e[2].add(db)
+            want = {k: (v[0], len(v[1]), len(v[2])) for k, v in ref.items()}
+            a_df = spark.createDataFrame(sorted(splits.items()), "doc_id long, split string")
+            p_df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+            got = {
+                (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_docs_a"], r["n_docs_b"])
+                for r in split_leakage_audit(a_df, p_df).collect()
+            }
+            assert got == want

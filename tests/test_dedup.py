@@ -910,3 +910,30 @@ class TestPairRecallReport:
         row (recall must stay <= 1 and n_true must stay the true count)."""
         got = self._report(spark, [(1, 2, 0.9)], [(1, 2), (1, 2)])
         assert got == {4: (1, 1, 1.0)}
+
+    def test_randomized_vs_python_reference(self, spark):
+        """Seeded-random cross-check against an independent Python
+        reference: banding (incl. the closed top band), per-band counts,
+        and recall arithmetic."""
+        import math
+        import random
+
+        from scala_etl_test_spark.operators.dedup import pair_recall_report
+
+        rng = random.Random(911)
+        for _ in range(3):
+            true_rows = [
+                (2 * i, 2 * i + 1, round(rng.uniform(0.2, 1.0), 4)) for i in range(30)
+            ]
+            found_rows = [(a, b) for a, b, _ in true_rows if rng.random() < 0.6]
+            ref: dict[int, list[int]] = {}
+            for a, b, j in true_rows:
+                band = min(math.floor(j * 5.0), 4)
+                e = ref.setdefault(band, [0, 0])
+                e[0] += 1
+                e[1] += int((a, b) in set(found_rows))
+            want = {
+                band: (t, f, round(f / t, 6)) for band, (t, f) in ref.items()
+            }
+            got = self._report(spark, true_rows, found_rows)
+            assert got == want

@@ -628,3 +628,75 @@ def test_forget_from_ivf_full_corpus_erasure_and_rerun_converge(spark, emb, tmp_
     # convergence: the second run reports an empty stats frame, no crash
     again = S.forget_from_ivf(spark, d, everyone)
     assert again.count() == 0
+
+
+class TestEmbeddingCovariance:
+    def _emb(self, spark, seed=7, n=60, d=5):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+        return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_matches_numpy_within_quantization(self, spark):
+        import numpy as np
+
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+
+        rows, df = self._emb(spark)
+        got = {(r["dim_i"], r["dim_j"]): r["cov"] for r in embedding_covariance(df).collect()}
+        m = np.array([v for _, v in rows])
+        ref = np.cov(m, rowvar=False, bias=True)  # population covariance
+        assert len(got) == 5 * 6 // 2
+        for (i, j), c in got.items():
+            # quantization error bound: ~d * 0.5/scale per moment, far below 1e-4
+            assert abs(c - ref[i][j]) < 1e-4, (i, j)
+
+    def test_partition_invariant_bit_identical(self, spark):
+        """The fixed-point contract: the SAME doubles out under any input
+        partitioning (a float-summed covariance cannot promise this)."""
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+
+        _, df = self._emb(spark, seed=11)
+        a = {(r["dim_i"], r["dim_j"]): r["cov"] for r in embedding_covariance(df).collect()}
+        b = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(df.repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_pca_components_orthonormal_and_ordered(self, spark):
+        import numpy as np
+
+        from scala_etl_test_spark.operators.similarity import (
+            embedding_covariance,
+            pca_components_from_cov,
+        )
+
+        rows, df = self._emb(spark, seed=13, n=80, d=6)
+        comps = pca_components_from_cov(embedding_covariance(df), d=6, k=4)
+        c = np.array(comps)
+        assert c.shape == (4, 6)
+        assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)  # orthonormal
+        m = np.array([v for _, v in rows])
+        cov = np.cov(m, rowvar=False, bias=True)
+        variances = [float(v @ cov @ v) for v in c]
+        assert variances == sorted(variances, reverse=True)  # eigenvalue DESC
+        # sign pin: the largest-|x| entry of each component is positive
+        for v in c:
+            assert v[int(np.argmax(np.abs(v)))] > 0
+
+    def test_projection_matches_numpy_and_stays_jvm_side(self, spark):
+        import numpy as np
+
+        from scala_etl_test_spark.operators.similarity import project_to_components
+
+        rows, df = self._emb(spark, seed=17, n=10, d=4)
+        comps = [[1.0, 0.0, 0.0, 0.0], [0.5, -0.5, 0.25, 0.0]]
+        out = project_to_components(df, comps)
+        got = {r["vec_id"]: r["projected"] for r in out.collect()}
+        for vid, vec in rows:
+            want = [float(np.dot(vec, c)) for c in comps]
+            assert np.allclose(got[vid], want, atol=1e-12)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan

@@ -160,6 +160,9 @@ FAMILIES = {
         "ann_multiprobe_topk",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        # r9: exact second moments — rows × d²/2 row-local products into a
+        # d²-bounded aggregate; must be flatly linear in rows
+        "embedding_covariance",
         "semantic_dedup",
         "semantic_dedup_greedy",
         "label_spread",
