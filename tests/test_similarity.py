@@ -700,3 +700,50 @@ class TestEmbeddingCovariance:
             assert np.allclose(got[vid], want, atol=1e-12)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+    def test_full_rank_rotation_preserves_cosine_topk(self, spark):
+        """The whiten-then-index composition end to end: covariance →
+        sign-pinned components → literal-matrix projection. With k = d the
+        projection is an orthonormal ROTATION, so cosine top-k over the
+        projected corpus must return the IDENTICAL neighbor ids as over
+        the raw corpus — the exact invariant that makes PCA preprocessing
+        safe for a cosine index."""
+        from scala_etl_test_spark.operators.similarity import (
+            cosine_topk,
+            embedding_covariance,
+            pca_components_from_cov,
+            project_to_components,
+        )
+
+        rows, df = self._emb(spark, seed=23, n=120, d=6)
+        comps = pca_components_from_cov(embedding_covariance(df), d=6, k=6)
+        projected = project_to_components(df, comps).select(
+            "vec_id", F.col("projected").alias("embedding")
+        )
+        query = rows[0][1]
+        q_proj = [sum(a * b for a, b in zip(query, c)) for c in comps]
+        raw = [r["vec_id"] for r in cosine_topk(df, query, k=10, round_digits=None).collect()]
+        rot = [
+            r["vec_id"]
+            for r in cosine_topk(projected, q_proj, k=10, round_digits=None).collect()
+        ]
+        assert raw == rot
+
+    def test_truncated_projection_orders_variance(self, spark):
+        """k < d keeps the HIGHEST-variance directions: the projected
+        coordinates' per-dimension variance must be non-increasing."""
+        import numpy as np
+
+        from scala_etl_test_spark.operators.similarity import (
+            embedding_covariance,
+            pca_components_from_cov,
+            project_to_components,
+        )
+
+        rows, df = self._emb(spark, seed=29, n=100, d=6)
+        comps = pca_components_from_cov(embedding_covariance(df), d=6, k=3)
+        got = np.array(
+            [r["projected"] for r in project_to_components(df, comps).collect()]
+        )
+        variances = got.var(axis=0)
+        assert variances[0] >= variances[1] >= variances[2]

@@ -102,6 +102,10 @@ SHOWCASE = [
         "forget_from_ivf",
         "The deletion path for the vector index: the request-sized closure broadcasts into the final LEFT ANTI against the assigned corpus — the corpus itself is scanned once, never shuffled; on the persisted partitionBy(cluster_id) layout the same anti-join becomes a cell-local rewrite (only touched partitions).",
     ),
+    (
+        "embedding_covariance",
+        "Exact second moments with NO self-join: the d(d+1)/2 pair products are nested array transforms inside the scan projection (row-local, codegen), feeding one partial-combined (dim_i, dim_j) aggregate; the d-row first-moment table broadcasts back. All sums integer/decimal — the one double division happens on the exact numerator, so the plan is reproducible bit-for-bit under any partitioning.",
+    ),
 ]
 
 
