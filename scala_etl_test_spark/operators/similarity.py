@@ -879,11 +879,27 @@ def embedding_covariance(
     onto the d²-row pair table. Work is rows × d²/2 — linear in the
     corpus for fixed d, the unavoidable cost of exact second moments.
     """
+    base = quantized_base(df, vec_col, scale)
+    return finalize_covariance(
+        second_moments(base), first_moments(base), scale, round_digits
+    )
+
+
+def quantized_base(df: DataFrame, vec_col: str, scale: int) -> DataFrame:
+    """(_q) — the fixed-point quantized vector column, the shared entry of
+    the moment pipeline (batch :func:`embedding_covariance` and the
+    streaming partials in streaming/moments.py build from the SAME
+    expressions, which is what makes their results bit-identical)."""
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda v: F.round(v * scale, 0).cast("long"),
     )
-    base = df.select(q.alias("_q"))
+    return df.select(q.alias("_q"))
+
+
+def second_moments(base: DataFrame) -> DataFrame:
+    """(dim_i <= dim_j, _s_ij DECIMAL(38,0), _n) — exact pair-product sums
+    from row-local nested transforms (no self-join)."""
     d = F.size("_q")
     pair_structs = F.flatten(
         F.transform(
@@ -904,14 +920,26 @@ def embedding_covariance(
         F.col("_p.dim_j").cast("long").alias("dim_j"),
         F.col("_p._prod").cast("decimal(38,0)").alias("_prod"),
     )
-    second = pair_rows.groupBy("dim_i", "dim_j").agg(
+    return pair_rows.groupBy("dim_i", "dim_j").agg(
         F.sum("_prod").alias("_s_ij"), F.count(F.lit(1)).alias("_n")
     )
-    firsts = (
+
+
+def first_moments(base: DataFrame) -> DataFrame:
+    """(dim, _s DECIMAL(38,0)) — exact per-dimension component sums."""
+    return (
         base.select(F.posexplode("_q").alias("dim", "_v"))
         .groupBy(F.col("dim").cast("long").alias("dim"))
         .agg(F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"))
     )
+
+
+def finalize_covariance(
+    second: DataFrame, firsts: DataFrame, scale: int, round_digits: int = 9
+) -> DataFrame:
+    """The one float step: cov = (n·S_ij − S_i·S_j) / (n²·scale²), double
+    division of the EXACT integer numerator, rounded. Consumed by the
+    batch operator and by the streaming merge path alike."""
     num = (
         F.col("_n").cast("decimal(38,0)") * F.col("_s_ij")
         - F.col("_s_i") * F.col("_s_j")

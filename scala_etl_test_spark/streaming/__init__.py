@@ -39,6 +39,12 @@ from scala_etl_test_spark.streaming.ann import (
     ivf_index_topk,
     stream_append_ivf,
 )
+from scala_etl_test_spark.streaming.moments import (
+    append_batch_moments,
+    batch_moment_partials,
+    read_covariance,
+    stream_covariance,
+)
 from scala_etl_test_spark.streaming.cdc import (
     merge_into_bucketed_state,
     read_state,
@@ -55,6 +61,10 @@ from scala_etl_test_spark.streaming.sources import (
 )
 
 __all__ = [
+    "append_batch_moments",
+    "batch_moment_partials",
+    "read_covariance",
+    "stream_covariance",
     "append_batch_to_ivf",
     "compact_index",
     "dedup_events_within_watermark",

@@ -1321,3 +1321,125 @@ def test_cdc_bucketed_merge_survives_a_column_named_hit(spark, tmp_path):
     )
     got = {tuple(r) for r in read_state_bucketed(spark, d).collect()}
     assert got == {(1, 10, "a"), (2, 20, "B"), (3, 5, "c")}
+
+
+class TestStreamingMoments:
+    """Streaming covariance maintenance: integer moment partials are
+    exactly mergeable, so the served matrix must be BIT-identical to the
+    batch operator over the union of all batches."""
+
+    def _emb(self, spark, sf_dir):
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        return read_table(spark, sf_dir, "embeddings")
+
+    def test_accumulated_equals_batch_bit_identical(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(3):
+            assert append_batch_moments(
+                spark, mdir, emb.filter(F.col("vec_id") % 3 == k), k
+            )
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert got == want  # identical doubles, not approx — the whole point
+
+    def test_replayed_committed_batch_is_noop(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb, 0)
+        before = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        assert append_batch_moments(spark, mdir, emb, 0) is False  # replay
+        after = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        assert after == before
+
+    def test_crashed_partial_append_is_wiped_and_redone(self, spark, sf_dir, tmp_path):
+        """Partial rows on disk WITHOUT a marker (crash between write and
+        marker) must be wiped by the retry, never double-counted."""
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+        from scala_etl_test_spark.streaming.moments import _partials_dir
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == 0), 0)
+        # simulate the crash: batch 1's partials land, but no marker
+        half = emb.filter(F.col("vec_id") % 2 == 1)
+        from scala_etl_test_spark.streaming.moments import batch_moment_partials
+
+        (
+            batch_moment_partials(half)
+            .withColumn("batch_id", F.lit(1))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(_partials_dir(mdir))
+        )
+        assert append_batch_moments(spark, mdir, half, 1)  # retry: wipe + redo
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert got == want
+
+    def test_empty_store_reads_none(self, spark, tmp_path):
+        from scala_etl_test_spark.streaming import read_covariance
+
+        assert read_covariance(spark, str(tmp_path / "nothing")) is None
+
+    def test_stream_end_to_end(self, spark, sf_dir, tmp_path):
+        import os
+        import shutil as _sh
+        import time as _t
+
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import read_covariance, stream_covariance
+
+        emb = self._emb(spark, sf_dir)
+        src = tmp_path / "src"
+        src.mkdir()
+        base = _t.time() - 100
+        for k in range(2):
+            stage = tmp_path / f"_stage{k}"
+            emb.filter(F.col("vec_id") % 2 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            dst = src / f"b{k}.parquet"
+            _sh.copy(next(stage.glob("part-*.parquet")), dst)
+            os.utime(dst, (base + k, base + k))
+        mdir = str(tmp_path / "moments")
+        sdf = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_covariance(sdf, mdir, str(tmp_path / "ck")).awaitTermination()
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert got == want

@@ -338,12 +338,53 @@ def stress_ann_append(spark, sf_dir: str, out_dir: str) -> dict:
     }
 
 
+def stress_cov_moments(spark, sf_dir: str, out_dir: str) -> dict:
+    """Per-batch wall of the covariance-moment maintenance stream
+    (streaming/moments.py) as batches accumulate: each append reduces ONE
+    1×-sized embedding batch to its d²-bounded partial table — work is
+    O(batch·d²) regardless of how many batches the store already holds,
+    so the trend must stay flat. The serve-side merge is also timed once
+    at the end (bounded by batches × d² rows, NOT stream length)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from scala_etl_test_spark.streaming.moments import (
+        append_batch_moments,
+        read_covariance,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    d = os.path.join(out_dir, "cov_moments")
+    walls = []
+    for r in range(BATCHES):
+        batch = emb.select(
+            (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        t0 = _time.perf_counter()
+        append_batch_moments(spark, d, batch, r)
+        walls.append(round(_time.perf_counter() - t0, 2))
+    head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    t0 = _time.perf_counter()
+    n_rows = read_covariance(spark, d).count()
+    return {
+        "twin": "cov_moments",
+        "batches": len(walls),
+        "per_batch_wall_s": walls,
+        "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
+        "serve_merge_s": round(_time.perf_counter() - t0, 2),
+        "cov_rows": n_rows,
+    }
+
+
 _TWINS = {
     "dedup": stress_dedup,
     "cdc": stress_cdc,
     "cdc_bucketed": stress_cdc_bucketed,
     "cdc_crossover": stress_cdc_crossover,
     "ann_append": stress_ann_append,
+    "cov_moments": stress_cov_moments,
 }
 
 
