@@ -72,11 +72,20 @@ def batch_moment_partials(
         F.lit(-1).cast("long").alias("j"),
         F.col("_s").alias("val"),
     )
-    n = base.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("val")).select(
-        F.lit("n").alias("kind"),
-        F.lit(-1).cast("long").alias("i"),
-        F.lit(-1).cast("long").alias("j"),
-        F.col("val"),
+    # count ONLY rows that contribute moments (non-null, non-empty vectors)
+    # — the batch operator's per-pair _n is the count of contributing rows,
+    # so a NULL-embedding row in a batch must not skew the streamed
+    # denominator. (Both operators assume fixed dimensionality; variable-
+    # length vectors are outside the covariance contract entirely.)
+    n = (
+        base.filter(F.col("_q").isNotNull() & (F.size("_q") > 0))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("val"))
+        .select(
+            F.lit("n").alias("kind"),
+            F.lit(-1).cast("long").alias("i"),
+            F.lit(-1).cast("long").alias("j"),
+            F.col("val"),
+        )
     )
     return pairs.unionByName(firsts).unionByName(n)
 
@@ -144,10 +153,11 @@ def read_covariance(
     integer groupBy-SUM, d²-bounded) then the batch operator's own
     finalization. None when no batch has ever committed."""
     pdir = _partials_dir(moments_dir)
-    try:
-        partials = spark.read.parquet(pdir)
-    except Exception:
+    # never-written store → None; a CORRUPT store must raise, not read as
+    # "no data" (a broad except here would silently serve an empty matrix)
+    if not pathlib.Path(pdir).is_dir():
         return None
+    partials = spark.read.parquet(pdir)
     merged = partials.groupBy("kind", "i", "j").agg(F.sum("val").alias("val"))
     n_df = merged.filter(F.col("kind") == "n").select(
         F.col("val").cast("long").alias("_n")

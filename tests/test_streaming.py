@@ -1443,3 +1443,31 @@ class TestStreamingMoments:
             for r in embedding_covariance(emb).collect()
         }
         assert got == want
+
+    def test_null_embedding_rows_do_not_skew_denominator(self, spark, sf_dir, tmp_path):
+        """A batch carrying NULL-embedding rows must stream to the SAME
+        covariance as the batch operator over the same data (the batch
+        operator's per-pair count excludes non-contributing rows; the
+        streamed n partial must too)."""
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+        emb = self._emb(spark, sf_dir)
+        with_nulls = emb.unionByName(
+            emb.limit(3).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                "label",
+            )
+        )
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, with_nulls, 0)
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(with_nulls).collect()
+        }
+        assert got == want
