@@ -873,11 +873,19 @@ def embedding_covariance(
     ``n·S_ij − S_i·S_j``.
 
     Scale shape: NO self-join — the d(d+1)/2 pair products are built
-    ROW-LOCALLY with nested array transforms (at d=64: 2080 elements per
-    row) and feed one (dim_i, dim_j)-keyed partial-combined aggregation;
-    first moments are a second narrow d-keyed aggregate broadcast back
-    onto the d²-row pair table. Work is rows × d²/2 — linear in the
-    corpus for fixed d, the unavoidable cost of exact second moments.
+    ROW-LOCALLY in two explode levels (peak per-row array O(d), so wide
+    embeddings don't materialize a d²/2 struct array — see
+    :func:`second_moments`) and feed one (dim_i, dim_j)-keyed
+    partial-combined aggregation; first moments are a second narrow
+    d-keyed aggregate broadcast back onto the d²-row pair table. Work is
+    rows × d²/2 — linear in the corpus for fixed d, the unavoidable cost
+    of exact second moments.
+
+    Input contract: NULL/EMPTY vectors are tolerated (filtered once in
+    :func:`quantized_base`, excluded from the ``n`` denominator); MIXED
+    widths are corruption and fail loud at action time (job-free guard in
+    :func:`second_moments`) — a silently merged mixed-width corpus would
+    produce garbage moments.
     """
     base = quantized_base(df, vec_col, scale)
     return finalize_covariance(
@@ -889,39 +897,89 @@ def quantized_base(df: DataFrame, vec_col: str, scale: int) -> DataFrame:
     """(_q) — the fixed-point quantized vector column, the shared entry of
     the moment pipeline (batch :func:`embedding_covariance` and the
     streaming partials in streaming/moments.py build from the SAME
-    expressions, which is what makes their results bit-identical)."""
+    expressions, which is what makes their results bit-identical).
+
+    NULL and EMPTY vectors are filtered HERE, once, for every consumer:
+    they carry no moments, and an empty array would otherwise crash
+    :func:`second_moments` (``sequence(0, -1)`` is the DESCENDING
+    ``[0, -1]``, whose transform hits ``element_at(_q, 0)``) — in the
+    streaming path that one poisoned row would re-crash every replay of
+    its micro-batch forever. Filtering in the shared base keeps the
+    ``n`` denominator consistent with the pair/first moments in both the
+    batch and streaming operators."""
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda v: F.round(v * scale, 0).cast("long"),
     )
-    return df.select(q.alias("_q"))
+    return df.select(q.alias("_q")).filter(F.size("_q") > 0)
 
 
 def second_moments(base: DataFrame) -> DataFrame:
     """(dim_i <= dim_j, _s_ij DECIMAL(38,0), _n) — exact pair-product sums
-    from row-local nested transforms (no self-join)."""
-    d = F.size("_q")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), d - 1),
-            lambda i: F.transform(
-                F.sequence(i, d - 1),
-                lambda j: F.struct(
-                    i.alias("dim_i"),
-                    j.alias("dim_j"),
-                    (F.element_at("_q", (i + 1).cast("int"))
-                     * F.element_at("_q", (j + 1).cast("int"))).alias("_prod"),
-                ),
-            ),
+    from row-local generators (no self-join).
+
+    Wide-d shape: the pair space is built in TWO explode levels —
+    ``posexplode(_q)`` to one row per (row, dim_i), then a per-``dim_i``
+    transform over ``j >= i`` — so the largest array ever materialized per
+    generated row is O(d), not the O(d²/2) of a single flattened
+    pair-struct array (at d=768 that single array is 295k structs per
+    input row; the two-level form peaks at 768). Total generated rows are
+    the unavoidable rows × d(d+1)/2 either way; only the peak per-row
+    memory changes. Measured: see tests/test_similarity.py wide-d stress.
+
+    Fixed-dimensionality contract enforced here (fails LOUD, job-free):
+    every unordered pair must have been contributed by every row — with
+    mixed widths the pair ``(0, 0)`` counts all rows while a pair beyond
+    the narrow width counts fewer, so ``_n`` differing across pairs IS the
+    mixed-width signal. The check is a whole-frame window over the
+    d(d+1)/2-row AGGREGATE (one single-partition exchange of d² rows —
+    model-parameter scale, never corpus scale) with ``raise_error`` folded
+    into the consumed ``_s_ij`` column so Catalyst cannot prune it."""
+    from pyspark.sql.window import Window
+
+    pair_structs = F.transform(
+        F.sequence(F.col("_i"), F.size("_q") - 1),
+        lambda j: F.struct(
+            j.alias("dim_j"),
+            (F.col("_qi") * F.element_at("_q", (j + 1).cast("int"))).alias("_prod"),
+        ),
+    )
+    pair_rows = (
+        base.select(F.posexplode("_q").alias("_i", "_qi"), "_q")
+        .select(F.col("_i"), F.explode(pair_structs).alias("_p"))
+        .select(
+            F.col("_i").cast("long").alias("dim_i"),
+            F.col("_p.dim_j").cast("long").alias("dim_j"),
+            F.col("_p._prod").cast("decimal(38,0)").alias("_prod"),
         )
     )
-    pair_rows = base.select(F.explode(pair_structs).alias("_p")).select(
-        F.col("_p.dim_i").cast("long").alias("dim_i"),
-        F.col("_p.dim_j").cast("long").alias("dim_j"),
-        F.col("_p._prod").cast("decimal(38,0)").alias("_prod"),
-    )
-    return pair_rows.groupBy("dim_i", "dim_j").agg(
+    agg = pair_rows.groupBy("dim_i", "dim_j").agg(
         F.sum("_prod").alias("_s_ij"), F.count(F.lit(1)).alias("_n")
+    )
+    whole = Window.partitionBy()
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        F.when(F.col("_n") == F.max("_n").over(whole), F.col("_s_ij"))
+        .otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    " ",
+                    F.lit("covariance contract: mixed embedding widths — pair"),
+                    F.concat_ws(
+                        ",",
+                        F.col("dim_i").cast("string"),
+                        F.col("dim_j").cast("string"),
+                    ),
+                    F.lit("contributed by"),
+                    F.col("_n").cast("string"),
+                    F.lit("rows but widest pair by"),
+                    F.max("_n").over(whole).cast("string"),
+                )
+            )
+        )
+        .alias("_s_ij"),
+        "_n",
     )
 
 

@@ -42,6 +42,7 @@ from scala_etl_test_spark.streaming.ann import (
 from scala_etl_test_spark.streaming.moments import (
     append_batch_moments,
     batch_moment_partials,
+    compact_moments,
     read_covariance,
     stream_covariance,
 )
@@ -63,6 +64,7 @@ from scala_etl_test_spark.streaming.sources import (
 __all__ = [
     "append_batch_moments",
     "batch_moment_partials",
+    "compact_moments",
     "read_covariance",
     "stream_covariance",
     "append_batch_to_ivf",

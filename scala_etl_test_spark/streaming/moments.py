@@ -16,15 +16,34 @@ single final division, so merge order cannot matter.
 Exactly-once: the ``_APPENDLOG`` marker protocol of streaming/ann.py — the
 marker is written only AFTER the partials' write commits, so a replayed
 committed batch is a no-op and a crashed partial append is wiped and
-redone. Work per batch is O(batch_rows × d²) map-side + one d²-bounded
-shuffle; serve cost never grows with stream length beyond the batch count
-in the delta spine (compact by re-writing merged partials under a single
-batch dir if that ever matters — the merge IS the compaction).
+redone. Serving reads ONLY committed partials (marker present, or at/below
+the compaction watermark): a serve concurrent with an in-flight append, or
+after a crash that left a partial without its marker, must not leak
+uncommitted moment rows into the matrix. Work per batch is
+O(batch_rows × d²) map-side + one d²-bounded shuffle; serve cost never
+grows with stream length beyond the batch count in the delta spine.
+
+Compaction: :func:`compact_moments` rewrites the merged committed partials
+under the single highest committed ``batch_id`` dir and records a
+``_COMPACTLOG/upto=N`` watermark; markers at/below the watermark are then
+collapsed (deleted) — the watermark is what keeps a replay of a compacted
+batch a no-op. NOT safe concurrent with a running stream (it rewrites the
+partials dir wholesale); run it between availableNow passes, like
+streaming/dedup.py's compact_index. The merge IS the compaction — the
+helper just makes the delta spine's batch count stop growing.
+
+Dimensionality: both operators assume fixed d. WITHIN a batch, mixed
+widths fail loud at append time (the second_moments guard). ACROSS
+batches, each partial records its batch's width as a ``kind='d'``
+sentinel row (i=width, val=0 so the merge SUM is inert); serving raises
+if more than one width ever committed, instead of silently merging
+moment sums from incompatible spaces.
 
 Partial-table layout: one parquet table with rows
-``(kind ∈ {pair, first, n}, i, j, val DECIMAL(38,0))`` — pair rows carry
+``(kind ∈ {pair, first, n, d}, i, j, val DECIMAL(38,0))`` — pair rows carry
 (i=dim_i, j=dim_j, val=Σ q_i·q_j), first rows (i=dim, j=-1, val=Σ q_i),
-and the single n row (i=-1, j=-1, val=row count).
+the single n row (i=-1, j=-1, val=contributing-row count), and the width
+sentinel (i=width, j=-1, val=0).
 """
 
 from __future__ import annotations
@@ -52,13 +71,48 @@ def _marker(moments_dir: str, batch_id: int) -> pathlib.Path:
     return pathlib.Path(moments_dir) / "_APPENDLOG" / f"batch_id={batch_id}"
 
 
+def _marker_ids(moments_dir: str) -> list[int]:
+    log = pathlib.Path(moments_dir) / "_APPENDLOG"
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.name.split("=", 1)[1]) for p in log.glob("batch_id=*") if p.is_dir()
+    )
+
+
+def _compaction_watermark(moments_dir: str) -> int | None:
+    """Highest ``_COMPACTLOG/upto=N``: every batch_id ≤ N is committed (its
+    per-batch marker may have been collapsed by :func:`compact_moments`)."""
+    log = pathlib.Path(moments_dir) / "_COMPACTLOG"
+    if not log.is_dir():
+        return None
+    ids = [int(p.name.split("=", 1)[1]) for p in log.glob("upto=*") if p.is_dir()]
+    return max(ids) if ids else None
+
+
+def _committed_filter(moments_dir: str):
+    """(filter Column | None) selecting committed partial rows — None when
+    NOTHING has ever committed (serve returns None then)."""
+    markers = _marker_ids(moments_dir)
+    wm = _compaction_watermark(moments_dir)
+    if wm is None and not markers:
+        return None
+    cond = F.col("batch_id").isin([int(b) for b in markers])
+    if wm is not None:
+        cond = cond | (F.col("batch_id") <= int(wm))
+    return cond
+
+
 def batch_moment_partials(
     batch: DataFrame, vec_col: str = "embedding", scale: int = MOMENTS_SCALE
 ) -> DataFrame:
     """One micro-batch reduced to its long-form partial moments — built
     from the SAME quantize/pair-product expressions as the batch operator
     (operators/similarity.py:quantized_base/second_moments/first_moments),
-    which is the whole bit-identity argument."""
+    which is the whole bit-identity argument. NULL/empty vectors are
+    dropped by quantized_base itself, so ``n`` counts exactly the rows
+    that contributed moments; the batch's width ships as the ``kind='d'``
+    sentinel (module docstring)."""
     base = quantized_base(batch, vec_col, scale)
     pairs = second_moments(base).select(
         F.lit("pair").alias("kind"),
@@ -72,22 +126,25 @@ def batch_moment_partials(
         F.lit(-1).cast("long").alias("j"),
         F.col("_s").alias("val"),
     )
-    # count ONLY rows that contribute moments (non-null, non-empty vectors)
-    # — the batch operator's per-pair _n is the count of contributing rows,
-    # so a NULL-embedding row in a batch must not skew the streamed
-    # denominator. (Both operators assume fixed dimensionality; variable-
-    # length vectors are outside the covariance contract entirely.)
-    n = (
-        base.filter(F.col("_q").isNotNull() & (F.size("_q") > 0))
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("val"))
+    n = base.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("val")).select(
+        F.lit("n").alias("kind"),
+        F.lit(-1).cast("long").alias("i"),
+        F.lit(-1).cast("long").alias("j"),
+        F.col("val"),
+    )
+    # width sentinel: val=0 keeps the serve-time SUM-merge inert; the
+    # width itself rides in `i`, so distinct widths are distinct groups
+    dims = (
+        base.select(F.size("_q").cast("long").alias("i"))
+        .distinct()
         .select(
-            F.lit("n").alias("kind"),
-            F.lit(-1).cast("long").alias("i"),
+            F.lit("d").alias("kind"),
+            "i",
             F.lit(-1).cast("long").alias("j"),
-            F.col("val"),
+            F.lit(0).cast("decimal(38,0)").alias("val"),
         )
     )
-    return pairs.unionByName(firsts).unionByName(n)
+    return pairs.unionByName(firsts).unionByName(n).unionByName(dims)
 
 
 def append_batch_moments(
@@ -100,10 +157,14 @@ def append_batch_moments(
 ) -> bool:
     """The per-micro-batch body: reduce the batch to its partial moments
     and append them under ``batch_id=N``. Returns False (no-op) when the
-    batch's marker says it already committed — the replay guard. Public
+    batch already committed — marker present OR at/below the compaction
+    watermark (whose collapse of old markers must not reopen them). Public
     so replay/crash paths are directly testable."""
     marker = _marker(moments_dir, batch_id)
     if marker.exists():
+        return False
+    wm = _compaction_watermark(moments_dir)
+    if wm is not None and batch_id <= wm:
         return False
     # wipe partial remnants of a crashed earlier attempt BEFORE re-appending
     leftover = pathlib.Path(_partials_dir(moments_dir)) / f"batch_id={batch_id}"
@@ -151,16 +212,48 @@ def read_covariance(
 ) -> DataFrame | None:
     """Serve the covariance from the accumulated partials: merge (exact
     integer groupBy-SUM, d²-bounded) then the batch operator's own
-    finalization. None when no batch has ever committed."""
+    finalization. None when no batch has ever committed. Reads ONLY
+    committed partials — an in-flight append (or a crash-orphaned partial
+    whose marker never landed) must not bleed into the served matrix, or
+    the exactly-once/bit-identity contract breaks during that window.
+    Raises at action time if committed batches disagree on embedding
+    width (the ``kind='d'`` sentinel — module docstring)."""
     pdir = _partials_dir(moments_dir)
     # never-written store → None; a CORRUPT store must raise, not read as
     # "no data" (a broad except here would silently serve an empty matrix)
     if not pathlib.Path(pdir).is_dir():
         return None
-    partials = spark.read.parquet(pdir)
+    committed = _committed_filter(moments_dir)
+    if committed is None:
+        return None
+    partials = spark.read.parquet(pdir).filter(committed)
     merged = partials.groupBy("kind", "i", "j").agg(F.sum("val").alias("val"))
-    n_df = merged.filter(F.col("kind") == "n").select(
-        F.col("val").cast("long").alias("_n")
+    # cross-batch width guard: >1 distinct 'd' sentinel ⇒ incompatible
+    # moment spaces were merged — raise instead of serving garbage. The
+    # 1-row count broadcast-joins onto the 1-row n frame, and the guard is
+    # folded into the consumed _n column so it cannot be pruned. Stores
+    # written before the sentinel existed have 0 'd' rows and pass.
+    n_widths = merged.filter(F.col("kind") == "d").agg(
+        F.count(F.lit(1)).alias("_n_widths")
+    )
+    n_df = (
+        merged.filter(F.col("kind") == "n")
+        .select(F.col("val").cast("long").alias("_n"))
+        .join(F.broadcast(n_widths))
+        .select(
+            F.when(F.col("_n_widths") <= 1, F.col("_n"))
+            .otherwise(
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("moment store corrupt: committed batches carry"),
+                        F.col("_n_widths").cast("string"),
+                        F.lit("distinct embedding widths — refusing to merge"),
+                    )
+                )
+            )
+            .alias("_n")
+        )
     )
     second = (
         merged.filter(F.col("kind") == "pair")
@@ -175,3 +268,82 @@ def read_covariance(
         F.col("i").alias("dim"), F.col("val").cast("decimal(38,0)").alias("_s")
     )
     return finalize_covariance(second, firsts, scale, round_digits)
+
+
+def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
+    """Collapse the delta spine: merge ALL committed partials (the exact
+    integer groupBy-SUM serving already does) and rewrite them under the
+    single highest committed ``batch_id`` dir, then record the
+    ``_COMPACTLOG/upto=N`` watermark and delete the per-batch markers it
+    subsumes. Serving before and after is BIT-identical (test-pinned) —
+    the merge is associative, so pre-merging changes nothing but the
+    partial-row count, which stops growing with stream length.
+
+    NOT concurrent-safe with a running stream (module docstring): the
+    partials dir is rewritten wholesale. Crash-orphaned UNCOMMITTED
+    partial dirs are wiped first — they are garbage a replay would rewrite
+    anyway, and wiping them before the watermark lands keeps the
+    "everything ≤ watermark is committed" invariant true in every crash
+    window of this function.
+
+    Returns the new watermark, or None when there is nothing to compact
+    (fewer than two committed batches on disk).
+    """
+    pdir = pathlib.Path(_partials_dir(moments_dir))
+    tmp = pathlib.Path(moments_dir) / "partials_compacting"
+    retired = pathlib.Path(moments_dir) / "partials_retired"
+    # crash recovery: a previous run that died mid-swap left the live dir
+    # renamed away — finish the swap before anything else (no data was
+    # ever lost: the merged tmp and/or the retired dir still hold it)
+    if not pdir.is_dir():
+        if tmp.is_dir() and _compaction_watermark(moments_dir) is not None:
+            tmp.rename(pdir)
+        elif retired.is_dir():
+            retired.rename(pdir)
+        else:
+            return None
+    shutil.rmtree(retired, ignore_errors=True)
+    markers = set(_marker_ids(moments_dir))
+    wm = _compaction_watermark(moments_dir)
+    on_disk = {
+        int(p.name.split("=", 1)[1]) for p in pdir.glob("batch_id=*") if p.is_dir()
+    }
+    committed = {b for b in on_disk if b in markers or (wm is not None and b <= wm)}
+    # step 0: wipe uncommitted orphans so the watermark can't adopt them
+    for b in on_disk - committed:
+        shutil.rmtree(pdir / f"batch_id={b}", ignore_errors=True)
+    if len(committed) < 2:
+        return None
+    hi = max(committed)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    committed_rows = spark.read.parquet(str(pdir)).filter(
+        F.col("batch_id").isin([int(b) for b in committed])
+    )
+    (
+        committed_rows.groupBy("kind", "i", "j")
+        .agg(F.sum("val").alias("val"))
+        .withColumn("batch_id", F.lit(int(hi)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(str(tmp))
+    )
+    # watermark BEFORE the swap: if we crash mid-swap, every committed
+    # batch is still readable (either its old dir or the merged one) and
+    # still counted committed; a re-run converges
+    wmark = pathlib.Path(moments_dir) / "_COMPACTLOG" / f"upto={hi}"
+    wmark.mkdir(parents=True, exist_ok=True)
+    # swap via retire-then-rename so no crash window loses data (the
+    # recovery block at the top finishes an interrupted swap)
+    pdir.rename(retired)
+    tmp.rename(pdir)
+    shutil.rmtree(retired, ignore_errors=True)
+    # collapse subsumed state: per-batch markers ≤ hi and older watermarks
+    for b in sorted(markers):
+        if b <= hi:
+            shutil.rmtree(_marker(moments_dir, b), ignore_errors=True)
+    clog = pathlib.Path(moments_dir) / "_COMPACTLOG"
+    for p in clog.glob("upto=*"):
+        if int(p.name.split("=", 1)[1]) < hi:
+            shutil.rmtree(p, ignore_errors=True)
+    return hi

@@ -1471,3 +1471,226 @@ class TestStreamingMoments:
             for r in embedding_covariance(with_nulls).collect()
         }
         assert got == want
+
+    def test_uncommitted_partials_excluded_from_serve(self, spark, sf_dir, tmp_path):
+        """ADVICE r9: a partial on disk WITHOUT its marker (in-flight
+        append, or crash between parquet write and marker mkdir) must not
+        bleed into the served matrix — serving reads committed batches
+        only, so the exactly-once bit-identity claim holds in that window
+        too."""
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+        from scala_etl_test_spark.streaming.moments import (
+            _partials_dir,
+            batch_moment_partials,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        committed = emb.filter(F.col("vec_id") % 2 == 0)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, committed, 0)
+        # batch 1's partials land, marker never does
+        (
+            batch_moment_partials(emb.filter(F.col("vec_id") % 2 == 1))
+            .withColumn("batch_id", F.lit(1))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(_partials_dir(mdir))
+        )
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(committed).collect()
+        }
+        assert got == want  # batch-0-only, bit-identical
+
+    def test_serve_none_when_nothing_ever_committed(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import read_covariance
+        from scala_etl_test_spark.streaming.moments import (
+            _partials_dir,
+            batch_moment_partials,
+        )
+
+        mdir = str(tmp_path / "moments")
+        (
+            batch_moment_partials(self._emb(spark, sf_dir))
+            .withColumn("batch_id", F.lit(0))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(_partials_dir(mdir))
+        )
+        assert read_covariance(spark, mdir) is None
+
+    def test_empty_vector_rows_tolerated(self, spark, tmp_path):
+        """ADVICE r9: an EMPTY embedding array used to crash second_moments
+        (sequence(0,-1) → element_at(_q, 0)) and poison the micro-batch
+        forever (the marker never commits, every replay re-crashes). Now
+        quantized_base filters empties once, for batch and streaming
+        identically."""
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+        rows = [(0, [1.0, 2.0]), (1, [3.0, 5.0]), (2, []), (3, None), (4, [2.0, 7.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        clean = df.filter(F.size("embedding") > 0)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, df, 0)  # does not crash
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(clean).collect()
+        }
+        assert got == want
+        assert append_batch_moments(spark, mdir, df, 0) is False  # replay ok
+
+    def test_cross_batch_width_mismatch_fails_loud(self, spark, tmp_path):
+        """Each batch is internally consistent, so the per-batch guard
+        passes — but merging moment sums from d=2 and d=3 spaces is
+        corruption, and serving must raise (the kind='d' sentinel), not
+        return garbage."""
+        import pytest
+
+        from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+        d2 = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+        )
+        d3 = spark.createDataFrame(
+            [(2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, d2, 0)
+        assert append_batch_moments(spark, mdir, d3, 1)
+        with pytest.raises(Exception, match="distinct embedding widths"):
+            read_covariance(spark, mdir).collect()
+
+
+class TestMomentsCompaction:
+    """compact_moments: the delta spine collapses to ONE batch dir, the
+    served matrix is bit-identical before/after, and the _COMPACTLOG
+    watermark keeps replays of collapsed batches no-ops."""
+
+    def _emb(self, spark, sf_dir):
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        return read_table(spark, sf_dir, "embeddings")
+
+    def _cov(self, spark, mdir):
+        from scala_etl_test_spark.streaming import read_covariance
+
+        return {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+
+    def test_bit_identical_and_collapses_spine(self, spark, sf_dir, tmp_path):
+        import pathlib
+
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+        from scala_etl_test_spark.streaming.moments import _marker_ids, _partials_dir
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(3):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == k), k)
+        before = self._cov(spark, mdir)
+        assert compact_moments(spark, mdir) == 2
+        assert self._cov(spark, mdir) == before  # bit-identical serve
+        dirs = sorted(
+            p.name for p in pathlib.Path(_partials_dir(mdir)).glob("batch_id=*")
+        )
+        assert dirs == ["batch_id=2"]  # spine collapsed
+        assert _marker_ids(mdir) == []  # markers collapsed into watermark
+
+    def test_replay_after_compaction_is_noop(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == k), k)
+        before = self._cov(spark, mdir)
+        assert compact_moments(spark, mdir) == 1
+        # marker is gone, but the watermark must keep the replay a no-op
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == 0), 0) is False
+        assert self._cov(spark, mdir) == before
+
+    def test_append_after_compaction_composes(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == k), k)
+        assert compact_moments(spark, mdir) == 1
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == 2), 2)
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert self._cov(spark, mdir) == want
+        assert compact_moments(spark, mdir) == 2  # second compaction stacks
+        assert self._cov(spark, mdir) == want
+
+    def test_wipes_uncommitted_orphans(self, spark, sf_dir, tmp_path):
+        """An orphaned partial (no marker) must be wiped BEFORE the
+        watermark lands — otherwise 'everything ≤ watermark is committed'
+        would adopt garbage a replay was supposed to rewrite."""
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+        from scala_etl_test_spark.streaming.moments import (
+            _partials_dir,
+            batch_moment_partials,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == k), k)
+        before = self._cov(spark, mdir)
+        # orphan: batch 1's id re-used by a crashed, BIGGER attempt at
+        # batch 2 — no marker, must not survive compaction
+        (
+            batch_moment_partials(emb)
+            .withColumn("batch_id", F.lit(2))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(_partials_dir(mdir))
+        )
+        assert compact_moments(spark, mdir) == 1  # hi = max COMMITTED, not max on disk
+        assert self._cov(spark, mdir) == before
+
+    def test_nothing_to_compact(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+
+        mdir = str(tmp_path / "moments")
+        assert compact_moments(spark, mdir) is None  # never written
+        assert append_batch_moments(spark, mdir, self._emb(spark, sf_dir), 0)
+        assert compact_moments(spark, mdir) is None  # single batch: no-op
+
+    def test_crash_mid_swap_recovers(self, spark, sf_dir, tmp_path):
+        """Simulate the worst crash window (live partials renamed away,
+        merged tmp + watermark on disk): the next compact_moments call
+        finishes the swap and serving returns the identical matrix."""
+        import pathlib
+
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+        from scala_etl_test_spark.streaming.moments import _partials_dir
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == k), k)
+        before = self._cov(spark, mdir)
+        assert compact_moments(spark, mdir) == 1
+        # crash window: partials renamed to retired, rename-in never ran
+        pdir = pathlib.Path(_partials_dir(mdir))
+        pdir.rename(pathlib.Path(mdir) / "partials_retired")
+        assert compact_moments(spark, mdir) is None  # recovery path, 1 batch dir left
+        assert self._cov(spark, mdir) == before
