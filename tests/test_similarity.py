@@ -813,3 +813,85 @@ class TestCovarianceContract:
         for i in range(0, d, 37):
             for j in range(i, d, 53):
                 assert abs(got[(i, j)] - ref[i][j]) < 1e-3, (i, j)
+
+
+class TestErasureAuditTrail:
+    """_ERASURE_AUDIT (VERDICT r9 item 6): forget_from_ivf persists its
+    per-cell intent BEFORE any byte moves, so a crash mid-swap is
+    diagnosable post-hoc from the artifact alone — erasure_audit_status
+    distinguishes applied from pending cells."""
+
+    @pytest.fixture()
+    def corpus(self, spark, emb, tmp_path):
+        cents = S.stride_centroids(emb, 4)
+        d = str(tmp_path / "ivf_corpus")
+        S.ivf_assign(emb, cents).write.partitionBy("cluster_id").parquet(d)
+        return d
+
+    def _doom_two_cells(self, spark, corpus):
+        live = spark.read.parquet(corpus)
+        ids = []
+        for cell in (1, 3):
+            ids += [
+                r["vec_id"]
+                for r in live.filter(F.col("cluster_id") == cell)
+                .select("vec_id")
+                .orderBy("vec_id")
+                .limit(2)
+                .collect()
+            ]
+        return spark.createDataFrame([(i,) for i in ids], "vec_id long")
+
+    def test_audit_written_and_all_applied_after_success(self, spark, corpus):
+        doomed = self._doom_two_cells(spark, corpus)
+        S.forget_from_ivf(spark, corpus, doomed).collect()
+        status = {r["cluster_id"]: r for r in S.erasure_audit_status(spark, corpus).collect()}
+        assert set(status) == {1, 3}
+        for c, r in status.items():
+            assert r["status"] == "applied"
+            assert r["rows_erased"] == 2
+            assert r["rows_actual"] == r["rows_after_expected"] == r["rows_before"] - 2
+
+    def test_crash_mid_swap_distinguishes_applied_from_pending(self, spark, corpus):
+        doomed = self._doom_two_cells(spark, corpus)
+
+        swapped = []
+
+        def crash_after_first(cell):
+            swapped.append(cell)
+            if len(swapped) == 1:
+                raise RuntimeError("simulated crash between cell swaps")
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            S.forget_from_ivf(spark, corpus, doomed, on_cell_swapped=crash_after_first)
+
+        status = {r["cluster_id"]: r["status"] for r in S.erasure_audit_status(spark, corpus).collect()}
+        assert status[swapped[0]] == "applied"
+        pending = ({1, 3} - {swapped[0]}).pop()
+        assert status[pending] == "pending"
+
+        # re-running the same request converges; the NEW audit (request=1)
+        # covers only the pending cell, and everything ends applied
+        S.forget_from_ivf(spark, corpus, doomed).collect()
+        final = {r["cluster_id"]: r["status"] for r in S.erasure_audit_status(spark, corpus).collect()}
+        assert final == {pending: "applied"}
+        first = {
+            r["cluster_id"]: r["status"]
+            for r in S.erasure_audit_status(spark, corpus, request_id=0).collect()
+        }
+        assert first == {1: "applied", 3: "applied"}
+        live_ids = {r["vec_id"] for r in spark.read.parquet(corpus).select("vec_id").collect()}
+        assert live_ids.isdisjoint({r["vec_id"] for r in doomed.collect()})
+
+    def test_fully_doomed_cell_reports_applied(self, spark, corpus):
+        live = spark.read.parquet(corpus)
+        everyone_in_2 = live.filter(F.col("cluster_id") == 2).select("vec_id")
+        S.forget_from_ivf(spark, corpus, everyone_in_2).collect()
+        status = {r["cluster_id"]: r for r in S.erasure_audit_status(spark, corpus).collect()}
+        assert set(status) == {2}
+        assert status[2]["status"] == "applied"
+        assert status[2]["rows_after_expected"] == 0 == status[2]["rows_actual"]
+
+    def test_no_audit_raises(self, spark, corpus):
+        with pytest.raises(ValueError, match="no _ERASURE_AUDIT"):
+            S.erasure_audit_status(spark, corpus)
