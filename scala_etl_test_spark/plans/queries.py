@@ -4288,64 +4288,62 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # r7/r8 on unchanged code sorts last.  Staleness computed from
 # CORRECTNESS_r*.json (latest round containing each query name).
 _GATE_PRIORITY: list[str] = [
-    # added this round (r9) — no driver row yet
-    "forget_from_ivf",
-    "split_leakage_audit",
-    "lsh_recall_audit",
-    "shard_manifest",
-    "embedding_covariance",
-    # r5-stale tier (ALL 29 — VERDICT r8 item 1), registry order
-    "events_gapfill",
-    "events_ab_welch",
-    "events_ks_drift",
-    "kanon_audit",
-    "events_lateness_audit",
-    "events_changepoint",
-    "lineitem_corr_matrix",
-    "orders_checksum",
-    "customer_balance_ntiles",
-    "events_ewma",
-    "approx_distinct_sketch_merge",
-    "approx_overlap_sketch",
-    "training_set_pit",
-    "funnel_latency",
-    "event_path_trigrams",
-    "fk_integrity_audit",
-    "pseudonymize_referential",
-    "join_size_profile",
-    "prorate_order_totals",
-    "pareto_revenue",
-    "chunk_dedup",
-    "dedup_snm",
-    "item_cf_neighbors",
-    "graph_triangles",
-    "decontaminate_bloom_audit",
-    "source_overlap_matrix",
-    "quality_filter_sweep",
-    "oov_rate",
-    "cdc_chunk_dedup",
-    # r6-stale tier: judge-named first, then registry order (fills ~51)
-    "dedup_prefix_jaccard",
-    "dedup_minhash_pairs",
-    "segmentation_rules",
-    "validate_normalize",
-    "topk_customers",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "tpch_q6",
-    "semi_join_exists",
-    "anti_join_no_orders",
-    "topk_docs_per_source",
-    "skew_salted_join",
-    "skew_distinct_count",
+    # added this round (r10) — no driver row yet (rows-only: no oracle)
+    "pq_rotation_recall",
+    # r6-stale tier — ALL 30 (VERDICT r9 item 1: the simhash/winnow/spans/
+    # containment dedup tier + the r1 relational tail), registry order;
+    # after this round no query's last driver gate is older than r7
     "asof_last_purchase",
-    "tpch_q14",
-    "tpch_q10",
-    "tpch_q18",
+    "customer_revenue_quartiles",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_method_report",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "duplicate_span_stats",
+    "duplicate_spans",
+    "entity_resolution",
     "events_cube",
+    "events_funnel",
+    "events_pivot",
+    "events_retention",
+    "events_rollup",
+    "events_user_gaps",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "lineitem_unpivot_measures",
+    "merge_upsert",
+    "range_join_session_errors",
+    "set_ops_customers",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q2",
+    "window_moving_avg",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    # r7-stale tier, registry order (fills the ~50 budget; the remainder
+    # of the r7 tier rotates in next round)
+    "scan_filter_project",
+    "union_positional",
+    "broadcast_left_join",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "dedup_exact",
+    "embedding_near_dup",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

@@ -937,3 +937,21 @@ class TestPairRecallReport:
             }
             got = self._report(spark, true_rows, found_rows)
             assert got == want
+
+
+def test_lsh_recall_audit_stratum_knob(spark, sf_dir):
+    """The stratum is a parameter (VERDICT r9 item 7): a run at a narrower
+    stratum stays well-formed, records its own stratum in every report row
+    (self-describing at any p), and audits fewer true pairs — the truth
+    side is quadratic in the stratum BY DESIGN."""
+    from scala_etl_test_spark.plans.queries_data import q_lsh_recall_audit
+
+    default = q_lsh_recall_audit(spark, sf_dir).collect()
+    narrow = q_lsh_recall_audit(spark, sf_dir, stratum_keep=3, stratum_mod=10).collect()
+    assert {r["stratum"] for r in default} == {0.6}
+    assert {r["stratum"] for r in narrow} == {0.3}
+    for rows in (default, narrow):
+        for r in rows:
+            assert 0 <= r["n_found"] <= r["n_true"]
+            assert 0.0 <= r["recall"] <= 1.0
+    assert sum(r["n_true"] for r in narrow) < sum(r["n_true"] for r in default)

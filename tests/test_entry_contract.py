@@ -33,12 +33,27 @@ def test_entry_runs_with_stable_schema(contract, spark):
     ]
 
 
+# Queries the driver checks rows-only (NO DuckDB oracle), each with the
+# reason SQL cannot express it. Keep this list at exactly the genuinely
+# non-SQL-expressible surface — the round-3 standard (every query carries a
+# full oracle) still holds for everything else, and additions here need the
+# same scrutiny as a PLANBUILD_JOB_ALLOWLIST entry.
+ROWS_ONLY_QUERIES = {
+    "pq_rotation_recall": "PCA components come from a driver-side "
+    "eigendecomposition of the covariance matrix (numpy eigh on d×d model "
+    "parameters) — no reasonable SQL replay; the covariance INPUT is "
+    "oracle-checked by embedding_covariance, and the rotation's top-k "
+    "preservation is pinned in tests/test_similarity.py",
+}
+
+
 def test_contract_shapes(contract):
     qs, oracles = contract.queries(), contract.oracle_sql()
     assert len(qs) >= 57
     assert set(oracles) <= set(qs)
-    # round 3: every registered query has a full oracle — no rows-only checks
-    assert set(qs) == set(oracles)
+    # round 3 standard, amended r10: every registered query has a full
+    # oracle EXCEPT the documented rows-only set above
+    assert set(qs) - set(oracles) == set(ROWS_ONLY_QUERIES)
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
