@@ -43,6 +43,7 @@ from scala_etl_test_spark.streaming.moments import (
     append_batch_moments,
     batch_moment_partials,
     compact_moments,
+    forget_from_moments,
     read_covariance,
     stream_covariance,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "append_batch_moments",
     "batch_moment_partials",
     "compact_moments",
+    "forget_from_moments",
     "read_covariance",
     "stream_covariance",
     "append_batch_to_ivf",

@@ -32,6 +32,13 @@ partials dir wholesale); run it between availableNow passes, like
 streaming/dedup.py's compact_index. The merge IS the compaction — the
 helper just makes the delta spine's batch count stop growing.
 
+Erasure: integer sums form an abelian GROUP (exact subtraction), so
+right-to-be-forgotten reaches this artifact as one append of NEGATED
+partials (:func:`forget_from_moments`) at a negative ``batch_id`` — no
+committed partial is ever rewritten, and the served matrix afterwards is
+bit-identical to recomputing over the survivors. Erasure markers survive
+compaction as tombstones so a retried request stays a no-op.
+
 Dimensionality: both operators assume fixed d. WITHIN a batch, mixed
 widths fail loud at append time (the second_moments guard). ACROSS
 batches, each partial records its batch's width as a ``kind='d'``
@@ -92,14 +99,17 @@ def _compaction_watermark(moments_dir: str) -> int | None:
 
 def _committed_filter(moments_dir: str):
     """(filter Column | None) selecting committed partial rows — None when
-    NOTHING has ever committed (serve returns None then)."""
+    NOTHING has ever committed (serve returns None then). The watermark
+    adopts only STREAM batches (0..wm): erasure batches live at negative
+    ids (:func:`forget_from_moments`) and are committed by marker alone,
+    so an orphaned crashed erasure can never be adopted as committed."""
     markers = _marker_ids(moments_dir)
     wm = _compaction_watermark(moments_dir)
     if wm is None and not markers:
         return None
     cond = F.col("batch_id").isin([int(b) for b in markers])
     if wm is not None:
-        cond = cond | (F.col("batch_id") <= int(wm))
+        cond = cond | ((F.col("batch_id") >= 0) & (F.col("batch_id") <= int(wm)))
     return cond
 
 
@@ -164,20 +174,78 @@ def append_batch_moments(
     if marker.exists():
         return False
     wm = _compaction_watermark(moments_dir)
-    if wm is not None and batch_id <= wm:
+    if wm is not None and 0 <= batch_id <= wm:
         return False
-    # wipe partial remnants of a crashed earlier attempt BEFORE re-appending
+    _append_partials(batch_moment_partials(batch, vec_col, scale), moments_dir, batch_id)
+    return True
+
+
+def _append_partials(partials: DataFrame, moments_dir: str, batch_id: int) -> None:
+    """Shared append body (stream batches and erasure batches): wipe
+    crashed remnants, write under ``batch_id=N``, THEN mark committed."""
     leftover = pathlib.Path(_partials_dir(moments_dir)) / f"batch_id={batch_id}"
     shutil.rmtree(leftover, ignore_errors=True)
     (
-        batch_moment_partials(batch, vec_col, scale)
-        .withColumn("batch_id", F.lit(batch_id))
+        partials.withColumn("batch_id", F.lit(int(batch_id)))
         .write.mode("append")
         .partitionBy("batch_id")
         .parquet(_partials_dir(moments_dir))
     )
-    marker.mkdir(parents=True, exist_ok=True)
-    return True
+    _marker(moments_dir, batch_id).mkdir(parents=True, exist_ok=True)
+
+
+def forget_from_moments(
+    spark: SparkSession,
+    moments_dir: str,
+    forgotten: DataFrame,
+    erasure_id: int | None = None,
+    vec_col: str = "embedding",
+    scale: int = MOMENTS_SCALE,
+) -> int | None:
+    """Right-to-be-forgotten for the covariance moment store — the last
+    leg of the moments artifact lifecycle (build → serve → append →
+    compact → ERASE), the streaming/ann.py + forget_from_ivf story
+    applied to derived statistics: a served covariance still RETAINS the
+    erased vectors' second moments, so deletion requests must reach this
+    artifact too.
+
+    Integer moment sums are an abelian group, not just a monoid —
+    subtraction is exact — so erasure is ONE append of the forgotten
+    vectors' NEGATED partials (pair/first/n rows negated; the width
+    sentinel rides unnegated, so forgetting wrong-width vectors trips the
+    serve-time width guard instead of corrupting sums). After the append,
+    serving is BIT-identical to recomputing the batch operator over the
+    survivors (test-pinned) — no rewrite of any committed partial, O(|forgotten| × d²) work.
+
+    Exactly-once: erasure batches live at NEGATIVE batch_ids (stream ids
+    are Spark epoch ids ≥ 0, so the id spaces never collide), committed
+    by the same ``_APPENDLOG`` marker protocol. Pass a stable
+    ``erasure_id`` (0, 1, 2, …) to make retries of the SAME request
+    no-ops — returns None when that request already committed; with the
+    default None, the next free id is allocated (callers that may retry
+    after a crash must pass the explicit id, or a re-run subtracts
+    twice). Markers of erasure batches survive compaction as tombstones
+    for exactly this reason.
+
+    Contract: ``forgotten`` must be vectors that actually contributed to
+    the store (the corpus rows being erased). Forgetting more rows than
+    were ever streamed drives ``n`` ≤ 0 and serving fails loud.
+    """
+    committed_neg = [b for b in _marker_ids(moments_dir) if b < 0]
+    if erasure_id is None:
+        erasure_id = max([-(b + 1) for b in committed_neg], default=-1) + 1
+    batch_id = -(int(erasure_id) + 1)
+    if _marker(moments_dir, batch_id).exists():
+        return None
+    partials = batch_moment_partials(forgotten, vec_col, scale)
+    negated = partials.select(
+        "kind",
+        "i",
+        "j",
+        F.when(F.col("kind") == "d", F.col("val")).otherwise(-F.col("val")).alias("val"),
+    )
+    _append_partials(negated, moments_dir, batch_id)
+    return int(erasure_id)
 
 
 def stream_covariance(
@@ -241,8 +309,8 @@ def read_covariance(
         .select(F.col("val").cast("long").alias("_n"))
         .join(F.broadcast(n_widths))
         .select(
-            F.when(F.col("_n_widths") <= 1, F.col("_n"))
-            .otherwise(
+            F.when(
+                F.col("_n_widths") > 1,
                 F.raise_error(
                     F.concat_ws(
                         " ",
@@ -250,8 +318,23 @@ def read_covariance(
                         F.col("_n_widths").cast("string"),
                         F.lit("distinct embedding widths — refusing to merge"),
                     )
-                )
+                ),
             )
+            .when(
+                F.col("_n") <= 0,
+                F.raise_error(
+                    F.concat_ws(
+                        " ",
+                        F.lit("moment store has"),
+                        F.col("_n").cast("string"),
+                        F.lit(
+                            "contributing rows (fully erased, or erasures "
+                            "exceeded the streamed corpus) — nothing to serve"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("_n"))
             .alias("_n")
         )
     )
@@ -308,13 +391,19 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     on_disk = {
         int(p.name.split("=", 1)[1]) for p in pdir.glob("batch_id=*") if p.is_dir()
     }
-    committed = {b for b in on_disk if b in markers or (wm is not None and b <= wm)}
+    committed = {
+        b for b in on_disk if b in markers or (wm is not None and 0 <= b <= wm)
+    }
     # step 0: wipe uncommitted orphans so the watermark can't adopt them
     for b in on_disk - committed:
         shutil.rmtree(pdir / f"batch_id={b}", ignore_errors=True)
     if len(committed) < 2:
         return None
     hi = max(committed)
+    if hi < 0:
+        # erasure-only store (no stream batch ever committed): nothing a
+        # non-negative watermark could subsume — leave the spine alone
+        return None
 
     shutil.rmtree(tmp, ignore_errors=True)
     committed_rows = spark.read.parquet(str(pdir)).filter(
@@ -338,9 +427,12 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     pdir.rename(retired)
     tmp.rename(pdir)
     shutil.rmtree(retired, ignore_errors=True)
-    # collapse subsumed state: per-batch markers ≤ hi and older watermarks
+    # collapse subsumed state: STREAM markers in [0, hi] (the watermark
+    # takes over for them) and older watermarks. Erasure markers (negative
+    # ids) are KEPT as tombstones — their partials merged into the hi dir,
+    # but a caller retrying the same erasure_id must still see a no-op.
     for b in sorted(markers):
-        if b <= hi:
+        if 0 <= b <= hi:
             shutil.rmtree(_marker(moments_dir, b), ignore_errors=True)
     clog = pathlib.Path(moments_dir) / "_COMPACTLOG"
     for p in clog.glob("upto=*"):

@@ -1694,3 +1694,119 @@ class TestMomentsCompaction:
         pdir.rename(pathlib.Path(mdir) / "partials_retired")
         assert compact_moments(spark, mdir) is None  # recovery path, 1 batch dir left
         assert self._cov(spark, mdir) == before
+
+
+class TestMomentsErasure:
+    """forget_from_moments: integer moments subtract EXACTLY, so erasure
+    is one negated-partials append and the served matrix equals the batch
+    operator over the survivors bit-identically."""
+
+    def _emb(self, spark, sf_dir):
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        return read_table(spark, sf_dir, "embeddings")
+
+    def _cov(self, spark, mdir):
+        from scala_etl_test_spark.streaming import read_covariance
+
+        return {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in read_covariance(spark, mdir).collect()
+        }
+
+    def test_erasure_equals_survivor_recompute_bit_identical(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, forget_from_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == k), k)
+        doomed = emb.filter(F.col("vec_id") % 7 == 0)
+        assert forget_from_moments(spark, mdir, doomed) == 0
+        survivors = emb.filter(F.col("vec_id") % 7 != 0)
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(survivors).collect()
+        }
+        assert self._cov(spark, mdir) == want
+
+    def test_explicit_erasure_id_replay_is_noop(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_moments, forget_from_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb, 0)
+        doomed = emb.limit(5)
+        assert forget_from_moments(spark, mdir, doomed, erasure_id=0) == 0
+        after_once = self._cov(spark, mdir)
+        # retry of the SAME request: no-op, never a double subtract
+        assert forget_from_moments(spark, mdir, doomed, erasure_id=0) is None
+        assert self._cov(spark, mdir) == after_once
+
+    def test_erasure_survives_compaction_and_tombstone_holds(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import (
+            append_batch_moments,
+            compact_moments,
+            forget_from_moments,
+        )
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 2 == k), k)
+        doomed = emb.filter(F.col("vec_id") % 5 == 0)
+        assert forget_from_moments(spark, mdir, doomed, erasure_id=0) == 0
+        before = self._cov(spark, mdir)
+        assert compact_moments(spark, mdir) == 1
+        assert self._cov(spark, mdir) == before  # erasure folded into the merge
+        # the tombstone: replaying the compacted erasure stays a no-op
+        assert forget_from_moments(spark, mdir, doomed, erasure_id=0) is None
+        assert self._cov(spark, mdir) == before
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb.filter(F.col("vec_id") % 5 != 0)).collect()
+        }
+        assert before == want
+
+    def test_stream_append_after_erasure_composes(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, forget_from_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == 0), 0)
+        doomed = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0))
+        assert forget_from_moments(spark, mdir, doomed) == 0
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == 1), 1)
+        survivors = emb.filter(
+            ((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 != 0))
+            | (F.col("vec_id") % 3 == 1)
+        )
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(survivors).collect()
+        }
+        assert self._cov(spark, mdir) == want
+
+    def test_fully_erased_store_fails_loud(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        from scala_etl_test_spark.streaming import append_batch_moments, forget_from_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb, 0)
+        assert forget_from_moments(spark, mdir, emb) == 0
+        with pytest.raises(Exception, match="contributing rows"):
+            self._cov(spark, mdir)
+
+    def test_auto_allocated_ids_are_sequential(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_moments, forget_from_moments
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        assert append_batch_moments(spark, mdir, emb, 0)
+        assert forget_from_moments(spark, mdir, emb.limit(2)) == 0
+        assert forget_from_moments(spark, mdir, emb.filter(F.col("vec_id").between(10, 12))) == 1
