@@ -64,3 +64,45 @@ def table_checksum(df: DataFrame, cols: Sequence[Column | str]) -> DataFrame:
         .cast("long")
         .alias("sum31"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: Sequence[Column | str],
+) -> DataFrame:
+    """Release-to-release corpus diff: classify every id as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` — the governance artifact a
+    corpus release ships so consumers audit WHAT moved between versions
+    without re-scanning payloads themselves (the release twin of
+    :func:`table_checksum`, which only answers whether ANYTHING moved).
+
+    Scale shape: each side reduces row-locally to (id, 60-bit content
+    digest of ``content_cols`` via :func:`row_digest`) — so the join that
+    follows carries two thin columns, never payloads — then ONE full-outer
+    equi-join on the id classifies everything. One shuffle per side at
+    100 TB (zero if both releases are bucketed on the id, the layout
+    operators/layout.py recommends for exactly this reason); digests make
+    'changed' detection O(1) per id regardless of document size.
+
+    Returns (id, status). Aggregate with :func:`snapshot_diff_summary`
+    for the release-note row counts.
+    """
+    oh = old.select(F.col(id_col), row_digest(content_cols).alias("_h_old"))
+    nh = new.select(F.col(id_col), row_digest(content_cols).alias("_h_new"))
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return oh.join(nh, on=id_col, how="full_outer").select(
+        F.col(id_col), status.alias("status")
+    )
+
+
+def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n_docs) release-note summary of :func:`snapshot_diff` —
+    a ≤4-group aggregate over the already-thin diff frame."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

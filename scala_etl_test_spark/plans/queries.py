@@ -4288,8 +4288,9 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # r7/r8 on unchanged code sorts last.  Staleness computed from
 # CORRECTNESS_r*.json (latest round containing each query name).
 _GATE_PRIORITY: list[str] = [
-    # added this round (r10) — no driver row yet (rows-only: no oracle)
+    # added this round (r10) — no driver row yet
     "pq_rotation_recall",
+    "release_diff",
     # r6-stale tier — ALL 30 (VERDICT r9 item 1: the simhash/winnow/spans/
     # containment dedup tier + the r1 relational tail), registry order;
     # after this round no query's last driver gate is older than r7

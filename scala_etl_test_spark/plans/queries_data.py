@@ -1605,6 +1605,72 @@ FROM g, t ORDER BY shard_id
 """
 
 
+_DIFF_MOD = 20  # release-simulation buckets: 0 removed, 1 added, 2 edited
+
+
+def q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff summary
+    (operators/integrity.py:snapshot_diff): every doc_id classified
+    added / removed / changed / unchanged via row-local content digests +
+    ONE thin full-outer join, then the ≤4-row release-note aggregate —
+    the governance artifact consumers read before re-ingesting a new
+    corpus version, and the per-id complement to table_checksum's single
+    yes/no.
+
+    The 'previous release' is derived deterministically from the live
+    documents table (the testdata ships one snapshot): md5 bucket 0 docs
+    exist only in the old release (⇒ removed), bucket 1 only in the new
+    (⇒ added), bucket 2 had upper-cased text in the old release (⇒
+    changed — unless the text has no letters, in which case it is
+    genuinely unchanged; both engines replay the same rule). The Spark
+    side classifies by digest, the oracle by direct content comparison —
+    agreeing answers cross-check the digest construction itself.
+    """
+    from scala_etl_test_spark.operators.integrity import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+    from scala_etl_test_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), _DIFF_MOD)
+    old = docs.filter(b != 1).select(
+        "doc_id",
+        F.when(b == 2, F.upper("text")).otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    new = docs.filter(b != 0).select("doc_id", "text", "source")
+    return snapshot_diff_summary(
+        snapshot_diff(old, new, "doc_id", ["text", "source"])
+    ).orderBy("status")
+
+
+_DIFF_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+    f"% {_DIFF_MOD}"
+)
+
+SQL_RELEASE_DIFF = f"""
+WITH b AS (
+  SELECT doc_id, text, source, {_DIFF_BUCKET_SQL} AS bucket FROM documents
+), old AS (
+  SELECT doc_id, CASE WHEN bucket = 2 THEN upper(text) ELSE text END AS text, source
+  FROM b WHERE bucket <> 1
+), new AS (
+  SELECT doc_id, text, source FROM b WHERE bucket <> 0
+), diff AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text = n.text AND o.source = n.source THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY status ORDER BY status
+"""
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed covariance of the embedding column
     (operators/similarity.py:embedding_covariance): all-integer fixed-point
@@ -4252,6 +4318,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "embedding_covariance": q_embedding_covariance,
     "pq_rotation_recall": q_pq_rotation_recall,
+    "release_diff": q_release_diff,
 }
 
 DATA_ORACLE_SQL: dict[str, str] = {
@@ -4339,4 +4406,5 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "lsh_recall_audit": _lsh_recall_sql(),
     "shard_manifest": SQL_SHARD_MANIFEST,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "release_diff": SQL_RELEASE_DIFF,
 }

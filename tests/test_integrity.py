@@ -59,3 +59,69 @@ def test_delimiter_injection_does_not_alias(spark):
     df1 = spark.createDataFrame([("a|b", "c")], "x string, y string")
     df2 = spark.createDataFrame([("a", "b|c")], "x string, y string")
     assert _cs(df1, ["x", "y"]) != _cs(df2, ["x", "y"])
+
+
+class TestSnapshotDiff:
+    """snapshot_diff / snapshot_diff_summary: per-id release diff via
+    row-local digests + one thin full-outer join."""
+
+    def _diff(self, spark, old_rows, new_rows):
+        from scala_etl_test_spark.operators.integrity import snapshot_diff
+
+        old = spark.createDataFrame(old_rows, "doc_id long, text string, source string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string, source string")
+        return snapshot_diff(old, new, "doc_id", ["text", "source"])
+
+    def test_four_way_classification(self, spark):
+        got = {
+            r["doc_id"]: r["status"]
+            for r in self._diff(
+                spark,
+                [(1, "a", "web"), (2, "b", "web"), (3, "c", "book")],
+                [(1, "a", "web"), (2, "B", "web"), (4, "d", "web")],
+            ).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_any_content_col_counts_as_change(self, spark):
+        got = {
+            r["doc_id"]: r["status"]
+            for r in self._diff(
+                spark, [(1, "a", "web")], [(1, "a", "book")]
+            ).collect()
+        }
+        assert got == {1: "changed"}  # source moved, text identical
+
+    def test_null_vs_value_is_a_change(self, spark):
+        got = {
+            r["doc_id"]: r["status"]
+            for r in self._diff(
+                spark, [(1, None, "web"), (2, "<NULL>", "web")],
+                [(1, "x", "web"), (2, None, "web")],
+            ).collect()
+        }
+        assert got[1] == "changed"
+        # the documented sentinel collision: a literal '<NULL>' string and a
+        # NULL hash identically (integrity.py module docstring caveat)
+        assert got[2] == "unchanged"
+
+    def test_summary_counts(self, spark):
+        from scala_etl_test_spark.operators.integrity import snapshot_diff_summary
+
+        d = self._diff(
+            spark,
+            [(i, f"t{i}", "web") for i in range(10)],
+            [(i, f"t{i}" if i % 2 else "edited", "web") for i in range(2, 12)],
+        )
+        got = {r["status"]: r["n_docs"] for r in snapshot_diff_summary(d).collect()}
+        assert got == {"removed": 2, "added": 2, "changed": 4, "unchanged": 4}
+
+    def test_join_carries_digests_not_payloads(self, spark):
+        """The full-outer join must ship (id, 60-bit digest), never text —
+        at 100 TB the diff's shuffle is thin regardless of document size."""
+        d = self._diff(spark, [(1, "x" * 100, "web")], [(1, "x" * 100, "web")])
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan):
+            assert "text" not in m.group(0)
