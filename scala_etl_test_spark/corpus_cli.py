@@ -22,6 +22,10 @@ Artifacts:
   merge table), ``tokenizer/tokens/`` (the CLEAN corpus encoded to
   subword tokens), ``tokenizer/packed/`` (tokens greedily packed into
   fixed-budget training sequences) — the train → encode → pack last mile.
+- with ``--prev-release <out_dir>``: ``release_diff/`` — per-doc
+  added/removed/changed/unchanged vs that run's ``corpus_clean``
+  (operators/integrity.py:snapshot_diff), the release note consumers
+  audit before re-ingesting a new corpus version.
 """
 
 from __future__ import annotations
@@ -87,6 +91,16 @@ def main(argv: list[str] | None = None) -> None:
         "K-centroid sidecar + corpus partitioned by cluster_id) over the "
         "embeddings of the CLEAN corpus — requires embeddings.parquet "
         "(vec_id aligned with doc_id)",
+    )
+    parser.add_argument(
+        "--prev-release",
+        default=None,
+        metavar="OUT_DIR",
+        help="a previous run's --out dir: diff this run's corpus_clean "
+        "against its corpus_clean (operators/integrity.py:snapshot_diff) "
+        "and write the per-doc added/removed/changed/unchanged map to "
+        "{out}/release_diff — the release note consumers audit before "
+        "re-ingesting",
     )
     parser.add_argument(
         "--forget-ids",
@@ -169,6 +183,21 @@ def main(argv: list[str] | None = None) -> None:
     # the dedup anti-joins and text metrics re-execute per consumer
     clean = kept.select(*cols).filter(F.col("quality_score") >= args.min_quality).persist()
     clean.write.mode("overwrite").parquet(f"{args.out}/corpus_clean")
+
+    if args.prev_release is not None:
+        # diff the artifact just WRITTEN (read back on purpose — the diff
+        # must describe what shipped, the release-report precedent) against
+        # the previous release's corpus_clean, over the content columns the
+        # two releases share (flag changes like --redact-pii add columns;
+        # the diff then speaks to the common surface)
+        from scala_etl_test_spark.operators.integrity import snapshot_diff
+
+        prev = spark.read.parquet(f"{args.prev_release}/corpus_clean")
+        cur = spark.read.parquet(f"{args.out}/corpus_clean")
+        shared = sorted((set(prev.columns) & set(cur.columns)) - {"doc_id"})
+        snapshot_diff(prev, cur, "doc_id", shared).write.mode("overwrite").parquet(
+            f"{args.out}/release_diff"
+        )
 
     # reuse the already-computed component map — CC is the most expensive
     # stage and leakage_safe_split would otherwise run it a second time

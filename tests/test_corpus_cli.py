@@ -186,3 +186,26 @@ def test_corpus_cli_ann_index_artifact_and_forget_composition(spark, sf_dir, tmp
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cluster_id", plan), plan
     assert {r["vec_id"] for r in hits.collect()} <= got
+
+
+def test_corpus_cli_prev_release_diff(spark, sf_dir, tmp_path):
+    """--prev-release: the second run ships a per-doc diff against the
+    first run's corpus_clean. A stricter quality gate makes some docs
+    'removed'; identical survivors stay 'unchanged'; nothing is 'added'
+    or 'changed' (same data, same metrics)."""
+    from scala_etl_test_spark.corpus_cli import main
+
+    out1, out2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    main(["--data", sf_dir, "--out", out1])
+    main([
+        "--data", sf_dir, "--out", out2,
+        "--min-quality", "0.9", "--prev-release", out1,
+    ])
+    diff = spark.read.parquet(f"{out2}/release_diff")
+    got = {r["status"]: r["n"] for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n1 = spark.read.parquet(f"{out1}/corpus_clean").count()
+    n2 = spark.read.parquet(f"{out2}/corpus_clean").count()
+    assert got.get("removed", 0) == n1 - n2 > 0
+    assert got.get("unchanged", 0) == n2
+    assert "added" not in got and "changed" not in got
+    assert diff.count() == n1

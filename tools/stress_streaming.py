@@ -351,6 +351,8 @@ def stress_cov_moments(spark, sf_dir: str, out_dir: str) -> dict:
 
     from scala_etl_test_spark.streaming.moments import (
         append_batch_moments,
+        compact_moments,
+        forget_from_moments,
         read_covariance,
     )
 
@@ -368,13 +370,29 @@ def stress_cov_moments(spark, sf_dir: str, out_dir: str) -> dict:
     head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
     t0 = _time.perf_counter()
     n_rows = read_covariance(spark, d).count()
+    serve_s = round(_time.perf_counter() - t0, 2)
+    # lifecycle tail (r10): erase one batch's worth (one negated append —
+    # O(batch·d²) like any append), then compact the 11-dir spine to one
+    # and re-serve; row count must be unchanged through both
+    t0 = _time.perf_counter()
+    forget_from_moments(spark, d, emb.select("vec_id", "embedding", "label"), erasure_id=0)
+    erase_s = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
+    compact_moments(spark, d)
+    compact_s = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
+    n_after = read_covariance(spark, d).count()
     return {
         "twin": "cov_moments",
         "batches": len(walls),
         "per_batch_wall_s": walls,
         "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
-        "serve_merge_s": round(_time.perf_counter() - t0, 2),
+        "serve_merge_s": serve_s,
         "cov_rows": n_rows,
+        "erase_s": erase_s,
+        "compact_s": compact_s,
+        "serve_after_compact_s": round(_time.perf_counter() - t0, 2),
+        "cov_rows_after_lifecycle": n_after,
     }
 
 
