@@ -34,6 +34,7 @@ from scala_etl_test_spark.streaming.sketches import (
 )
 from scala_etl_test_spark.streaming.ann import (
     append_batch_to_ivf,
+    compact_ivf_index,
     forget_from_ivf_index,
     init_ivf_index,
     ivf_index_topk,
@@ -71,6 +72,7 @@ __all__ = [
     "stream_covariance",
     "append_batch_to_ivf",
     "compact_index",
+    "compact_ivf_index",
     "dedup_events_within_watermark",
     "forget_from_ivf_index",
     "init_ivf_index",

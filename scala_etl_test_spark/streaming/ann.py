@@ -12,7 +12,15 @@ pieces live in operators/similarity.py):
   O(batch·k) compute + an O(batch) write, INDEPENDENT of corpus size
   (``tools/stress_streaming.py --twin ann_append`` pins the flat trend);
 - **erase**: ``forget_from_ivf`` with ``sub_partition_cols=["batch_id"]``
-  — cell-local rewrite that preserves the delta spine.
+  — cell-local rewrite that preserves the delta spine;
+- **compact**: :func:`compact_ivf_index` collapses the per-cell batch
+  dirs into one generation under a ``_COMPACTLOG`` watermark (the
+  small-file answer for a long-running stream; replays of compacted
+  batches stay no-ops).
+
+Serving reads COMMITTED batches only (marker present, or at/below the
+compaction watermark): an in-flight append or a crash-orphaned partial
+must not surface phantom vectors in probe results.
 
 Centroids are frozen at index creation (the standard IVF contract:
 retraining re-clusters the corpus, which is an offline rebuild, not
@@ -46,6 +54,43 @@ def _corpus_dir(index_dir: str) -> str:
 
 def _marker(index_dir: str, batch_id: int) -> pathlib.Path:
     return pathlib.Path(index_dir) / "_APPENDLOG" / f"batch_id={batch_id}"
+
+
+def _marker_ids(index_dir: str) -> list[int]:
+    log = pathlib.Path(index_dir) / "_APPENDLOG"
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.name.split("=", 1)[1]) for p in log.glob("batch_id=*") if p.is_dir()
+    )
+
+
+def _compaction_watermark(index_dir: str) -> int | None:
+    """Highest ``_COMPACTLOG/upto=N``: every batch_id ≤ N is committed
+    (its per-batch marker may have been collapsed by
+    :func:`compact_ivf_index`)."""
+    log = pathlib.Path(index_dir) / "_COMPACTLOG"
+    if not log.is_dir():
+        return None
+    ids = [int(p.name.split("=", 1)[1]) for p in log.glob("upto=*") if p.is_dir()]
+    return max(ids) if ids else None
+
+
+def _committed_filter(index_dir: str):
+    """(filter Column | None) selecting committed corpus rows — None when
+    nothing has ever committed. The serve path applies this so an
+    in-flight append (or a crash-orphaned partial whose marker never
+    landed) can never surface phantom vectors in probe results — the
+    moments-store lesson (streaming/moments.py) applied to the vector
+    artifact."""
+    markers = _marker_ids(index_dir)
+    wm = _compaction_watermark(index_dir)
+    if wm is None and not markers:
+        return None
+    cond = F.col("batch_id").isin([int(b) for b in markers])
+    if wm is not None:
+        cond = cond | (F.col("batch_id") <= int(wm))
+    return cond
 
 
 def init_ivf_index(
@@ -95,6 +140,11 @@ def append_batch_to_ivf(
     (not a closure) so replay/crash paths are directly testable."""
     marker = _marker(index_dir, batch_id)
     if marker.exists():
+        return False
+    wm = _compaction_watermark(index_dir)
+    if wm is not None and batch_id <= wm:
+        # compaction collapsed this batch's marker into the watermark; a
+        # replay must stay a no-op or it would re-append merged vectors
         return False
     corpus = pathlib.Path(_corpus_dir(index_dir))
     # wipe partial remnants of a crashed earlier attempt BEFORE re-appending
@@ -153,11 +203,16 @@ def ivf_index_topk(
     """Serve path over the maintained index: probe ``nprobe`` cells of the
     partitioned corpus (partition pruning carries the cell predicate —
     same plan the batch ``ivf_topk`` gate pins) against the frozen
-    centroids."""
+    centroids. Serves COMMITTED batches only (marker present or at/below
+    the compaction watermark — both partition-prunable predicates): an
+    in-flight or crash-orphaned append must not surface phantom vectors."""
     from scala_etl_test_spark.operators.similarity import ivf_topk
 
+    committed = _committed_filter(index_dir)
+    if committed is None:
+        raise ValueError(f"IVF index at {index_dir} has no committed batches")
     return ivf_topk(
-        read_ivf_corpus(spark, index_dir),
+        read_ivf_corpus(spark, index_dir).filter(committed),
         read_centroids(spark, index_dir),
         query,
         k=k,
@@ -186,3 +241,87 @@ def forget_from_ivf_index(
         id_col=id_col,
         sub_partition_cols=["batch_id"],
     )
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
+    """Collapse the delta spine: rewrite every cell's committed
+    ``batch_id=N`` dirs into the single highest committed batch dir,
+    record the ``_COMPACTLOG/upto=N`` watermark, and delete the per-batch
+    markers it subsumes — the small-file answer for a long-running stream
+    (one dir per cell per batch forever, otherwise), same protocol as
+    streaming/moments.py:compact_moments and streaming/dedup.py:
+    compact_index. Probe results before and after are identical
+    (test-pinned); the watermark keeps replays of compacted batches
+    no-ops.
+
+    Cost: ONE read+write of the corpus (unlike the moments merge, vector
+    rows don't combine — compaction here is file consolidation). At
+    100 TB run it cell-by-cell on the cells with the most batch dirs
+    (the partition-pruned read + staged swap of forget_from_ivf is the
+    template); the whole-corpus form here is the maintenance-window
+    variant. NOT concurrent-safe with a running stream. Crash-orphaned
+    uncommitted batch dirs are wiped first so the watermark can never
+    adopt them.
+
+    Returns the new watermark, or None when fewer than two committed
+    batch generations exist on disk.
+    """
+    import shutil
+
+    corpus = pathlib.Path(_corpus_dir(index_dir))
+    tmp = pathlib.Path(index_dir) / "corpus_compacting"
+    retired = pathlib.Path(index_dir) / "corpus_retired"
+    # crash recovery: finish an interrupted swap before anything else
+    if not corpus.is_dir():
+        if tmp.is_dir() and _compaction_watermark(index_dir) is not None:
+            tmp.rename(corpus)
+        elif retired.is_dir():
+            retired.rename(corpus)
+        else:
+            return None
+    shutil.rmtree(retired, ignore_errors=True)
+
+    markers = set(_marker_ids(index_dir))
+    wm = _compaction_watermark(index_dir)
+    on_disk = {
+        int(p.name.split("=", 1)[1])
+        for p in corpus.glob("cluster_id=*/batch_id=*")
+        if p.is_dir()
+    }
+    committed = {b for b in on_disk if b in markers or (wm is not None and b <= wm)}
+    for b in on_disk - committed:
+        for leftover in corpus.glob(f"cluster_id=*/batch_id={b}"):
+            shutil.rmtree(leftover, ignore_errors=True)
+    if len(committed) < 2:
+        return None
+    hi = max(committed)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(str(corpus))
+        .filter(F.col("batch_id").isin([int(b) for b in committed]))
+        .withColumn("batch_id", F.lit(int(hi)))
+        # co-locate each cell before writing: small-file consolidation is
+        # the POINT of this rewrite — without it every shuffle task writes
+        # a sliver into every cell. AQE re-splits a skewed cell if one
+        # outgrows a task.
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id", "batch_id")
+        .parquet(str(tmp))
+    )
+    # watermark BEFORE the swap (crash mid-swap: every committed batch is
+    # still readable from old or new layout and still counted committed)
+    wmark = pathlib.Path(index_dir) / "_COMPACTLOG" / f"upto={hi}"
+    wmark.mkdir(parents=True, exist_ok=True)
+    corpus.rename(retired)
+    tmp.rename(corpus)
+    shutil.rmtree(retired, ignore_errors=True)
+    for b in sorted(markers):
+        if b <= hi:
+            shutil.rmtree(_marker(index_dir, b), ignore_errors=True)
+    clog = pathlib.Path(index_dir) / "_COMPACTLOG"
+    for p in clog.glob("upto=*"):
+        if int(p.name.split("=", 1)[1]) < hi:
+            shutil.rmtree(p, ignore_errors=True)
+    return hi

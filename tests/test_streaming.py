@@ -1810,3 +1810,114 @@ class TestMomentsErasure:
         assert append_batch_moments(spark, mdir, emb, 0)
         assert forget_from_moments(spark, mdir, emb.limit(2)) == 0
         assert forget_from_moments(spark, mdir, emb.filter(F.col("vec_id").between(10, 12))) == 1
+
+
+class TestIvfIndexCompaction:
+    """compact_ivf_index + committed-only serving: the per-cell batch-dir
+    spine collapses to one generation, probe results are identical
+    before/after, replays of compacted batches stay no-ops, and
+    uncommitted partials never surface in probe results."""
+
+    @pytest.fixture()
+    def index(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, init_ivf_index
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        d = str(tmp_path / "ivf_index")
+        init_ivf_index(spark, d, emb, n_centroids=4)
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        for r in (1, 2):
+            batch = emb.select(
+                (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"), "embedding", "label"
+            )
+            assert append_batch_to_ivf(spark, d, batch, r)
+        return d, emb, max_id
+
+    def _probe(self, spark, d, emb, k=400):
+        from scala_etl_test_spark.streaming import ivf_index_topk
+
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=k).collect()]
+
+    def test_probe_identical_and_spine_collapsed(self, spark, index):
+        import pathlib as _pl
+
+        from scala_etl_test_spark.streaming import compact_ivf_index
+        from scala_etl_test_spark.streaming.ann import _corpus_dir, _marker_ids
+
+        d, emb, _ = index
+        before = self._probe(spark, d, emb)
+        assert compact_ivf_index(spark, d) == 2
+        assert self._probe(spark, d, emb) == before
+        gens = {
+            p.name
+            for p in _pl.Path(_corpus_dir(d)).glob("cluster_id=*/batch_id=*")
+        }
+        assert gens == {"batch_id=2"}
+        assert _marker_ids(d) == []
+
+    def test_replay_after_compaction_is_noop(self, spark, index):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, compact_ivf_index
+        from scala_etl_test_spark.streaming.ann import read_ivf_corpus
+
+        d, emb, max_id = index
+        n_before = read_ivf_corpus(spark, d).count()
+        assert compact_ivf_index(spark, d) == 2
+        replay = emb.select(
+            (F.col("vec_id") + F.lit(1 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        assert append_batch_to_ivf(spark, d, replay, 1) is False
+        assert read_ivf_corpus(spark, d).count() == n_before
+
+    def test_append_after_compaction_composes(self, spark, index):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, compact_ivf_index
+        from scala_etl_test_spark.streaming.ann import read_ivf_corpus
+
+        d, emb, max_id = index
+        n = emb.count()
+        assert compact_ivf_index(spark, d) == 2
+        batch3 = emb.select(
+            (F.col("vec_id") + F.lit(3 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        assert append_batch_to_ivf(spark, d, batch3, 3)
+        assert read_ivf_corpus(spark, d).count() == 4 * n
+        served = set(self._probe(spark, d, emb, k=10 * n))
+        assert served & {i + 3 * max_id for i in range(n)}, "new batch must serve"
+        # second compaction stacks on the first
+        assert compact_ivf_index(spark, d) == 3
+
+    def test_uncommitted_partial_never_served_and_wiped_by_compaction(self, spark, index):
+        import pathlib as _pl
+
+        from scala_etl_test_spark.operators.similarity import ivf_assign
+        from scala_etl_test_spark.streaming import compact_ivf_index
+        from scala_etl_test_spark.streaming.ann import (
+            _corpus_dir,
+            read_centroids,
+            read_ivf_corpus,
+        )
+
+        d, emb, max_id = index
+        # orphan: batch 9's rows land, marker never does (crash window)
+        phantom = emb.select(
+            (F.col("vec_id") + F.lit(9 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        (
+            ivf_assign(phantom, read_centroids(spark, d))
+            .withColumn("batch_id", F.lit(9))
+            .write.mode("append")
+            .partitionBy("cluster_id", "batch_id")
+            .parquet(_corpus_dir(d))
+        )
+        n = emb.count()
+        served = self._probe(spark, d, emb, k=10 * n)
+        phantom_ids = {i + 9 * max_id for i in range(n)}
+        assert not (set(served) & phantom_ids), "uncommitted vectors served!"
+        assert compact_ivf_index(spark, d) == 2
+        assert read_ivf_corpus(spark, d).count() == 3 * n  # orphan wiped
+        # erasure still composes on the compacted layout
+        from scala_etl_test_spark.streaming import forget_from_ivf_index
+
+        doomed = spark.createDataFrame([(int(1 * max_id),)], "vec_id long")
+        forget_from_ivf_index(spark, d, doomed).collect()
+        assert read_ivf_corpus(spark, d).count() == 3 * n - 1

@@ -329,13 +329,35 @@ def stress_ann_append(spark, sf_dir: str, out_dir: str) -> dict:
         append_batch_to_ivf(spark, d, batch, r)
         walls.append(round(_time.perf_counter() - t0, 2))
     head = sorted(walls[:3])[len(walls[:3]) // 2] if walls else 0.0
+    n_rows = read_ivf_corpus(spark, d).count()
+    # lifecycle tail (r10): one probe before/after compacting the
+    # 10-generation spine to one — results must be identical and the
+    # file count must collapse by ~the batch count
+    from scala_etl_test_spark.streaming.ann import compact_ivf_index, ivf_index_topk
+
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe_before = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=100).collect()]
+    n_files_before = sum(1 for _ in pathlib_rglob_parquet(d))
+    t0 = _time.perf_counter()
+    compact_ivf_index(spark, d)
+    compact_s = round(_time.perf_counter() - t0, 2)
+    probe_after = [r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=100).collect()]
     return {
         "twin": "ann_append",
         "batches": len(walls),
         "per_batch_wall_s": walls,
         "last_over_first3_median": round(walls[-1] / head, 2) if head else None,
-        "corpus_rows": read_ivf_corpus(spark, d).count(),
+        "corpus_rows": n_rows,
+        "compact_s": compact_s,
+        "files_before_after_compact": [n_files_before, sum(1 for _ in pathlib_rglob_parquet(d))],
+        "probe_stable_through_compact": probe_before == probe_after,
     }
+
+
+def pathlib_rglob_parquet(index_dir: str):
+    import pathlib
+
+    return pathlib.Path(index_dir, "corpus").rglob("*.parquet")
 
 
 def stress_cov_moments(spark, sf_dir: str, out_dir: str) -> dict:
