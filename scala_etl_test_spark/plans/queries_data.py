@@ -1738,7 +1738,10 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scala_etl_test_spark.operators.pq import pq_adc_topk, pq_encode, train_pq_codebook
 
     k = 10
-    emb = _t(spark, sf_dir, "embeddings")
+    # persisted: the query runs SIX actions over the same small table
+    # (query fetch, covariance, two codebook seeds, brute truth, two ADC
+    # scans) — without it each re-reads and re-decodes the parquet
+    emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
     query_raw = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]

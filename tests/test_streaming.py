@@ -1921,3 +1921,22 @@ class TestIvfIndexCompaction:
         doomed = spark.createDataFrame([(int(1 * max_id),)], "vec_id long")
         forget_from_ivf_index(spark, d, doomed).collect()
         assert read_ivf_corpus(spark, d).count() == 3 * n - 1
+
+
+def test_ivf_index_erasure_writes_audit_trail(spark, sf_dir, tmp_path):
+    """forget_from_ivf_index inherits the _ERASURE_AUDIT trail (r10): the
+    per-cell intent is recorded under the index's corpus dir and reads
+    back 'applied' — a deletion request against the maintained index is
+    diagnosable post-hoc exactly like the batch path."""
+    from scala_etl_test_spark.operators.similarity import erasure_audit_status
+    from scala_etl_test_spark.streaming import forget_from_ivf_index, init_ivf_index
+    from scala_etl_test_spark.streaming.ann import _corpus_dir
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "ivf_index")
+    init_ivf_index(spark, d, emb, n_centroids=4)
+    doomed = emb.select("vec_id").orderBy("vec_id").limit(3)
+    forget_from_ivf_index(spark, d, doomed).collect()
+    status = erasure_audit_status(spark, _corpus_dir(d)).collect()
+    assert status and all(r["status"] == "applied" for r in status)
+    assert sum(r["rows_erased"] for r in status) == 3
