@@ -34,6 +34,7 @@ from scala_etl_test_spark.streaming.sketches import (
 )
 from scala_etl_test_spark.streaming.ann import (
     append_batch_to_ivf,
+    compact_ivf_cells,
     compact_ivf_index,
     forget_from_ivf_index,
     init_ivf_index,
@@ -72,6 +73,7 @@ __all__ = [
     "stream_covariance",
     "append_batch_to_ivf",
     "compact_index",
+    "compact_ivf_cells",
     "compact_ivf_index",
     "dedup_events_within_watermark",
     "forget_from_ivf_index",

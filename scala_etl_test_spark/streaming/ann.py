@@ -16,7 +16,9 @@ pieces live in operators/similarity.py):
 - **compact**: :func:`compact_ivf_index` collapses the per-cell batch
   dirs into one generation under a ``_COMPACTLOG`` watermark (the
   small-file answer for a long-running stream; replays of compacted
-  batches stay no-ops).
+  batches stay no-ops); :func:`compact_ivf_cells` is the incremental
+  100 TB form — only cells whose spine outgrew a generation budget are
+  rewritten, markers untouched, cost ∝ compacted cells.
 
 Serving reads COMMITTED batches only (marker present, or at/below the
 compaction watermark): an in-flight append or a crash-orphaned partial
@@ -325,3 +327,108 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
         if int(p.name.split("=", 1)[1]) < hi:
             shutil.rmtree(p, ignore_errors=True)
     return hi
+
+
+def _finish_cell_swap(cell_dir: "pathlib.Path") -> None:
+    """Complete a (possibly interrupted) per-cell swap: with the merged
+    generation sitting INVISIBLY inside the cell as ``_merged_hi_N``
+    (underscore ⇒ parquet readers skip it), delete every generation dir
+    ≤ N — committed generations are all in the merge; an uncommitted
+    orphan ≤ N is garbage a replay would wipe anyway — then rename the
+    merge to ``batch_id=N``. Each step is idempotent, so a crash at any
+    point is healed by re-running."""
+    import shutil
+
+    merged = next(iter(cell_dir.glob("_merged_hi_*")), None)
+    if merged is None:
+        return
+    hi = int(merged.name.rsplit("_", 1)[1])
+    for gen in cell_dir.glob("batch_id=*"):
+        if int(gen.name.split("=", 1)[1]) <= hi:
+            shutil.rmtree(gen, ignore_errors=True)
+    merged.rename(cell_dir / f"batch_id={hi}")
+
+
+def compact_ivf_cells(
+    spark: SparkSession, index_dir: str, min_generations: int = 3
+) -> dict[int, int]:
+    """INCREMENTAL per-cell compaction — the 100 TB form of
+    :func:`compact_ivf_index`: only cells whose delta spine has grown to
+    ``min_generations`` committed generation dirs are rewritten (one
+    partition-pruned read + one cell-co-located staged write for all
+    planned cells together), everything else stays byte-identical on
+    disk, and per-batch markers are UNTOUCHED — each cell's generations
+    merge under that cell's own highest committed batch id, so replay
+    guards and the committed-serve filter keep working with no watermark
+    involved. Run it on whatever cadence keeps file counts sane; cost is
+    proportional to the compacted cells, never the corpus.
+
+    Per-cell swap is crash-safe: the merged generation first lands
+    INSIDE the cell as an invisible ``_merged_hi_N`` dir, then old
+    generations ≤ N are deleted, then the merge is renamed to
+    ``batch_id=N`` (:func:`_finish_cell_swap`, idempotent — re-running
+    after a crash at any step converges; a serve inside the crash window
+    under-counts the mid-swap cell transiently, never double-counts).
+    NOT concurrent-safe with a running stream.
+
+    Returns {cell: generations merged} for the cells actually compacted.
+    """
+    import shutil
+
+    corpus = pathlib.Path(_corpus_dir(index_dir))
+    if not corpus.is_dir():
+        return {}
+    # recovery pass: finish any swap a crashed previous run left behind
+    for cell_dir in corpus.glob("cluster_id=*"):
+        _finish_cell_swap(cell_dir)
+
+    markers = set(_marker_ids(index_dir))
+    wm = _compaction_watermark(index_dir)
+
+    def _committed(b: int) -> bool:
+        return b in markers or (wm is not None and b <= wm)
+
+    plan: dict[int, list[int]] = {}
+    for cell_dir in corpus.glob("cluster_id=*"):
+        cell = int(cell_dir.name.split("=", 1)[1])
+        gens = [
+            int(p.name.split("=", 1)[1])
+            for p in cell_dir.glob("batch_id=*")
+            if p.is_dir()
+        ]
+        cgens = sorted(b for b in gens if _committed(b))
+        if len(cgens) >= min_generations:
+            plan[cell] = cgens
+    if not plan:
+        return {}
+
+    staging = pathlib.Path(index_dir) / "_cell_compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    # one job stages every planned cell: partition-pruned read (cell +
+    # committed-generation predicates are both partition columns),
+    # per-cell hi assigned from a bounded literal map, cell-co-located
+    # write so the merge is also the small-file consolidation
+    hi_map = F.create_map(
+        *[F.lit(v) for cell, gens in plan.items() for v in (cell, max(gens))]
+    )
+    cond = None
+    for cell, gens in plan.items():
+        c = (F.col("cluster_id") == cell) & F.col("batch_id").isin(gens)
+        cond = c if cond is None else (cond | c)
+    (
+        spark.read.parquet(str(corpus))
+        .filter(cond)
+        .withColumn("batch_id", hi_map[F.col("cluster_id")])
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id", "batch_id")
+        .parquet(str(staging))
+    )
+    for cell, gens in plan.items():
+        hi = max(gens)
+        cell_dir = corpus / f"cluster_id={cell}"
+        staged = staging / f"cluster_id={cell}" / f"batch_id={hi}"
+        staged.rename(cell_dir / f"_merged_hi_{hi}")
+        _finish_cell_swap(cell_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {cell: len(gens) for cell, gens in plan.items()}

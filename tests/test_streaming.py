@@ -1940,3 +1940,122 @@ def test_ivf_index_erasure_writes_audit_trail(spark, sf_dir, tmp_path):
     status = erasure_audit_status(spark, _corpus_dir(d)).collect()
     assert status and all(r["status"] == "applied" for r in status)
     assert sum(r["rows_erased"] for r in status) == 3
+
+
+class TestIvfCellCompaction:
+    """compact_ivf_cells: only spine-heavy cells rewritten, markers
+    untouched (replay guards need no watermark), probe identical,
+    crash-window recovery converges."""
+
+    @pytest.fixture()
+    def index(self, spark, sf_dir, tmp_path):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, init_ivf_index
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        d = str(tmp_path / "ivf_index")
+        init_ivf_index(spark, d, emb, n_centroids=4)
+        max_id = emb.agg(F.max("vec_id")).first()[0] + 1
+        corpus = spark.read.parquet(f"{d}/corpus")
+        # batches 1..2 confined to cell 2 only: cell 2's spine grows to 3
+        # generations while the other cells stay at 1
+        cell2 = corpus.filter(F.col("cluster_id") == 2).select(
+            "vec_id", "embedding", "label"
+        )
+        for r in (1, 2):
+            batch = cell2.select(
+                (F.col("vec_id") + F.lit(r * max_id)).alias("vec_id"), "embedding", "label"
+            )
+            assert append_batch_to_ivf(spark, d, batch, r)
+        return d, emb, max_id
+
+    def _probe_all(self, spark, d, emb):
+        from scala_etl_test_spark.streaming import ivf_index_topk
+
+        qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return sorted(
+            r["vec_id"] for r in ivf_index_topk(spark, d, qv, k=10_000, nprobe=4).collect()
+        )
+
+    def test_only_heavy_cells_rewritten_markers_kept(self, spark, index):
+        import pathlib as _pl
+
+        from scala_etl_test_spark.streaming import compact_ivf_cells
+        from scala_etl_test_spark.streaming.ann import _marker_ids
+
+        d, emb, _ = index
+        before_probe = self._probe_all(spark, d, emb)
+        corpus = _pl.Path(d, "corpus")
+        untouched_before = {
+            c.name: sorted(str(p) for p in c.rglob("*.parquet"))
+            for c in corpus.glob("cluster_id=*")
+            if c.name != "cluster_id=2"
+        }
+        got = compact_ivf_cells(spark, d, min_generations=3)
+        assert got == {2: 3}
+        gens2 = {p.name for p in (corpus / "cluster_id=2").glob("batch_id=*")}
+        assert gens2 == {"batch_id=2"}  # merged under the cell's own hi
+        untouched_after = {
+            c.name: sorted(str(p) for p in c.rglob("*.parquet"))
+            for c in corpus.glob("cluster_id=*")
+            if c.name != "cluster_id=2"
+        }
+        assert untouched_after == untouched_before  # byte-for-byte file sets
+        assert _marker_ids(d) == [-1, 1, 2]  # markers untouched
+        assert self._probe_all(spark, d, emb) == before_probe
+
+    def test_replay_and_append_after_cell_compaction(self, spark, index):
+        from scala_etl_test_spark.streaming import append_batch_to_ivf, compact_ivf_cells
+        from scala_etl_test_spark.streaming.ann import read_ivf_corpus
+
+        d, emb, max_id = index
+        n_before = read_ivf_corpus(spark, d).count()
+        assert compact_ivf_cells(spark, d, min_generations=3) == {2: 3}
+        # marker-guarded replay of a merged batch: no-op
+        replay = emb.limit(5).select(
+            (F.col("vec_id") + F.lit(1 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        assert append_batch_to_ivf(spark, d, replay, 1) is False
+        assert read_ivf_corpus(spark, d).count() == n_before
+        # new appends land as a fresh generation on the merged cell
+        batch3 = emb.limit(7).select(
+            (F.col("vec_id") + F.lit(3 * max_id)).alias("vec_id"), "embedding", "label"
+        )
+        assert append_batch_to_ivf(spark, d, batch3, 3)
+        assert read_ivf_corpus(spark, d).count() == n_before + 7
+
+    def test_below_budget_is_noop(self, spark, index):
+        from scala_etl_test_spark.streaming import compact_ivf_cells
+
+        d, _, _ = index
+        assert compact_ivf_cells(spark, d, min_generations=4) == {}
+
+    def test_crash_window_recovery(self, spark, index):
+        """Worst window: the merged generation landed invisibly inside the
+        cell (_merged_hi_N) but old generations were never deleted. The
+        next compact_ivf_cells call must finish the swap, never
+        double-count, and serve the identical corpus."""
+        import pathlib as _pl
+
+        from scala_etl_test_spark.streaming import compact_ivf_cells
+        from scala_etl_test_spark.streaming.ann import read_ivf_corpus
+
+        d, emb, _ = index
+        before_probe = self._probe_all(spark, d, emb)
+        n_before = read_ivf_corpus(spark, d).count()
+        cell_dir = _pl.Path(d, "corpus", "cluster_id=2")
+        # manufacture the crash state: stage the merge of cell 2's three
+        # generations as _merged_hi=2, leaving the live generations intact
+        (
+            spark.read.parquet(f"{d}/corpus")
+            .filter(F.col("cluster_id") == 2)
+            .drop("cluster_id", "batch_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(cell_dir / "_merged_hi_2"))
+        )
+        assert read_ivf_corpus(spark, d).count() == n_before  # merge invisible
+        compact_ivf_cells(spark, d, min_generations=99)  # recovery-only pass
+        gens2 = {p.name for p in cell_dir.glob("batch_id=*")}
+        assert gens2 == {"batch_id=2"}
+        assert read_ivf_corpus(spark, d).count() == n_before
+        assert self._probe_all(spark, d, emb) == before_probe
