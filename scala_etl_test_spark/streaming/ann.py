@@ -246,24 +246,24 @@ def forget_from_ivf_index(
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
-    """Collapse the delta spine: rewrite every cell's committed
-    ``batch_id=N`` dirs into the single highest committed batch dir,
-    record the ``_COMPACTLOG/upto=N`` watermark, and delete the per-batch
-    markers it subsumes — the small-file answer for a long-running stream
-    (one dir per cell per batch forever, otherwise), same protocol as
-    streaming/moments.py:compact_moments and streaming/dedup.py:
-    compact_index. Probe results before and after are identical
-    (test-pinned); the watermark keeps replays of compacted batches
-    no-ops.
+    """Collapse the WHOLE delta spine: every cell's committed
+    ``batch_id=N`` dirs merge into that cell's own highest committed
+    generation (delegating to :func:`compact_ivf_cells` at
+    ``min_generations=2`` — crash-safe per-cell swaps, so there is never
+    a corpus-wide serve gap), then the ``_COMPACTLOG/upto=N`` watermark
+    (N = the highest committed batch anywhere) is recorded and the
+    per-batch markers it subsumes are deleted — the small-file answer
+    for a long-running stream, same protocol as
+    streaming/moments.py:compact_moments. Probe results before and
+    after are identical (test-pinned); the watermark keeps replays of
+    compacted batches no-ops. Cells with a single committed generation
+    are not rewritten at all (the watermark alone keeps them committed
+    once their marker collapses).
 
-    Cost: ONE read+write of the corpus (unlike the moments merge, vector
-    rows don't combine — compaction here is file consolidation). At
-    100 TB run it cell-by-cell on the cells with the most batch dirs
-    (the partition-pruned read + staged swap of forget_from_ivf is the
-    template); the whole-corpus form here is the maintenance-window
-    variant. NOT concurrent-safe with a running stream. Crash-orphaned
-    uncommitted batch dirs are wiped first so the watermark can never
-    adopt them.
+    NOT concurrent-safe with a running stream. Crash-orphaned
+    uncommitted batch dirs are wiped BEFORE the watermark lands so it
+    can never adopt them; a crash at any point is healed by re-running
+    (per-cell recovery + idempotent watermark/marker collapse).
 
     Returns the new watermark, or None when fewer than two committed
     batch generations exist on disk.
@@ -271,18 +271,8 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
     import shutil
 
     corpus = pathlib.Path(_corpus_dir(index_dir))
-    tmp = pathlib.Path(index_dir) / "corpus_compacting"
-    retired = pathlib.Path(index_dir) / "corpus_retired"
-    # crash recovery: finish an interrupted swap before anything else
     if not corpus.is_dir():
-        if tmp.is_dir() and _compaction_watermark(index_dir) is not None:
-            tmp.rename(corpus)
-        elif retired.is_dir():
-            retired.rename(corpus)
-        else:
-            return None
-    shutil.rmtree(retired, ignore_errors=True)
-
+        return None
     markers = set(_marker_ids(index_dir))
     wm = _compaction_watermark(index_dir)
     on_disk = {
@@ -291,6 +281,7 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
         if p.is_dir()
     }
     committed = {b for b in on_disk if b in markers or (wm is not None and b <= wm)}
+    # wipe uncommitted orphans so the watermark can never adopt them
     for b in on_disk - committed:
         for leftover in corpus.glob(f"cluster_id=*/batch_id={b}"):
             shutil.rmtree(leftover, ignore_errors=True)
@@ -298,27 +289,10 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
         return None
     hi = max(committed)
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(str(corpus))
-        .filter(F.col("batch_id").isin([int(b) for b in committed]))
-        .withColumn("batch_id", F.lit(int(hi)))
-        # co-locate each cell before writing: small-file consolidation is
-        # the POINT of this rewrite — without it every shuffle task writes
-        # a sliver into every cell. AQE re-splits a skewed cell if one
-        # outgrows a task.
-        .repartition("cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("cluster_id", "batch_id")
-        .parquet(str(tmp))
-    )
-    # watermark BEFORE the swap (crash mid-swap: every committed batch is
-    # still readable from old or new layout and still counted committed)
+    compact_ivf_cells(spark, index_dir, min_generations=2)
+
     wmark = pathlib.Path(index_dir) / "_COMPACTLOG" / f"upto={hi}"
     wmark.mkdir(parents=True, exist_ok=True)
-    corpus.rename(retired)
-    tmp.rename(corpus)
-    shutil.rmtree(retired, ignore_errors=True)
     for b in sorted(markers):
         if b <= hi:
             shutil.rmtree(_marker(index_dir, b), ignore_errors=True)
