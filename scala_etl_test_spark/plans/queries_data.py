@@ -1727,20 +1727,34 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectrum; a corpus owner reads this artifact before enabling the
     rotation, exactly like ann_recall_report before trusting an index.
 
-    Rows: (variant ∈ {raw, rotated}, k, n_hits, recall). Deterministic —
-    stride codebooks, sign-pinned eigenvectors, fixed query — but NOT
-    SQL-expressible: the components come from an eigendecomposition of
-    the covariance matrix (driver-side d×d model-parameter work,
+    Two serve paths per space, at identical budgets (r10 carry-forward
+    (c)): ``adc`` — full-scan ADC over the codes (pure coding loss) —
+    and ``ivfpq`` — the probed IVF-PQ layout at nprobe=2 of 4
+    stride-seeded cells, centroids trained IN each space (routing loss
+    compounds coding loss; low-nprobe recall is where a rotation helps
+    or hurts most, the billion-vector serving shape of Jégou's IVFADC).
+
+    Rows: (variant ∈ {raw, rotated}, path ∈ {adc, ivfpq}, k, n_hits,
+    recall). Deterministic — stride codebooks/centroids, sign-pinned
+    eigenvectors, fixed query — but NOT SQL-expressible: the components
+    come from an eigendecomposition of the covariance matrix
+    (driver-side d×d model-parameter work,
     operators/similarity.py:pca_components_from_cov), which no recursive
     CTE reasonably replays. Registered as the documented rows-only entry
     (tests/test_entry_contract.py:ROWS_ONLY_QUERIES).
     """
-    from scala_etl_test_spark.operators.pq import pq_adc_topk, pq_encode, train_pq_codebook
+    from scala_etl_test_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
 
-    k = 10
-    # persisted: the query runs SIX actions over the same small table
-    # (query fetch, covariance, two codebook seeds, brute truth, two ADC
-    # scans) — without it each re-reads and re-decodes the parquet
+    k, n_cells, nprobe = 10, 4, 2
+    # persisted: the query runs many actions over the same small table
+    # (query fetch, covariance, codebook/centroid seeds per space, brute
+    # truth, two ADC scans, two probed scans) — without it each re-reads
+    # and re-decodes the parquet
     emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
     query_raw = [
         float(v)
@@ -1753,19 +1767,29 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query_rot = [sum(a * b for a, b in zip(query_raw, c)) for c in comps]
     truth = S.cosine_topk(emb, query_raw, k=k).select("vec_id")
+
+    def _recall_row(variant: str, path: str, got) -> DataFrame:
+        return truth.join(got.select("vec_id"), on="vec_id").agg(
+            F.lit(variant).alias("variant"),
+            F.lit(path).alias("path"),
+            F.lit(k).cast("int").alias("k"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+        )
+
     parts = []
     for name, corpus, qv in (("raw", emb, query_raw), ("rotated", rotated, query_rot)):
         cb = train_pq_codebook(corpus, m=_PQ_M, k=_PQ_K)
-        got = pq_adc_topk(pq_encode(corpus, cb), cb, qv, k=k).select("vec_id")
+        parts.append(_recall_row(name, "adc", pq_adc_topk(pq_encode(corpus, cb), cb, qv, k=k)))
+        cents = S.stride_centroids(corpus, n_cells)
+        enc = pq_encode(S.ivf_assign(corpus, cents), cb, keep_cols=["cluster_id"])
         parts.append(
-            truth.join(got, on="vec_id").agg(
-                F.lit(name).alias("variant"),
-                F.lit(k).cast("int").alias("k"),
-                F.count(F.lit(1)).alias("n_hits"),
-                F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
-            )
+            _recall_row(name, "ivfpq", ivf_pq_topk(enc, cents, cb, qv, k=k, nprobe=nprobe))
         )
-    return parts[0].unionAll(parts[1]).orderBy("variant")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("variant", "path")
 
 
 # --------------------------------------------------------------------------

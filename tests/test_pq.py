@@ -282,12 +282,23 @@ class TestPqRotationRecall:
 
         a = [tuple(r) for r in q_pq_rotation_recall(spark, sf_dir).collect()]
         b = [tuple(r) for r in q_pq_rotation_recall(spark, sf_dir).collect()]
-        assert a == b  # stride codebook + sign-pinned eigh: no flakiness
-        assert [r[0] for r in a] == ["raw", "rotated"]
-        for _, k, n_hits, recall in a:
+        assert a == b  # stride codebook/centroids + sign-pinned eigh: no flakiness
+        assert [(r[0], r[1]) for r in a] == [
+            ("raw", "adc"),
+            ("raw", "ivfpq"),
+            ("rotated", "adc"),
+            ("rotated", "ivfpq"),
+        ]
+        by_key = {}
+        for variant, path, k, n_hits, recall in a:
             assert k == 10
             assert 0 <= n_hits <= k
             assert recall == round(n_hits / k, 6)
+            by_key[(variant, path)] = n_hits
+        # probing can only LOSE hits relative to the full ADC scan of the
+        # same codes (the probe restricts the candidate set)
+        for variant in ("raw", "rotated"):
+            assert by_key[(variant, "ivfpq")] <= by_key[(variant, "adc")]
 
     def test_truth_is_rotation_invariant(self, spark, sf_dir):
         """The single ground truth both variants chase: brute cosine top-k
