@@ -125,3 +125,43 @@ class TestSnapshotDiff:
 
         for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan):
             assert "text" not in m.group(0)
+
+    def test_randomized_vs_python_reference(self, spark):
+        """Seeded-random cross-check against an independent Python
+        reference: ids present on either side, every classification, and
+        the summary counts."""
+        import random
+
+        from scala_etl_test_spark.operators.integrity import snapshot_diff_summary
+
+        rng = random.Random(4177)
+        for _ in range(3):
+            ids = list(range(40))
+            old_rows = [
+                (i, f"t{rng.randint(0, 5)}", rng.choice(["web", "book"]))
+                for i in ids
+                if rng.random() < 0.8
+            ]
+            new_rows = [
+                (i, f"t{rng.randint(0, 5)}", rng.choice(["web", "book"]))
+                for i in ids
+                if rng.random() < 0.8
+            ]
+            om, nm = {r[0]: r[1:] for r in old_rows}, {r[0]: r[1:] for r in new_rows}
+            want = {}
+            for i in set(om) | set(nm):
+                if i not in om:
+                    want[i] = "added"
+                elif i not in nm:
+                    want[i] = "removed"
+                else:
+                    want[i] = "unchanged" if om[i] == nm[i] else "changed"
+            diff = self._diff(spark, old_rows, new_rows)
+            got = {r["doc_id"]: r["status"] for r in diff.collect()}
+            assert got == want
+            summary = {
+                r["status"]: r["n_docs"] for r in snapshot_diff_summary(diff).collect()
+            }
+            from collections import Counter
+
+            assert summary == dict(Counter(want.values()))

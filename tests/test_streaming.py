@@ -2059,3 +2059,54 @@ class TestIvfCellCompaction:
         assert gens2 == {"batch_id=2"}
         assert read_ivf_corpus(spark, d).count() == n_before
         assert self._probe_all(spark, d, emb) == before_probe
+
+
+def test_moments_lifecycle_through_real_stream(spark, sf_dir, tmp_path):
+    """End-to-end: a REAL availableNow stream maintains the moment store,
+    then the r10 lifecycle tail runs against what the stream wrote —
+    erase a cohort, compact, serve — and the matrix equals the batch
+    operator over the post-erasure survivors bit-identically."""
+    import os
+    import shutil as _sh
+    import time as _t
+
+    from scala_etl_test_spark.operators.similarity import embedding_covariance
+    from scala_etl_test_spark.streaming import (
+        compact_moments,
+        forget_from_moments,
+        read_covariance,
+        stream_covariance,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    src = tmp_path / "src"
+    src.mkdir()
+    base = _t.time() - 100
+    for k in range(2):
+        stage = tmp_path / f"_stage{k}"
+        emb.filter(F.col("vec_id") % 2 == k).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        dst = src / f"b{k}.parquet"
+        _sh.copy(next(stage.glob("part-*.parquet")), dst)
+        os.utime(dst, (base + k, base + k))
+    mdir = str(tmp_path / "moments")
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_covariance(sdf, mdir, str(tmp_path / "ck")).awaitTermination()
+
+    doomed = emb.filter(F.col("vec_id") % 5 == 0)
+    assert forget_from_moments(spark, mdir, doomed, erasure_id=0) == 0
+    assert compact_moments(spark, mdir) == 1
+    assert forget_from_moments(spark, mdir, doomed, erasure_id=0) is None  # tombstone
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"] for r in read_covariance(spark, mdir).collect()
+    }
+    want = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(emb.filter(F.col("vec_id") % 5 != 0)).collect()
+    }
+    assert got == want
