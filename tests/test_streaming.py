@@ -2110,3 +2110,23 @@ def test_moments_lifecycle_through_real_stream(spark, sf_dir, tmp_path):
         for r in embedding_covariance(emb.filter(F.col("vec_id") % 5 != 0)).collect()
     }
     assert got == want
+
+
+def test_moments_store_with_zero_contributing_vectors_serves_empty(spark, tmp_path):
+    """Edge pin: a store whose only committed batch carried NO
+    contributing vectors (all NULL/empty embeddings) has an EMPTY pair
+    table, so serving returns an empty matrix — no rows, no garbage, no
+    crash (AQE eliminates the n-guard join when the pair side is empty;
+    the n<=0 raise fires only when pair groups EXIST with nothing behind
+    them, i.e. the erased-to-zero store, pinned in
+    test_fully_erased_store_fails_loud). None stays reserved for
+    'nothing ever committed'."""
+    from scala_etl_test_spark.streaming import append_batch_moments, read_covariance
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [])], "vec_id long, embedding array<double>"
+    )
+    mdir = str(tmp_path / "moments")
+    assert append_batch_moments(spark, mdir, df, 0)  # commits, no crash
+    served = read_covariance(spark, mdir)
+    assert served is not None and served.count() == 0
