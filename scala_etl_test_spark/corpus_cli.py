@@ -22,6 +22,9 @@ Artifacts:
   merge table), ``tokenizer/tokens/`` (the CLEAN corpus encoded to
   subword tokens), ``tokenizer/packed/`` (tokens greedily packed into
   fixed-budget training sequences) — the train → encode → pack last mile.
+- with ``--pq-rotation-eval``: ``pq_rotation_eval/`` — the eigh-based PCA
+  rotation-vs-raw PQ/IVF-PQ recall A/B (4 rows), the non-SQL-replayable
+  twin of the registered pq_rotation_recall query.
 - with ``--prev-release <out_dir>``: ``release_diff/`` — per-doc
   added/removed/changed/unchanged vs that run's ``corpus_clean``
   (operators/integrity.py:snapshot_diff), the release note consumers
@@ -93,6 +96,14 @@ def main(argv: list[str] | None = None) -> None:
         "(vec_id aligned with doc_id)",
     )
     parser.add_argument(
+        "--pq-rotation-eval",
+        action="store_true",
+        help="write the eigh-based PCA rotation-vs-raw PQ/IVF-PQ recall A/B "
+        "({out}/pq_rotation_eval, 4 rows) over embeddings.parquet — the "
+        "non-SQL-replayable twin of the registered pq_rotation_recall "
+        "query, which uses the variance round-robin permutation",
+    )
+    parser.add_argument(
         "--prev-release",
         default=None,
         metavar="OUT_DIR",
@@ -113,17 +124,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     args = parser.parse_args(argv)
 
-    if args.ann_index is not None:
+    if args.ann_index is not None or args.pq_rotation_eval:
         # validate BEFORE the pipeline runs: failing K<1 or a missing
         # embeddings table after hours of dedup/CC/splits work is the worst
         # possible place (r9 review finding #7)
         import os as _os
 
-        if args.ann_index < 1:
+        if args.ann_index is not None and args.ann_index < 1:
             raise SystemExit("--ann-index must be >= 1")
         if not _os.path.exists(f"{args.data}/embeddings.parquet"):
+            flag = "--ann-index" if args.ann_index is not None else "--pq-rotation-eval"
             raise SystemExit(
-                f"--ann-index requires {args.data}/embeddings.parquet (vec_id "
+                f"{flag} requires {args.data}/embeddings.parquet (vec_id "
                 "aligned with doc_id); not found"
             )
 
@@ -273,6 +285,17 @@ def main(argv: list[str] | None = None) -> None:
         )
         _shutil.rmtree(f"{args.out}/ann_index", ignore_errors=True)
         init_ivf_index(spark, f"{args.out}/ann_index", live, n_centroids=args.ann_index)
+
+    if args.pq_rotation_eval:
+        # evaluation artifact, not a corpus derivative: measured over the
+        # FULL embeddings table (index-quality question: "should the next
+        # index build enable the rotation?"), independent of this run's
+        # quality/dedup gating
+        from scala_etl_test_spark.plans.queries_data import pca_rotation_recall_report
+
+        pca_rotation_recall_report(spark, args.data).write.mode("overwrite").parquet(
+            f"{args.out}/pq_rotation_eval"
+        )
 
     if args.release_report:
         # the document-corpus gates, from the SAME builder behind the

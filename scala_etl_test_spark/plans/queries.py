@@ -4277,74 +4277,71 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first ~50 registry entries in insertion order per round.  Round-9
-# priority (per VERDICT r8 item 1): (1) forget_from_ivf — added this
-# round, no driver row yet; (2) the 29 queries whose last driver gate is
-# r5 (3 rounds stale — the judge's hard requirement: all of them green
-# this round), in registry order; (3) the judge-named stalest-r6 entries
-# (dedup_prefix_jaccard, dedup_minhash_pairs, segmentation_rules,
-# validate_normalize, topk_customers), then further r6-gated entries in
-# registry order to fill the ~51 budget.  Everything gated green in
-# r7/r8 on unchanged code sorts last.  Staleness computed from
-# CORRECTNESS_r*.json (latest round containing each query name).
+# first ~50 registry entries in insertion order per round.  Round-11
+# priority (per VERDICT r10 items 1-2): (1) pq_rotation_recall — carries a
+# full DuckDB oracle for the first time this round (the variance
+# round-robin permutation replaced the non-replayable eigh rotation) and
+# has never scored green; (2) the 32 queries whose last green driver row
+# is r7 (3 rounds stale — the judge's hard requirement: none older than r8
+# after this round), in registry order; (3) the head of the r8-gated tier
+# in registry order to fill the ~50 budget (the remainder rotates in next
+# round).  Everything gated green in r9/r10 on unchanged code sorts last.
+# Staleness computed from CORRECTNESS_r*.json (latest round with a green
+# row for each query name).
 _GATE_PRIORITY: list[str] = [
-    # added this round (r10) — no driver row yet
+    # new full oracle this round — never green under the driver gate
     "pq_rotation_recall",
-    "release_diff",
-    # r6-stale tier — ALL 30 (VERDICT r9 item 1: the simhash/winnow/spans/
-    # containment dedup tier + the r1 relational tail), registry order;
-    # after this round no query's last driver gate is older than r7
-    "asof_last_purchase",
-    "customer_revenue_quartiles",
-    "dedup_containment",
-    "dedup_edit_distance",
-    "dedup_method_report",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "duplicate_span_stats",
-    "duplicate_spans",
-    "entity_resolution",
-    "events_cube",
-    "events_funnel",
-    "events_pivot",
-    "events_retention",
-    "events_rollup",
-    "events_user_gaps",
-    "grouping_sets_revenue",
-    "json_props_extract",
-    "lineitem_unpivot_measures",
-    "merge_upsert",
-    "range_join_session_errors",
-    "set_ops_customers",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q2",
-    "window_moving_avg",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    # r7-stale tier, registry order (fills the ~50 budget; the remainder
-    # of the r7 tier rotates in next round)
-    "scan_filter_project",
-    "union_positional",
-    "broadcast_left_join",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
-    "dedup_exact",
+    # r7-stale tier — ALL 32, registry order
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "docs_top_terms",
+    "stratified_sample",
+    "corpus_mixture",
+    "vocab_build",
+    "doc_fingerprint",
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "dedup_clusters",
+    "corpus_clean",
+    "dataset_split",
+    "profile_documents",
+    "repetition_metrics",
+    "pii_scan",
+    "decontaminate",
+    "pack_sequences",
+    "multimodal_features_long",
+    "embedding_centroids",
+    "tokenize_docs",
+    "model_scores",
+    "corpus_prepare",
+    "contrastive_negatives",
+    "semantic_dedup",
+    "semantic_dedup_greedy",
+    "label_spread",
+    # r8-stale tier head, registry order (fills the ~50 budget)
+    "split_explode",
+    "inner_join_using",
+    "window_sum",
+    "conditional_window_sum",
+    "dedup_first_order",
+    "groupby_count",
+    "quantiles_per_group",
+    "category_rules",
+    "events_hourly_anomaly",
+    "expect_orders",
+    "approx_distinct_users",
+    "approx_quantiles_events",
+    "heavy_hitters_cms",
+    "quantile_sketch_merge",
+    "corpus_release_report",
+    "events_drift_psi",
+    "sessions_max_concurrency",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

@@ -1710,21 +1710,82 @@ ORDER BY 1, 2
 """
 
 
-def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Evaluation-as-artifact (VERDICT r9 item 4): does the PCA rotation
-    actually improve PQ recall at an EQUAL code budget? The whiten-then-
-    index pins (tests/test_similarity.py) prove a full-rank rotation
-    preserves exact cosine top-k; this query measures the motivating
-    claim on the APPROXIMATE path: train the same (m=4, k=16) PQ codebook
-    on the raw corpus and on the rotated corpus, ADC-rank the same query
-    in each space, and report hits against the ONE exact ground truth
-    (brute cosine top-10 on the raw corpus — the rotation preserves it,
-    so both variants chase identical true neighbors).
+def variance_rr_permutation(
+    emb: DataFrame, d: int, m: int, vec_col: str = "embedding"
+) -> list[int]:
+    """Variance round-robin dimension permutation — the energy-balancing
+    step of parametric OPQ (Ge et al. 2013 §4 allocates PCA components to
+    subspaces balancing variance products; this applies the same
+    allocation rule directly to the input dimensions, skipping the basis
+    change): rank dimensions by variance descending and deal them
+    round-robin across the ``m`` PQ subspaces, so each subquantizer sees
+    an equal share of the corpus energy instead of whatever the raw
+    contiguous split happens to contain.
 
-    The delta is MEASURED, not assumed — PCA before PQ concentrates
-    variance into the leading subspaces, which the OPQ literature (Ge et
-    al. 2013) shows can help or hurt unrotated-split PQ depending on the
-    spectrum; a corpus owner reads this artifact before enabling the
+    Returns ``order`` with ``order[new_pos] = old_dim``. Deterministic and
+    engine-exact: per-dim variance is ranked on ``n·Σq² − (Σq)²`` where
+    ``q = round(x·10⁶)`` int64 (associative integer sums, the pq.SCALE
+    idiom), the products widened to DOUBLE only for the final comparison —
+    Spark and the DuckDB oracle land on the identical ranking, ties on the
+    smaller dim. The collect is d rows of driver-side model parameters
+    (like the PQ codebook), not a data collect; the stats aggregation is
+    one O(d)-per-row explode + hash agg on d keys."""
+    from scala_etl_test_spark.operators.pq import SCALE
+
+    stats = (
+        emb.select(
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col).cast("array<double>"),
+                    lambda x: F.round(x * SCALE, 0).cast("long"),
+                )
+            ).alias("dim", "q")
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if len(stats) != d:
+        raise ValueError(f"expected {d} dims, saw {len(stats)}")
+    ranked = sorted(
+        stats,
+        key=lambda r: (-(float(r["n"]) * float(r["ss"]) - float(r["s"]) * float(r["s"])), r["dim"]),
+    )
+    dsub = d // m
+    order = [0] * d
+    for r, row in enumerate(ranked):
+        order[(r % m) * dsub + r // m] = row["dim"]
+    return order
+
+
+def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-artifact (VERDICT r9 item 4): does an orthogonal
+    rotation of the corpus improve PQ recall at an EQUAL code budget?
+    Train the same (m=4, k=16) PQ codebook on the raw corpus and on the
+    rotated corpus, ADC-rank the same query in each space, and report
+    hits against the ONE exact ground truth (brute cosine top-10 on the
+    raw corpus — an orthogonal transform preserves cosine, so both
+    variants chase identical true neighbors).
+
+    The rotation (VERDICT r10 item 1(a): the round-9 eigh-based PCA
+    rotation was the registry's only entry without a DuckDB oracle; a
+    driver-side eigendecomposition is not SQL-replayable) is the
+    **variance round-robin permutation** of :func:`variance_rr_permutation`
+    — parametric OPQ's variance-balancing allocation applied as a pure
+    dimension permutation. A permutation matrix is exactly orthogonal, is
+    seeded from the already-oracle-checked covariance statistics (the
+    diagonal), and replays in SQL as a rank-over-variance + list reindex,
+    so this query carries a full value-hash oracle. The eigh-based PCA
+    A/B remains available as the ``--pq-rotation-eval`` corpus-CLI
+    artifact (cli.py), same shape, driver-side components.
+
+    The delta is MEASURED, not assumed — balancing per-subspace energy
+    can help or hurt unrotated-split PQ depending on the spectrum (Ge et
+    al. 2013); a corpus owner reads this artifact before enabling the
     rotation, exactly like ann_recall_report before trusting an index.
 
     Two serve paths per space, at identical budgets (r10 carry-forward
@@ -1735,13 +1796,7 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     or hurts most, the billion-vector serving shape of Jégou's IVFADC).
 
     Rows: (variant ∈ {raw, rotated}, path ∈ {adc, ivfpq}, k, n_hits,
-    recall). Deterministic — stride codebooks/centroids, sign-pinned
-    eigenvectors, fixed query — but NOT SQL-expressible: the components
-    come from an eigendecomposition of the covariance matrix
-    (driver-side d×d model-parameter work,
-    operators/similarity.py:pca_components_from_cov), which no recursive
-    CTE reasonably replays. Registered as the documented rows-only entry
-    (tests/test_entry_contract.py:ROWS_ONLY_QUERIES).
+    recall).
     """
     from scala_etl_test_spark.operators.pq import (
         ivf_pq_topk,
@@ -1752,20 +1807,45 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k, n_cells, nprobe = 10, 4, 2
     # persisted: the query runs many actions over the same small table
-    # (query fetch, covariance, codebook/centroid seeds per space, brute
-    # truth, two ADC scans, two probed scans) — without it each re-reads
-    # and re-decodes the parquet
+    # (query fetch, variance stats, codebook/centroid seeds per space,
+    # brute truth, two ADC scans, two probed scans) — without it each
+    # re-reads and re-decodes the parquet
     emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
     query_raw = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
     d = len(query_raw)
-    comps = S.pca_components_from_cov(S.embedding_covariance(emb), d=d, k=d)
-    rotated = S.project_to_components(emb, comps).select(
-        "vec_id", F.col("projected").alias("embedding")
+    order = variance_rr_permutation(emb, d, _PQ_M)
+    v = F.col("embedding").cast("array<double>")
+    # row-local reindex — a permutation "matmul" is d getItems, no shuffle
+    rotated = emb.select("vec_id", F.array(*[v[i] for i in order]).alias("embedding"))
+    query_rot = [query_raw[i] for i in order]
+    return _pq_rotation_ab(emb, query_raw, rotated, query_rot, k, n_cells, nprobe)
+
+
+def _pq_rotation_ab(
+    emb: DataFrame,
+    query_raw: list[float],
+    rotated: DataFrame,
+    query_rot: list[float],
+    k: int,
+    n_cells: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared rotation-A/B harness: equal-budget PQ (ADC full scan) and
+    IVF-PQ (probed) recall of the raw vs rotated space against the single
+    raw-space brute-cosine truth. Used by the registered
+    :func:`q_pq_rotation_recall` (permutation rotation, full oracle) and
+    the CLI's eigh-based PCA rotation artifact
+    (:func:`pca_rotation_recall_report`)."""
+    from scala_etl_test_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebook,
     )
-    query_rot = [sum(a * b for a, b in zip(query_raw, c)) for c in comps]
+
     truth = S.cosine_topk(emb, query_raw, k=k).select("vec_id")
 
     def _recall_row(variant: str, path: str, got) -> DataFrame:
@@ -1790,6 +1870,30 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("variant", "path")
+
+
+def pca_rotation_recall_report(spark: SparkSession, data_dir: str) -> DataFrame:
+    """The eigh-based PCA rotation A/B, as a corpus-CLI evaluation artifact
+    (``--pq-rotation-eval``; VERDICT r10 item 1 — a driver-side
+    eigendecomposition is not SQL-replayable, so this variant lives outside
+    the oracle-gated registry, like ``--ann-index``). Same shape and
+    budgets as the registered q_pq_rotation_recall; the rotation is the
+    full-rank PCA basis (sign-pinned eigenvectors of the exact distributed
+    covariance), whose top-k preservation is pinned in
+    tests/test_similarity.py."""
+    k, n_cells, nprobe = 10, 4, 2
+    emb = _t(spark, data_dir, "embeddings").transform(tracked_persist)
+    query_raw = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    d = len(query_raw)
+    comps = S.pca_components_from_cov(S.embedding_covariance(emb), d=d, k=d)
+    rotated = S.project_to_components(emb, comps).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    query_rot = [sum(a * b for a, b in zip(query_raw, c)) for c in comps]
+    return _pq_rotation_ab(emb, query_raw, rotated, query_rot, k, n_cells, nprobe)
 
 
 # --------------------------------------------------------------------------
@@ -3475,6 +3579,155 @@ LIMIT 10
 )
 
 
+def _pq_recall_variant_sql(pre: str, corpus: str, n_cells: int, nprobe: int) -> str:
+    """Per-variant CTE block for SQL_PQ_ROTATION_RECALL: replay the full
+    PQ pipeline (quantize → codebook from the shared first-K seeds → codes
+    → query distance table → ADC top-10) plus the probed IVF-PQ path
+    (first-``n_cells`` centroids IN this space, float-cosine argmax
+    assignment, top-``nprobe`` probe) over the ``corpus`` CTE. Mirrors
+    _PQ_SQL_COMMON / SQL_ANN_IVFPQ_TOPK with every intermediate prefixed
+    so the raw and rotated spaces coexist in one statement."""
+    cos_ec = _COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos_cq = _COS_SQL.format(a="cvec", b="q0.qv0")
+    return f"""
+{pre}quant AS (
+  SELECT vec_id, sub_idx,
+         list_transform(
+           embedding[(sub_idx * dsub + 1):((sub_idx + 1) * dsub)],
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vq
+  FROM {corpus}, subs, params
+),
+{pre}cb AS (
+  SELECT q.sub_idx, s.code, q.vq AS cw
+  FROM {pre}quant q JOIN seeds s ON q.vec_id = s.vec_id
+),
+{pre}codes AS (
+  SELECT vec_id, sub_idx, code
+  FROM (SELECT q.vec_id, q.sub_idx, c.code,
+               row_number() OVER (PARTITION BY q.vec_id, q.sub_idx
+                 ORDER BY list_sum(list_transform(range(1, len(q.vq) + 1),
+                          i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))), c.code) AS rn
+        FROM {pre}quant q JOIN {pre}cb c ON q.sub_idx = c.sub_idx)
+  WHERE rn = 1
+),
+{pre}dtab AS (
+  SELECT c.sub_idx, c.code,
+         list_sum(list_transform(range(1, len(q.vq) + 1),
+                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+  FROM {pre}cb c JOIN (SELECT sub_idx, vq FROM {pre}quant WHERE vec_id = 0) q
+    ON c.sub_idx = q.sub_idx
+),
+{pre}adc AS (
+  SELECT k.vec_id
+  FROM {pre}codes k JOIN {pre}dtab d ON k.sub_idx = d.sub_idx AND k.code = d.code
+  GROUP BY k.vec_id
+  ORDER BY SUM(d.dist), k.vec_id
+  LIMIT 10
+),
+{pre}q0 AS (SELECT embedding AS qv0 FROM {corpus} WHERE vec_id = 0),
+{pre}cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM {corpus} ORDER BY vec_id LIMIT {n_cells}
+),
+{pre}assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rn
+    FROM {corpus} e CROSS JOIN {pre}cent c
+  ) WHERE rn = 1
+),
+{pre}probe AS (
+  SELECT centroid_id AS cluster_id FROM {pre}cent, {pre}q0 q0
+  ORDER BY {cos_cq} DESC, centroid_id ASC
+  LIMIT {nprobe}
+),
+{pre}ivfpq AS (
+  SELECT k.vec_id
+  FROM {pre}codes k
+  JOIN {pre}assign a ON k.vec_id = a.vec_id
+  JOIN {pre}probe p ON a.cluster_id = p.cluster_id
+  JOIN {pre}dtab d ON k.sub_idx = d.sub_idx AND k.code = d.code
+  GROUP BY k.vec_id
+  ORDER BY SUM(d.dist), k.vec_id
+  LIMIT 10
+)"""
+
+
+def _pq_recall_row_sql(variant: str, path: str, topk: str) -> str:
+    return f"""
+  SELECT '{variant}' AS variant, '{path}' AS path, CAST(10 AS INT) AS k,
+         COUNT(*) AS n_hits, round(COUNT(*) / 10.0, 6) AS recall
+  FROM truth t JOIN {topk} g ON t.vec_id = g.vec_id"""
+
+
+# Full-oracle twin of q_pq_rotation_recall (VERDICT r10 item 1(a)): the
+# variance round-robin permutation is replayed from the same exact int64
+# moment sums (rank on n·Σq² − (Σq)² widened to DOUBLE, ties on dim), the
+# rotated corpus is a list reindex, and both spaces run the identical
+# PQ/IVF-PQ replay as SQL_ANN_PQ_TOPK / SQL_ANN_IVFPQ_TOPK against the one
+# raw-space brute-cosine truth.
+SQL_PQ_ROTATION_RECALL = (
+    f"""
+WITH params AS (SELECT len(embedding) // {_PQ_M} AS dsub FROM embeddings LIMIT 1),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub_idx),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+qd AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) AS ix
+),
+vstat AS (
+  SELECT dim, SUM(q) AS s, SUM(q * q) AS ss, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qd GROUP BY 1
+),
+ranked AS (
+  SELECT dim,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) DESC,
+                    dim) - 1 AS r
+  FROM vstat
+),
+pvec AS (
+  SELECT list(dim ORDER BY (r % {_PQ_M}) * dsub + r // {_PQ_M}) AS p
+  FROM ranked, params
+),
+rot AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding) + 1),
+                        i -> e.embedding[pv.p[i] + 1]) AS embedding
+  FROM embeddings e, pvec pv
+),
+q0raw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+truth AS (
+  SELECT e.vec_id
+  FROM embeddings e, q0raw q
+  ORDER BY round({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) DESC, e.vec_id
+  LIMIT 10
+),"""
+    + _pq_recall_variant_sql("raw_", "embeddings", 4, 2)
+    + ","
+    + _pq_recall_variant_sql("rot_", "rot", 4, 2)
+    + f"""
+SELECT * FROM (
+{_pq_recall_row_sql("raw", "adc", "raw_adc")}
+  UNION ALL
+{_pq_recall_row_sql("raw", "ivfpq", "raw_ivfpq")}
+  UNION ALL
+{_pq_recall_row_sql("rotated", "adc", "rot_adc")}
+  UNION ALL
+{_pq_recall_row_sql("rotated", "ivfpq", "rot_ivfpq")}
+)
+ORDER BY variant, path
+"""
+)
+
+
 def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVFADC (operators/pq.py:residual_pq_encode /
     ivf_pq_residual_topk): PQ codes of x − c(x) with a per-probed-cell
@@ -4433,5 +4686,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "lsh_recall_audit": _lsh_recall_sql(),
     "shard_manifest": SQL_SHARD_MANIFEST,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "pq_rotation_recall": SQL_PQ_ROTATION_RECALL,
     "release_diff": SQL_RELEASE_DIFF,
 }

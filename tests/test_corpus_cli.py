@@ -209,3 +209,37 @@ def test_corpus_cli_prev_release_diff(spark, sf_dir, tmp_path):
     assert got.get("unchanged", 0) == n2
     assert "added" not in got and "changed" not in got
     assert diff.count() == n1
+
+
+def test_corpus_cli_pq_rotation_eval_artifact(spark, sf_dir, tmp_path):
+    """--pq-rotation-eval: the eigh-based PCA rotation A/B (the
+    non-SQL-replayable twin of the registered pq_rotation_recall query)
+    ships as a 4-row artifact with the same shape and invariants."""
+    out = str(tmp_path / "corpus_rot")
+    main(["--data", sf_dir, "--out", out, "--pq-rotation-eval"])
+
+    rows = [tuple(r) for r in spark.read.parquet(f"{out}/pq_rotation_eval")
+            .orderBy("variant", "path").collect()]
+    assert [(r[0], r[1]) for r in rows] == [
+        ("raw", "adc"), ("raw", "ivfpq"), ("rotated", "adc"), ("rotated", "ivfpq"),
+    ]
+    by_key = {}
+    for variant, path, k, n_hits, recall in rows:
+        assert k == 10 and 0 <= n_hits <= k and recall == round(n_hits / k, 6)
+        by_key[(variant, path)] = n_hits
+    # probing can only LOSE hits vs the full ADC scan of the same codes
+    for variant in ("raw", "rotated"):
+        assert by_key[(variant, "ivfpq")] <= by_key[(variant, "adc")]
+
+
+def test_corpus_cli_pq_rotation_eval_requires_embeddings(tmp_path, sf_dir):
+    """The embeddings precondition fails BEFORE any pipeline work."""
+    import shutil
+
+    import pytest
+
+    data = str(tmp_path / "docs_only")
+    (tmp_path / "docs_only").mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{data}/documents.parquet")
+    with pytest.raises(SystemExit, match="pq-rotation-eval requires"):
+        main(["--data", data, "--out", str(tmp_path / "o"), "--pq-rotation-eval"])

@@ -36,15 +36,14 @@ def test_entry_runs_with_stable_schema(contract, spark):
 # Queries the driver checks rows-only (NO DuckDB oracle), each with the
 # reason SQL cannot express it. Keep this list at exactly the genuinely
 # non-SQL-expressible surface — the round-3 standard (every query carries a
-# full oracle) still holds for everything else, and additions here need the
-# same scrutiny as a PLANBUILD_JOB_ALLOWLIST entry.
-ROWS_ONLY_QUERIES = {
-    "pq_rotation_recall": "PCA components come from a driver-side "
-    "eigendecomposition of the covariance matrix (numpy eigh on d×d model "
-    "parameters) — no reasonable SQL replay; the covariance INPUT is "
-    "oracle-checked by embedding_covariance, and the rotation's top-k "
-    "preservation is pinned in tests/test_similarity.py",
-}
+# full oracle) holds for everything else, and additions here need the same
+# scrutiny as a PLANBUILD_JOB_ALLOWLIST entry. Empty since r11: the driver
+# gate does not honor a rows-only fallback (it scores `err: no_oracle`, the
+# one red row of CORRECTNESS_r10), so pq_rotation_recall's eigh rotation was
+# replaced by the SQL-replayable variance round-robin permutation (VERDICT
+# r10 item 1(a)) and the eigh A/B moved to the --pq-rotation-eval CLI
+# artifact.
+ROWS_ONLY_QUERIES: dict[str, str] = {}
 
 
 def test_contract_shapes(contract):

@@ -282,7 +282,9 @@ class TestPqRotationRecall:
 
         a = [tuple(r) for r in q_pq_rotation_recall(spark, sf_dir).collect()]
         b = [tuple(r) for r in q_pq_rotation_recall(spark, sf_dir).collect()]
-        assert a == b  # stride codebook/centroids + sign-pinned eigh: no flakiness
+        # stride codebook/centroids + integer-exact variance permutation:
+        # no flakiness
+        assert a == b
         assert [(r[0], r[1]) for r in a] == [
             ("raw", "adc"),
             ("raw", "ivfpq"),
@@ -300,11 +302,48 @@ class TestPqRotationRecall:
         for variant in ("raw", "rotated"):
             assert by_key[(variant, "ivfpq")] <= by_key[(variant, "adc")]
 
+    def test_permutation_is_valid_and_energy_balancing(self, spark, sf_dir):
+        """The registered rotation (variance_rr_permutation) is a true
+        permutation of range(d), and it deals the top-m-variance dims one
+        per subspace — the parametric-OPQ balancing property the query's
+        A/B measures."""
+        from scala_etl_test_spark.operators.pq import SCALE
+        from scala_etl_test_spark.plans.queries_data import (
+            _PQ_M,
+            variance_rr_permutation,
+        )
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        d = len(emb.select("embedding").first()[0])
+        order = variance_rr_permutation(emb, d, _PQ_M)
+        assert sorted(order) == list(range(d))
+        # replay the ranking in pandas and check the round-robin layout
+        pdf = emb.select("embedding").toPandas()
+        import numpy as np
+
+        q = np.round(np.stack(pdf["embedding"].to_numpy()) * SCALE)
+        n = q.shape[0]
+        score = n * (q * q).sum(axis=0) - q.sum(axis=0) ** 2
+        ranked = sorted(range(d), key=lambda i: (-score[i], i))
+        dsub = d // _PQ_M
+        expect = [0] * d
+        for r, dim in enumerate(ranked):
+            expect[(r % _PQ_M) * dsub + r // _PQ_M] = dim
+        assert order == expect
+        # each subspace holds exactly one of the top-m variance dims
+        for s in range(_PQ_M):
+            sub = set(order[s * dsub : (s + 1) * dsub])
+            assert len(sub & set(ranked[:_PQ_M])) == 1
+
     def test_truth_is_rotation_invariant(self, spark, sf_dir):
         """The single ground truth both variants chase: brute cosine top-k
         over the ROTATED corpus returns the same ids as over the raw one
         (full-rank rotation preserves cosine) — so scoring both variants
-        against the raw-corpus truth is fair."""
+        against the raw-corpus truth is fair. Pins the eigh-based PCA
+        rotation now served by the --pq-rotation-eval CLI artifact
+        (pca_rotation_recall_report); the registered query's permutation
+        rotation preserves cosine exactly by construction."""
         from scala_etl_test_spark.operators import similarity as S
         from scala_etl_test_spark.sources.parquet_source import read_table
 
