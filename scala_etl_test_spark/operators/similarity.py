@@ -940,7 +940,19 @@ def erasure_audit_status(
         request_id = nxt - 1
     audit = spark.read.parquet(_erasure_audit_path(corpus_path, request_id))
     cells = [r[cluster_col] for r in audit.select(cluster_col).collect()]
-    try:
+    # "all live counts are zero" is claimed ONLY for the one state that
+    # legitimately produces it: every cell directory deleted (fully-erased
+    # corpus), which Spark reports as an empty/missing path. Any other
+    # read failure (permissions, corrupt footer, transient FS error) must
+    # propagate — an audit tool that maps infrastructure errors to
+    # "applied" misreports the thing it exists to diagnose (ADVICE r10).
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(corpus_path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    has_data = fs.exists(jvm_path) and any(
+        not f.getPath().getName().startswith(("_", "."))
+        for f in fs.listStatus(jvm_path)
+    )
+    if has_data:
         live = (
             spark.read.parquet(corpus_path)
             .filter(F.col(cluster_col).isin(cells))
@@ -948,9 +960,7 @@ def erasure_audit_status(
             .agg(F.count(F.lit(1)).alias("rows_actual"))
         )
         joined = audit.join(F.broadcast(live), on=cluster_col, how="left")
-    except Exception:
-        # every cell directory was deleted (fully-erased corpus): nothing
-        # to read ⇒ all live counts are zero
+    else:
         joined = audit.withColumn("rows_actual", F.lit(None).cast("long"))
     return joined.select(
         cluster_col,

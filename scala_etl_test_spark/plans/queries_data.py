@@ -1662,7 +1662,11 @@ WITH b AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN o.text = n.text AND o.source = n.source THEN 'unchanged'
+              -- null-safe compare (ADVICE r10): the Spark path digests
+              -- NULLs via NULL_SENTINEL, so NULL == NULL is 'unchanged';
+              -- plain equality would call it 'changed' on any NULL side
+              WHEN o.text IS NOT DISTINCT FROM n.text
+                   AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
               ELSE 'changed' END AS status
   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 )

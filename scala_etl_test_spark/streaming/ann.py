@@ -45,6 +45,16 @@ import pathlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from scala_etl_test_spark.streaming.compaction import (
+    compaction_watermark,
+    collapse_stream_markers,
+    finish_cell_swap as _finish_cell_swap,
+    finish_pending_cell_swaps,
+    marker_ids,
+    marker_path,
+    write_watermark,
+)
+
 
 def _centroids_dir(index_dir: str) -> str:
     return str(pathlib.Path(index_dir) / "centroids")
@@ -55,27 +65,15 @@ def _corpus_dir(index_dir: str) -> str:
 
 
 def _marker(index_dir: str, batch_id: int) -> pathlib.Path:
-    return pathlib.Path(index_dir) / "_APPENDLOG" / f"batch_id={batch_id}"
+    return marker_path(index_dir, batch_id)
 
 
 def _marker_ids(index_dir: str) -> list[int]:
-    log = pathlib.Path(index_dir) / "_APPENDLOG"
-    if not log.is_dir():
-        return []
-    return sorted(
-        int(p.name.split("=", 1)[1]) for p in log.glob("batch_id=*") if p.is_dir()
-    )
+    return marker_ids(index_dir)
 
 
 def _compaction_watermark(index_dir: str) -> int | None:
-    """Highest ``_COMPACTLOG/upto=N``: every batch_id ≤ N is committed
-    (its per-batch marker may have been collapsed by
-    :func:`compact_ivf_index`)."""
-    log = pathlib.Path(index_dir) / "_COMPACTLOG"
-    if not log.is_dir():
-        return None
-    ids = [int(p.name.split("=", 1)[1]) for p in log.glob("upto=*") if p.is_dir()]
-    return max(ids) if ids else None
+    return compaction_watermark(index_dir)
 
 
 def _committed_filter(index_dir: str):
@@ -125,6 +123,13 @@ def read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def read_ivf_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read the cell-partitioned corpus — after finishing any per-cell
+    compaction swap a crash left staged (ADVICE r10: a cell mid-swap holds
+    its committed rows in an invisible ``_merged_hi_N`` dir; without this
+    heal, serving under-counts that cell indefinitely, since only the next
+    compaction call would otherwise run the recovery pass). One glob when
+    nothing is pending."""
+    finish_pending_cell_swaps(pathlib.Path(_corpus_dir(index_dir)))
     return spark.read.parquet(_corpus_dir(index_dir))
 
 
@@ -291,36 +296,9 @@ def compact_ivf_index(spark: SparkSession, index_dir: str) -> int | None:
 
     compact_ivf_cells(spark, index_dir, min_generations=2)
 
-    wmark = pathlib.Path(index_dir) / "_COMPACTLOG" / f"upto={hi}"
-    wmark.mkdir(parents=True, exist_ok=True)
-    for b in sorted(markers):
-        if b <= hi:
-            shutil.rmtree(_marker(index_dir, b), ignore_errors=True)
-    clog = pathlib.Path(index_dir) / "_COMPACTLOG"
-    for p in clog.glob("upto=*"):
-        if int(p.name.split("=", 1)[1]) < hi:
-            shutil.rmtree(p, ignore_errors=True)
+    write_watermark(index_dir, hi)
+    collapse_stream_markers(index_dir, hi)
     return hi
-
-
-def _finish_cell_swap(cell_dir: "pathlib.Path") -> None:
-    """Complete a (possibly interrupted) per-cell swap: with the merged
-    generation sitting INVISIBLY inside the cell as ``_merged_hi_N``
-    (underscore ⇒ parquet readers skip it), delete every generation dir
-    ≤ N — committed generations are all in the merge; an uncommitted
-    orphan ≤ N is garbage a replay would wipe anyway — then rename the
-    merge to ``batch_id=N``. Each step is idempotent, so a crash at any
-    point is healed by re-running."""
-    import shutil
-
-    merged = next(iter(cell_dir.glob("_merged_hi_*")), None)
-    if merged is None:
-        return
-    hi = int(merged.name.rsplit("_", 1)[1])
-    for gen in cell_dir.glob("batch_id=*"):
-        if int(gen.name.split("=", 1)[1]) <= hi:
-            shutil.rmtree(gen, ignore_errors=True)
-    merged.rename(cell_dir / f"batch_id={hi}")
 
 
 def compact_ivf_cells(
@@ -353,8 +331,8 @@ def compact_ivf_cells(
     if not corpus.is_dir():
         return {}
     # recovery pass: finish any swap a crashed previous run left behind
-    for cell_dir in corpus.glob("cluster_id=*"):
-        _finish_cell_swap(cell_dir)
+    # (the serve path runs the same sweep — streaming/compaction.py)
+    finish_pending_cell_swaps(corpus)
 
     markers = set(_marker_ids(index_dir))
     wm = _compaction_watermark(index_dir)

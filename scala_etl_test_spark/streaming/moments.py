@@ -66,6 +66,14 @@ from scala_etl_test_spark.operators.similarity import (
     quantized_base,
     second_moments,
 )
+from scala_etl_test_spark.streaming.compaction import (
+    compaction_watermark,
+    collapse_stream_markers,
+    heal_interrupted_swap,
+    marker_ids,
+    marker_path,
+    write_watermark,
+)
 
 MOMENTS_SCALE = 1_000_000
 
@@ -74,27 +82,35 @@ def _partials_dir(moments_dir: str) -> str:
     return f"{moments_dir}/partials"
 
 
-def _marker(moments_dir: str, batch_id: int) -> pathlib.Path:
-    return pathlib.Path(moments_dir) / "_APPENDLOG" / f"batch_id={batch_id}"
-
-
-def _marker_ids(moments_dir: str) -> list[int]:
-    log = pathlib.Path(moments_dir) / "_APPENDLOG"
-    if not log.is_dir():
-        return []
-    return sorted(
-        int(p.name.split("=", 1)[1]) for p in log.glob("batch_id=*") if p.is_dir()
+def _swap_paths(moments_dir: str) -> tuple[pathlib.Path, pathlib.Path, pathlib.Path]:
+    """(live, tmp, retired) of the staged whole-dir compaction swap."""
+    base = pathlib.Path(moments_dir)
+    return (
+        pathlib.Path(_partials_dir(moments_dir)),
+        base / "partials_compacting",
+        base / "partials_retired",
     )
 
 
+def _heal(moments_dir: str) -> None:
+    """Finish any compaction swap a crash left half-done — run before
+    EVERY read or append (streaming/compaction.py module docstring /
+    ADVICE r10: an append that re-creates the live dir mid-swap makes
+    serving silently drop all pre-compaction moments, and the next
+    compaction then deletes the only surviving copies)."""
+    heal_interrupted_swap(*_swap_paths(moments_dir))
+
+
+def _marker(moments_dir: str, batch_id: int) -> pathlib.Path:
+    return marker_path(moments_dir, batch_id)
+
+
+def _marker_ids(moments_dir: str) -> list[int]:
+    return marker_ids(moments_dir)
+
+
 def _compaction_watermark(moments_dir: str) -> int | None:
-    """Highest ``_COMPACTLOG/upto=N``: every batch_id ≤ N is committed (its
-    per-batch marker may have been collapsed by :func:`compact_moments`)."""
-    log = pathlib.Path(moments_dir) / "_COMPACTLOG"
-    if not log.is_dir():
-        return None
-    ids = [int(p.name.split("=", 1)[1]) for p in log.glob("upto=*") if p.is_dir()]
-    return max(ids) if ids else None
+    return compaction_watermark(moments_dir)
 
 
 def _committed_filter(moments_dir: str):
@@ -181,8 +197,12 @@ def append_batch_moments(
 
 
 def _append_partials(partials: DataFrame, moments_dir: str, batch_id: int) -> None:
-    """Shared append body (stream batches and erasure batches): wipe
-    crashed remnants, write under ``batch_id=N``, THEN mark committed."""
+    """Shared append body (stream batches and erasure batches): finish any
+    half-done compaction swap (the parquet append would otherwise
+    re-create the live dir and orphan all pre-compaction moments — ADVICE
+    r10), wipe crashed remnants, write under ``batch_id=N``, THEN mark
+    committed."""
+    _heal(moments_dir)
     leftover = pathlib.Path(_partials_dir(moments_dir)) / f"batch_id={batch_id}"
     shutil.rmtree(leftover, ignore_errors=True)
     (
@@ -286,6 +306,11 @@ def read_covariance(
     the exactly-once/bit-identity contract breaks during that window.
     Raises at action time if committed batches disagree on embedding
     width (the ``kind='d'`` sentinel — module docstring)."""
+    # serve-path recovery first: a half-done compaction swap leaves the
+    # committed spine under partials_compacting/partials_retired — reading
+    # without healing would serve None (or a post-crash fragment) while
+    # markers and watermark still claim the data committed (ADVICE r10)
+    _heal(moments_dir)
     pdir = _partials_dir(moments_dir)
     # never-written store → None; a CORRUPT store must raise, not read as
     # "no data" (a broad except here would silently serve an empty matrix)
@@ -372,20 +397,14 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     Returns the new watermark, or None when there is nothing to compact
     (fewer than two committed batches on disk).
     """
-    pdir = pathlib.Path(_partials_dir(moments_dir))
-    tmp = pathlib.Path(moments_dir) / "partials_compacting"
-    retired = pathlib.Path(moments_dir) / "partials_retired"
+    pdir, tmp, retired = _swap_paths(moments_dir)
     # crash recovery: a previous run that died mid-swap left the live dir
-    # renamed away — finish the swap before anything else (no data was
-    # ever lost: the merged tmp and/or the retired dir still hold it)
+    # renamed away (or a later append re-created it) — finish the swap
+    # before anything else; the shared heal only drops the retired copy
+    # after the merge is confirmed live (streaming/compaction.py)
+    _heal(moments_dir)
     if not pdir.is_dir():
-        if tmp.is_dir() and _compaction_watermark(moments_dir) is not None:
-            tmp.rename(pdir)
-        elif retired.is_dir():
-            retired.rename(pdir)
-        else:
-            return None
-    shutil.rmtree(retired, ignore_errors=True)
+        return None
     markers = set(_marker_ids(moments_dir))
     wm = _compaction_watermark(moments_dir)
     on_disk = {
@@ -419,11 +438,10 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     )
     # watermark BEFORE the swap: if we crash mid-swap, every committed
     # batch is still readable (either its old dir or the merged one) and
-    # still counted committed; a re-run converges
-    wmark = pathlib.Path(moments_dir) / "_COMPACTLOG" / f"upto={hi}"
-    wmark.mkdir(parents=True, exist_ok=True)
-    # swap via retire-then-rename so no crash window loses data (the
-    # recovery block at the top finishes an interrupted swap)
+    # still counted committed; a re-run (or the heal on the next
+    # read/append) converges
+    write_watermark(moments_dir, hi)
+    # swap via retire-then-rename so no crash window loses data
     pdir.rename(retired)
     tmp.rename(pdir)
     shutil.rmtree(retired, ignore_errors=True)
@@ -431,11 +449,5 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     # takes over for them) and older watermarks. Erasure markers (negative
     # ids) are KEPT as tombstones — their partials merged into the hi dir,
     # but a caller retrying the same erasure_id must still see a no-op.
-    for b in sorted(markers):
-        if 0 <= b <= hi:
-            shutil.rmtree(_marker(moments_dir, b), ignore_errors=True)
-    clog = pathlib.Path(moments_dir) / "_COMPACTLOG"
-    for p in clog.glob("upto=*"):
-        if int(p.name.split("=", 1)[1]) < hi:
-            shutil.rmtree(p, ignore_errors=True)
+    collapse_stream_markers(moments_dir, hi, keep_negative=True)
     return hi

@@ -165,3 +165,35 @@ class TestSnapshotDiff:
             from collections import Counter
 
             assert summary == dict(Counter(want.values()))
+
+
+def test_release_diff_oracle_null_parity(spark, tmp_path):
+    """ADVICE r10: the release_diff DuckDB oracle classified with
+    null-unsafe equality (NULL text ⇒ 'changed') while the Spark path
+    digests NULLs via NULL_SENTINEL (NULL vs NULL ⇒ 'unchanged') — latent
+    because the driver's testdata has no NULLs. Pin the agreement on a
+    documents table that DOES carry NULL text and NULL source."""
+    import duckdb
+
+    from scala_etl_test_spark.plans.queries_data import SQL_RELEASE_DIFF, q_release_diff
+
+    rows = [
+        (i, None if i % 4 == 0 else f"text {i} aa", None if i % 5 == 0 else "web")
+        for i in range(80)
+    ]
+    data = tmp_path / "nulls"
+    spark.createDataFrame(rows, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.parquet(str(data / "documents.parquet"))
+
+    got = {r["status"]: r["n_docs"] for r in q_release_diff(spark, str(data)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{data}/documents.parquet/*.parquet')"
+    )
+    want = dict(con.execute(SQL_RELEASE_DIFF).fetchall())
+    assert got == want
+    # the NULL rows really exercise the null-safe branch: docs with NULL
+    # text outside the added/removed/edited buckets must be 'unchanged'
+    assert got.get("unchanged", 0) > 0

@@ -895,3 +895,29 @@ class TestErasureAuditTrail:
     def test_no_audit_raises(self, spark, corpus):
         with pytest.raises(ValueError, match="no _ERASURE_AUDIT"):
             S.erasure_audit_status(spark, corpus)
+
+    def test_fully_erased_corpus_reports_zero_live(self, spark, corpus):
+        """Erasing EVERY cell leaves no data files at all — the one state
+        where 'all live counts are zero' is the truth, not a guess."""
+        live = spark.read.parquet(corpus)
+        S.forget_from_ivf(spark, corpus, live.select("vec_id")).collect()
+        status = {r["cluster_id"]: r for r in S.erasure_audit_status(spark, corpus).collect()}
+        assert status and all(r["status"] == "applied" for r in status.values())
+        assert all(r["rows_actual"] == 0 for r in status.values())
+
+    def test_corrupt_corpus_raises_instead_of_misreporting(self, spark, corpus):
+        """ADVICE r10: an unreadable corpus (corrupt footer here; same for
+        permissions or transient FS errors) must PROPAGATE — the audit
+        tool exists to diagnose crashes, so mapping infrastructure
+        failures to 'all cells applied' misreports the one thing it is
+        for. Only the fully-erased (path empty) state may read as zero."""
+        import pathlib
+
+        doomed = self._doom_two_cells(spark, corpus)
+        S.forget_from_ivf(spark, corpus, doomed).collect()
+        # corrupt a file inside an AUDITED cell — partition pruning keeps
+        # unaudited cells out of the status scan, so only these are read
+        part = next(pathlib.Path(corpus).glob("cluster_id=1/part-*.parquet"))
+        part.write_bytes(b"not a parquet file")
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            S.erasure_audit_status(spark, corpus).collect()

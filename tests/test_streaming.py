@@ -1695,6 +1695,106 @@ class TestMomentsCompaction:
         assert compact_moments(spark, mdir) is None  # recovery path, 1 batch dir left
         assert self._cov(spark, mdir) == before
 
+    def _manufacture_mid_swap_crash(self, spark, sf_dir, tmp_path):
+        """Freeze a moments store at the exact compact_moments crash
+        window the ADVICE r10 data-loss sequence starts from: watermark
+        landed, live spine renamed to retired, merged tmp never renamed
+        in. Returns (mdir, emb); batches 0 and 1 (vec_id % 3 == 0/1) are
+        committed, batch 2's slice is still unstreamed."""
+        import pathlib
+        import shutil as _sh
+
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+        from scala_etl_test_spark.streaming.moments import _partials_dir
+
+        emb = self._emb(spark, sf_dir)
+        mdir = str(tmp_path / "moments")
+        for k in range(2):
+            assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == k), k)
+        pdir = pathlib.Path(_partials_dir(mdir))
+        saved = tmp_path / "saved_spine"
+        _sh.copytree(pdir, saved)
+        assert compact_moments(spark, mdir) == 1
+        # rewind to the crash window: merged spine → tmp, old spine → retired
+        pdir.rename(pathlib.Path(mdir) / "partials_compacting")
+        saved.rename(pathlib.Path(mdir) / "partials_retired")
+        return mdir, emb
+
+    def test_append_after_mid_swap_crash_heals(self, spark, sf_dir, tmp_path):
+        """THE ADVICE r10 medium sequence: a restarted stream appends
+        BEFORE anyone re-runs compaction. Pre-fix, the parquet append
+        re-created the live dir with only the new batch — serving silently
+        dropped all pre-compaction moments while markers/watermark still
+        claimed them committed, and the NEXT compact_moments then deleted
+        partials_retired/partials_compacting (the only surviving copies).
+        The append path now finishes the swap first."""
+        import pathlib
+
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming import append_batch_moments, compact_moments
+
+        mdir, emb = self._manufacture_mid_swap_crash(spark, sf_dir, tmp_path)
+        assert append_batch_moments(spark, mdir, emb.filter(F.col("vec_id") % 3 == 2), 2)
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert self._cov(spark, mdir) == want
+        # the follow-up compaction must consolidate, not destroy
+        assert compact_moments(spark, mdir) == 2
+        assert self._cov(spark, mdir) == want
+        assert not (pathlib.Path(mdir) / "partials_retired").exists()
+        assert not (pathlib.Path(mdir) / "partials_compacting").exists()
+
+    def test_read_after_mid_swap_crash_heals(self, spark, sf_dir, tmp_path):
+        """Serving straight out of the crash window must finish the swap
+        (not return None / a fragment) and only drop the retired copy
+        after the merge is confirmed live."""
+        import pathlib
+
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+
+        mdir, emb = self._manufacture_mid_swap_crash(spark, sf_dir, tmp_path)
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb.filter(F.col("vec_id") % 3 != 2)).collect()
+        }
+        assert self._cov(spark, mdir) == want
+        assert not (pathlib.Path(mdir) / "partials_retired").exists()
+        assert not (pathlib.Path(mdir) / "partials_compacting").exists()
+
+    def test_heal_merges_prefix_damaged_store(self, spark, sf_dir, tmp_path):
+        """A store damaged by the PRE-fix append (live dir re-created
+        mid-swap, so live + tmp + retired all exist) is still healed: the
+        merged tmp generations move into the live dir next to the
+        post-crash appends, and nothing is lost."""
+        import pathlib
+
+        from scala_etl_test_spark.operators.similarity import embedding_covariance
+        from scala_etl_test_spark.streaming.moments import (
+            _marker,
+            _partials_dir,
+            batch_moment_partials,
+        )
+
+        mdir, emb = self._manufacture_mid_swap_crash(spark, sf_dir, tmp_path)
+        # replicate the old append body verbatim: write + marker, NO heal
+        (
+            batch_moment_partials(emb.filter(F.col("vec_id") % 3 == 2))
+            .withColumn("batch_id", F.lit(2))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(_partials_dir(mdir))
+        )
+        _marker(mdir, 2).mkdir(parents=True, exist_ok=True)
+        want = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in embedding_covariance(emb).collect()
+        }
+        assert self._cov(spark, mdir) == want
+        assert not (pathlib.Path(mdir) / "partials_retired").exists()
+        assert not (pathlib.Path(mdir) / "partials_compacting").exists()
+
 
 class TestMomentsErasure:
     """forget_from_moments: integer moments subtract EXACTLY, so erasure
@@ -2053,12 +2153,45 @@ class TestIvfCellCompaction:
             .write.mode("overwrite")
             .parquet(str(cell_dir / "_merged_hi_2"))
         )
-        assert read_ivf_corpus(spark, d).count() == n_before  # merge invisible
+        # read_ivf_corpus itself finishes the pending swap (serve-path
+        # heal, ADVICE r10) and the row count is unchanged either way
+        assert read_ivf_corpus(spark, d).count() == n_before
         compact_ivf_cells(spark, d, min_generations=99)  # recovery-only pass
         gens2 = {p.name for p in cell_dir.glob("batch_id=*")}
         assert gens2 == {"batch_id=2"}
         assert read_ivf_corpus(spark, d).count() == n_before
         assert self._probe_all(spark, d, emb) == before_probe
+
+    def test_serve_path_heals_mid_cell_swap(self, spark, index):
+        """ADVICE r10: a crash INSIDE the cell swap — old generations
+        already deleted, merged generation still staged invisibly as
+        _merged_hi_N — previously made every serve under-count that cell
+        until someone happened to re-run compaction. The serve path now
+        runs the recovery sweep itself, with no compaction call."""
+        import pathlib as _pl
+        import shutil as _sh
+
+        from scala_etl_test_spark.streaming.ann import read_ivf_corpus
+
+        d, emb, _ = index
+        before_probe = self._probe_all(spark, d, emb)
+        n_before = read_ivf_corpus(spark, d).count()
+        cell_dir = _pl.Path(d, "corpus", "cluster_id=2")
+        (
+            spark.read.parquet(f"{d}/corpus")
+            .filter(F.col("cluster_id") == 2)
+            .drop("cluster_id", "batch_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(cell_dir / "_merged_hi_2"))
+        )
+        for gen in cell_dir.glob("batch_id=*"):
+            _sh.rmtree(gen)
+        # no compaction call — serving alone must see the full cell
+        assert read_ivf_corpus(spark, d).count() == n_before
+        assert self._probe_all(spark, d, emb) == before_probe
+        gens = {p.name for p in cell_dir.glob("batch_id=*")}
+        assert gens == {"batch_id=2"}
 
 
 def test_moments_lifecycle_through_real_stream(spark, sf_dir, tmp_path):
