@@ -1,0 +1,198 @@
+"""Unit tests for the shared compaction protocol (streaming/compaction.py)
+— pure-pathlib state-machine coverage, no Spark session needed.
+
+heal_interrupted_swap is exercised over EVERY presence combination of
+(live, tmp, retired): the swap sequence `write tmp → watermark → live→
+retired → tmp→live → rm retired` can crash in any window, and the one
+invariant that must hold in all of them is "no committed generation is
+lost, and retired is never deleted before its content is confirmed live"
+(the ADVICE r10 data-loss sequence was exactly a violation of this,
+reachable through an append that re-created the live dir mid-swap).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from scala_etl_test_spark.streaming.compaction import (
+    collapse_stream_markers,
+    compaction_watermark,
+    heal_interrupted_swap,
+    finish_cell_swap,
+    finish_pending_cell_swaps,
+    marker_ids,
+    marker_path,
+    write_watermark,
+)
+
+
+def _mk(base: pathlib.Path, name: str, gens: dict[str, str]) -> pathlib.Path:
+    d = base / name
+    for gen, content in gens.items():
+        (d / gen).mkdir(parents=True)
+        (d / gen / "part-0.parquet").write_text(content)
+    if not gens:
+        d.mkdir(parents=True)
+    return d
+
+
+def _gens(d: pathlib.Path) -> dict[str, str]:
+    if not d.is_dir():
+        return {}
+    return {
+        p.name: (p / "part-0.parquet").read_text()
+        for p in sorted(d.iterdir())
+        if p.is_dir()
+    }
+
+
+class TestHealInterruptedSwap:
+    """All eight presence combinations; content equality proves which
+    copy survived."""
+
+    def _paths(self, tmp_path):
+        return (
+            tmp_path / "partials",
+            tmp_path / "partials_compacting",
+            tmp_path / "partials_retired",
+        )
+
+    def test_nothing_present_is_noop(self, tmp_path):
+        live, tmp, retired = self._paths(tmp_path)
+        heal_interrupted_swap(live, tmp, retired)
+        assert not live.exists() and not tmp.exists() and not retired.exists()
+
+    def test_live_only_is_noop(self, tmp_path):
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials", {"batch_id=0": "a", "batch_id=1": "b"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=0": "a", "batch_id=1": "b"}
+
+    def test_tmp_only_finishes_swap(self, tmp_path):
+        """Crash between the two renames, retired already cleaned (cannot
+        happen in the real sequence, but heal must still converge)."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=1": "merged"}
+        assert not tmp.exists() and not retired.exists()
+
+    def test_retired_only_restores_spine(self, tmp_path):
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a", "batch_id=1": "b"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=0": "a", "batch_id=1": "b"}
+        assert not retired.exists()
+
+    def test_tmp_and_retired_prefers_merge_then_drops_retired(self, tmp_path):
+        """THE real mid-swap crash window: live renamed away, merge never
+        renamed in. The merge (a complete, committed rewrite) wins; the
+        retired spine is dropped only after the rename lands."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a", "batch_id=1": "b"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=1": "merged"}
+        assert not tmp.exists() and not retired.exists()
+
+    def test_live_and_tmp_leaves_abandoned_merge(self, tmp_path):
+        """Crash after the merge was staged but before any rename: the
+        live spine is complete — the abandoned merge must NOT replace it
+        (the next compaction overwrites tmp anyway)."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials", {"batch_id=0": "a", "batch_id=1": "b"})
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=0": "a", "batch_id=1": "b"}
+        assert tmp.is_dir()  # left for the next compaction to overwrite
+
+    def test_live_and_retired_drops_retired(self, tmp_path):
+        """Crash after the final rename but before cleanup: live IS the
+        merge; retired is subsumed."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials", {"batch_id=1": "merged"})
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a", "batch_id=1": "b"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=1": "merged"}
+        assert not retired.exists()
+
+    def test_all_three_merges_tmp_into_live(self, tmp_path):
+        """The pre-fix damage state: an old append re-created live
+        mid-swap with only post-crash batches. The merged generations
+        move in next to them; nothing is lost."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials", {"batch_id=2": "new-batch"})
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a", "batch_id=1": "b"})
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=1": "merged", "batch_id=2": "new-batch"}
+        assert not tmp.exists() and not retired.exists()
+
+    def test_all_three_with_generation_collision_raises(self, tmp_path):
+        """A generation present in BOTH the recreated live dir and the
+        merge means an id at/below the watermark was re-appended — the
+        store is corrupt and heal must refuse to guess."""
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials", {"batch_id=1": "imposter"})
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a"})
+        with pytest.raises(RuntimeError, match="refusing to guess"):
+            heal_interrupted_swap(live, tmp, retired)
+        # nothing was deleted by the failed heal
+        assert _gens(retired) == {"batch_id=0": "a"}
+        assert _gens(tmp) == {"batch_id=1": "merged"}
+
+    def test_heal_is_idempotent(self, tmp_path):
+        live, tmp, retired = self._paths(tmp_path)
+        _mk(tmp_path, "partials_compacting", {"batch_id=1": "merged"})
+        _mk(tmp_path, "partials_retired", {"batch_id=0": "a"})
+        for _ in range(3):
+            heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == {"batch_id=1": "merged"}
+
+
+class TestMarkersAndWatermark:
+    def test_marker_roundtrip(self, tmp_path):
+        base = str(tmp_path)
+        assert marker_ids(base) == []
+        for b in (3, -1, 0):
+            marker_path(base, b).mkdir(parents=True)
+        assert marker_ids(base) == [-1, 0, 3]
+
+    def test_watermark_and_collapse(self, tmp_path):
+        base = str(tmp_path)
+        assert compaction_watermark(base) is None
+        for b in (-2, 0, 1, 2, 5):
+            marker_path(base, b).mkdir(parents=True)
+        write_watermark(base, 1)
+        write_watermark(base, 2)
+        assert compaction_watermark(base) == 2
+        collapse_stream_markers(base, 2, keep_negative=True)
+        # negative erasure tombstone survives; stream markers <= 2 collapse;
+        # older watermark dirs collapse
+        assert marker_ids(base) == [-2, 5]
+        assert compaction_watermark(base) == 2
+        collapse_stream_markers(base, 2, keep_negative=False)
+        assert marker_ids(base) == [5]
+
+    def test_cell_swap_sweep(self, tmp_path):
+        corpus = tmp_path / "corpus"
+        cell = corpus / "cluster_id=0"
+        for gen, content in (("batch_id=0", "old0"), ("batch_id=1", "old1")):
+            (cell / gen).mkdir(parents=True)
+            (cell / gen / "f").write_text(content)
+        (cell / "_merged_hi_1").mkdir()
+        (cell / "_merged_hi_1" / "f").write_text("merged")
+        other = corpus / "cluster_id=1" / "batch_id=0"
+        other.mkdir(parents=True)
+        (other / "f").write_text("untouched")
+        assert finish_pending_cell_swaps(corpus) == 1
+        assert (cell / "batch_id=1" / "f").read_text() == "merged"
+        assert not (cell / "batch_id=0").exists()
+        assert (other / "f").read_text() == "untouched"
+        # idempotent / no-op on a clean corpus
+        assert finish_pending_cell_swaps(corpus) == 0
+        finish_cell_swap(cell)  # direct no-op
+        assert (cell / "batch_id=1" / "f").read_text() == "merged"
