@@ -1809,23 +1809,52 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebook,
     )
 
+    from scala_etl_test_spark.operators.pq import _quantize_py
+
     k, n_cells, nprobe = 10, 4, 2
-    # persisted: the query runs many actions over the same small table
-    # (query fetch, variance stats, codebook/centroid seeds per space,
-    # brute truth, two ADC scans, two probed scans) — without it each
-    # re-reads and re-decodes the parquet
+    # persisted: the query runs several actions over the same small table
+    # (seed fetch, variance stats, brute truth, two ADC scans, two probed
+    # scans) — without it each re-reads and re-decodes the parquet
     emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
-    query_raw = [
-        float(v)
-        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    # ONE driver-side model fetch serves the query vector AND both
+    # codebooks (gate-head cost: the rows-only form ran a query fetch plus
+    # one codebook collect per space — three jobs where one suffices).
+    # train_pq_codebook's arithmetic is replicated exactly: quantized
+    # slices of the first _PQ_K rows by id; the rotated codebook is the
+    # permuted slices of the SAME rows — a permutation reindex commutes
+    # with the elementwise quantization, so this is bit-identical to
+    # collecting the rotated frame.
+    seed_rows = emb.orderBy("vec_id").limit(_PQ_K).select("vec_id", "embedding").collect()
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in seed_rows}
+    if 0 in seeds:
+        query_raw = seeds[0]
+    else:  # ids need not start at 0 for ad-hoc corpora
+        query_raw = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        ]
     d = len(query_raw)
     order = variance_rr_permutation(emb, d, _PQ_M)
     v = F.col("embedding").cast("array<double>")
     # row-local reindex — a permutation "matmul" is d getItems, no shuffle
     rotated = emb.select("vec_id", F.array(*[v[i] for i in order]).alias("embedding"))
     query_rot = [query_raw[i] for i in order]
-    return _pq_rotation_ab(emb, query_raw, rotated, query_rot, k, n_cells, nprobe)
+
+    dsub = d // _PQ_M
+    def _codebook(vecs: list[list[float]]) -> list[list[list[int]]]:
+        return [
+            [[_quantize_py(x) for x in vec[s * dsub : (s + 1) * dsub]] for vec in vecs]
+            for s in range(_PQ_M)
+        ]
+
+    ordered = [seeds[i] for i in sorted(seeds)]
+    codebooks = (
+        _codebook(ordered),
+        _codebook([[vec[i] for i in order] for vec in ordered]),
+    )
+    return _pq_rotation_ab(
+        emb, query_raw, rotated, query_rot, k, n_cells, nprobe, codebooks=codebooks
+    )
 
 
 def _pq_rotation_ab(
@@ -1836,13 +1865,22 @@ def _pq_rotation_ab(
     k: int,
     n_cells: int,
     nprobe: int,
+    codebooks: tuple | None = None,
 ) -> DataFrame:
     """Shared rotation-A/B harness: equal-budget PQ (ADC full scan) and
     IVF-PQ (probed) recall of the raw vs rotated space against the single
     raw-space brute-cosine truth. Used by the registered
-    :func:`q_pq_rotation_recall` (permutation rotation, full oracle) and
-    the CLI's eigh-based PCA rotation artifact
-    (:func:`pca_rotation_recall_report`)."""
+    :func:`q_pq_rotation_recall` (permutation rotation, full oracle;
+    passes driver-precomputed ``codebooks`` to skip the per-space collect)
+    and the CLI's eigh-based PCA rotation artifact
+    (:func:`pca_rotation_recall_report`, which trains from the rotated
+    frame because a float projection must come from the same Spark
+    expressions the corpus encode sees).
+
+    One ``pq_encode`` per space serves BOTH paths (the ADC scan reads the
+    same codes the probed path routes) — the encode embeds the whole
+    codebook as literal expressions, so halving the encode count halves
+    the heaviest part of plan analysis at the head of the driver gate."""
     from scala_etl_test_spark.operators.pq import (
         ivf_pq_topk,
         pq_adc_topk,
@@ -1862,11 +1900,19 @@ def _pq_rotation_ab(
         )
 
     parts = []
-    for name, corpus, qv in (("raw", emb, query_raw), ("rotated", rotated, query_rot)):
-        cb = train_pq_codebook(corpus, m=_PQ_M, k=_PQ_K)
-        parts.append(_recall_row(name, "adc", pq_adc_topk(pq_encode(corpus, cb), cb, qv, k=k)))
+    for i, (name, corpus, qv) in enumerate(
+        (("raw", emb, query_raw), ("rotated", rotated, query_rot))
+    ):
+        cb = (
+            codebooks[i]
+            if codebooks is not None
+            else train_pq_codebook(corpus, m=_PQ_M, k=_PQ_K)
+        )
         cents = S.stride_centroids(corpus, n_cells)
         enc = pq_encode(S.ivf_assign(corpus, cents), cb, keep_cols=["cluster_id"])
+        parts.append(
+            _recall_row(name, "adc", pq_adc_topk(enc.select("vec_id", "codes"), cb, qv, k=k))
+        )
         parts.append(
             _recall_row(name, "ivfpq", ivf_pq_topk(enc, cents, cb, qv, k=k, nprobe=nprobe))
         )

@@ -41,7 +41,7 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "ann_ivfpq_residual_topk": "1-row query-vector fetch",
     "ann_recall_report": "query-vector fetch across every ANN member",
     "pq_rotation_recall": "per-dim variance collect (d-row permutation "
-    "model) + query-vector fetch + codebook/centroid seeds per space",
+    "model) + ONE seed fetch serving the query vector and both codebooks",
     "hybrid_retrieval": "1-row query-vector fetch",
     # --- loop-carried algorithms: per-round materialization IS the
     # algorithm (convergence probes / merge selection), bounded by the
