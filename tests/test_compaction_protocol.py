@@ -196,3 +196,46 @@ class TestMarkersAndWatermark:
         assert finish_pending_cell_swaps(corpus) == 0
         finish_cell_swap(cell)  # direct no-op
         assert (cell / "batch_id=1" / "f").read_text() == "merged"
+
+
+class TestSwapCrashSteps:
+    """Simulate the REAL swap sequence (write tmp → watermark → retire →
+    rename-in → cleanup) interrupted after every step; after heal, the
+    store must always serve exactly the committed content — merged or
+    original per-batch form, never a mix, never a loss."""
+
+    STEPS = 5
+
+    def _run_until(self, base: pathlib.Path, crash_after: int):
+        live = base / "partials"
+        tmp = base / "partials_compacting"
+        retired = base / "partials_retired"
+        _mk(base, "partials", {"batch_id=0": "a", "batch_id=1": "b"})
+        for b in (0, 1):
+            marker_path(str(base), b).mkdir(parents=True)
+        steps = [
+            lambda: _mk(base, "partials_compacting", {"batch_id=1": "a+b"}),
+            lambda: write_watermark(str(base), 1),
+            lambda: live.rename(retired),
+            lambda: tmp.rename(live),
+            lambda: __import__("shutil").rmtree(retired),
+        ]
+        for step in steps[:crash_after]:
+            step()
+        return live, tmp, retired
+
+    @pytest.mark.parametrize("crash_after", range(1, 6))
+    def test_heal_preserves_committed_content(self, tmp_path, crash_after):
+        live, tmp, retired = self._run_until(tmp_path, crash_after)
+        heal_interrupted_swap(live, tmp, retired)
+        gens = _gens(live)
+        if crash_after <= 2:
+            # swap never started: the original spine is authoritative
+            assert gens == {"batch_id=0": "a", "batch_id=1": "b"}
+        else:
+            # the merge is authoritative once the live dir was retired
+            assert gens == {"batch_id=1": "a+b"}
+        assert not retired.exists()
+        # idempotent: a second heal changes nothing
+        heal_interrupted_swap(live, tmp, retired)
+        assert _gens(live) == gens

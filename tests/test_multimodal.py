@@ -319,3 +319,28 @@ def test_decode_media_pil_branch():
         assert got["n_frames"] == 1
     got = M.decode_media(_bmp(6, 3), "image", "image/bmp")
     assert got == {"width": 6, "height": 3, "n_frames": 1}
+
+
+def test_decode_media_untrusted_bytes_raise_only_documented_errors():
+    """Robustness pin for untrusted corpus payloads (hypothesis fuzz):
+    decode_media without PIL must raise ONLY the documented ValueError /
+    NotImplementedError on arbitrary bytes — a leaked struct.error /
+    zlib.error / IndexError on a crafted payload would kill an executor
+    task with an undocumented failure mode instead of the quarantine
+    path a corpus pipeline routes these to."""
+    from hypothesis import given, settings, strategies as st
+
+    prefixes = st.sampled_from([b"", M._PNG_SIG, M._BMP_SIG, b"BM" + b"\x00" * 20])
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=prefixes, body=st.binary(max_size=600))
+    def run(prefix, body):
+        try:
+            got = M.decode_media(prefix + body, "image", "application/octet-stream")
+        except (ValueError, NotImplementedError):
+            return
+        # a successful decode on random bytes is only possible if the
+        # fuzz accidentally built a valid payload — shape must still hold
+        assert set(got) == {"width", "height", "n_frames"}
+
+    run()
