@@ -4302,6 +4302,8 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 _GATE_PRIORITY: list[str] = [
     # new full oracle this round — never green under the driver gate
     "pq_rotation_recall",
+    # added this round (truncation eval) — no driver row yet
+    "ann_truncation_recall",
     # r7-stale tier — ALL 32, registry order
     "embedding_near_dup",
     "embedding_near_dup_lsh",

@@ -1714,20 +1714,13 @@ ORDER BY 1, 2
 """
 
 
-def variance_rr_permutation(
-    emb: DataFrame, d: int, m: int, vec_col: str = "embedding"
-) -> list[int]:
-    """Variance round-robin dimension permutation — the energy-balancing
-    step of parametric OPQ (Ge et al. 2013 §4 allocates PCA components to
-    subspaces balancing variance products; this applies the same
-    allocation rule directly to the input dimensions, skipping the basis
-    change): rank dimensions by variance descending and deal them
-    round-robin across the ``m`` PQ subspaces, so each subquantizer sees
-    an equal share of the corpus energy instead of whatever the raw
-    contiguous split happens to contain.
+def variance_ranked_dims(emb: DataFrame, d: int, vec_col: str = "embedding") -> list[int]:
+    """Dimensions ranked by corpus variance, descending — the shared
+    driver-side model behind the PQ rotation
+    (:func:`variance_rr_permutation`) and the truncation eval
+    (:func:`q_ann_truncation_recall`).
 
-    Returns ``order`` with ``order[new_pos] = old_dim``. Deterministic and
-    engine-exact: per-dim variance is ranked on ``n·Σq² − (Σq)²`` where
+    Deterministic and engine-exact: ranked on ``n·Σq² − (Σq)²`` where
     ``q = round(x·10⁶)`` int64 (associative integer sums, the pq.SCALE
     idiom), the products widened to DOUBLE only for the final comparison —
     Spark and the DuckDB oracle land on the identical ranking, ties on the
@@ -1759,10 +1752,28 @@ def variance_rr_permutation(
         stats,
         key=lambda r: (-(float(r["n"]) * float(r["ss"]) - float(r["s"]) * float(r["s"])), r["dim"]),
     )
+    return [row["dim"] for row in ranked]
+
+
+def variance_rr_permutation(
+    emb: DataFrame, d: int, m: int, vec_col: str = "embedding"
+) -> list[int]:
+    """Variance round-robin dimension permutation — the energy-balancing
+    step of parametric OPQ (Ge et al. 2013 §4 allocates PCA components to
+    subspaces balancing variance products; this applies the same
+    allocation rule directly to the input dimensions, skipping the basis
+    change): rank dimensions by variance descending
+    (:func:`variance_ranked_dims`) and deal them round-robin across the
+    ``m`` PQ subspaces, so each subquantizer sees an equal share of the
+    corpus energy instead of whatever the raw contiguous split happens to
+    contain.
+
+    Returns ``order`` with ``order[new_pos] = old_dim``."""
+    ranked = variance_ranked_dims(emb, d, vec_col)
     dsub = d // m
     order = [0] * d
-    for r, row in enumerate(ranked):
-        order[(r % m) * dsub + r // m] = row["dim"]
+    for r, dim in enumerate(ranked):
+        order[(r % m) * dsub + r // m] = dim
     return order
 
 
@@ -3778,6 +3789,135 @@ ORDER BY variant, path
 )
 
 
+def q_ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation — the third
+    member of the eval-as-artifact family (ann_recall_report,
+    pq_rotation_recall): at an EQUAL dimension budget, does
+    variance-ordered truncation beat naive prefix truncation? Serving
+    embeddings truncated to their first ``d_keep`` components is the
+    standard cheap-retrieval trick (Kusupati et al. 2022's Matryoshka
+    embeddings make models FRONT-LOAD information so prefixes work;
+    for embeddings trained without that objective, reordering dimensions
+    by corpus variance before truncating is the data-driven stand-in —
+    same top-variance-first intuition as PCA truncation, without a basis
+    change, so it stays SQL-replayable from the oracle-checked variance
+    ranking of :func:`variance_ranked_dims`).
+
+    Brute cosine top-10 in each truncated space is scored against the one
+    full-dimension exact truth. Rows: (variant ∈ {raw_prefix,
+    variance_ordered}, d_keep ∈ {8, 16}, k, n_hits, recall). A corpus
+    owner reads this before enabling truncated serving, exactly like
+    ann_recall_report before trusting an index; at 100 TB every variant
+    is one narrow row-local projection + the same
+    TakeOrderedAndProject-over-scan shape the brute baseline uses —
+    no shuffle, no join beyond the ≤k-row truth intersection."""
+    k = 10
+    emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    d = len(query)
+    ranked = variance_ranked_dims(emb, d)
+    truth = S.cosine_topk(emb, query, k=k).select("vec_id")
+    v = F.col("embedding").cast("array<double>")
+
+    parts = []
+    for variant, order in (("raw_prefix", list(range(d))), ("variance_ordered", ranked)):
+        for d_keep in (8, 16):
+            dims = order[:d_keep]
+            trunc = emb.select("vec_id", F.array(*[v[i] for i in dims]).alias("embedding"))
+            got = S.cosine_topk(trunc, [query[i] for i in dims], k=k).select("vec_id")
+            parts.append(
+                truth.join(got, on="vec_id").agg(
+                    F.lit(variant).alias("variant"),
+                    F.lit(d_keep).cast("int").alias("d_keep"),
+                    F.lit(k).cast("int").alias("k"),
+                    F.count(F.lit(1)).alias("n_hits"),
+                    F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("variant", "d_keep")
+
+
+def _trunc_recall_row_sql(variant: str, d_keep: int, vec_expr: str, q_expr: str) -> str:
+    """One (variant, d_keep) row: brute cosine top-10 in the truncated
+    space (``vec_expr``/``q_expr`` produce the truncated corpus/query
+    lists) intersected with the full-d truth."""
+    cos = _COS_SQL.format(a="tv", b="tq")
+    return f"""
+  SELECT '{variant}' AS variant, CAST({d_keep} AS INT) AS d_keep,
+         CAST(10 AS INT) AS k, COUNT(*) AS n_hits,
+         round(COUNT(*) / 10.0, 6) AS recall
+  FROM truth t JOIN (
+    SELECT vec_id FROM (
+      SELECT e.vec_id, {vec_expr} AS tv, {q_expr} AS tq
+      FROM embeddings e, q0 q
+    )
+    ORDER BY round({cos}, 6) DESC, vec_id
+    LIMIT 10
+  ) g ON t.vec_id = g.vec_id"""
+
+
+# Full-oracle twin of q_ann_truncation_recall: the variance ranking is the
+# same exact-int64 moment replay as SQL_PQ_ROTATION_RECALL's, prefix
+# truncation is a list slice, variance-ordered truncation a list reindex
+# through the rank vector, and each variant's brute cosine top-10 is scored
+# against the one full-d truth.
+SQL_ANN_TRUNCATION_RECALL = (
+    """
+WITH qd AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) AS ix
+),
+vstat AS (
+  SELECT dim, SUM(q) AS s, SUM(q * q) AS ss, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qd GROUP BY 1
+),
+ranked AS (
+  SELECT dim,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) DESC,
+                    dim) - 1 AS r
+  FROM vstat
+),
+rv AS (SELECT list(dim ORDER BY r) AS rd FROM ranked),
+q0 AS (SELECT embedding AS qv, rd FROM embeddings, rv WHERE vec_id = 0),
+truth AS (
+  SELECT e.vec_id
+  FROM embeddings e, q0 q
+  ORDER BY round("""
+    + _COS_SQL.format(a="e.embedding", b="q.qv")
+    + """, 6) DESC, e.vec_id
+  LIMIT 10
+)"""
+    + """
+SELECT * FROM (
+"""
+    + "\n  UNION ALL\n".join(
+        _trunc_recall_row_sql(variant, dk, vec_expr.format(dk=dk), q_expr.format(dk=dk))
+        for variant, vec_expr, q_expr in (
+            ("raw_prefix", "e.embedding[1:{dk}]", "q.qv[1:{dk}]"),
+            (
+                "variance_ordered",
+                "list_transform(range(1, {dk} + 1), i -> e.embedding[q.rd[i] + 1])",
+                "list_transform(range(1, {dk} + 1), i -> q.qv[q.rd[i] + 1])",
+            ),
+        )
+        for dk in (8, 16)
+    )
+    + """
+)
+ORDER BY variant, d_keep
+"""
+)
+
+
 def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVFADC (operators/pq.py:residual_pq_encode /
     ivf_pq_residual_topk): PQ codes of x − c(x) with a per-probed-cell
@@ -4648,6 +4788,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "embedding_covariance": q_embedding_covariance,
     "pq_rotation_recall": q_pq_rotation_recall,
+    "ann_truncation_recall": q_ann_truncation_recall,
     "release_diff": q_release_diff,
 }
 
@@ -4737,5 +4878,6 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "shard_manifest": SQL_SHARD_MANIFEST,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pq_rotation_recall": SQL_PQ_ROTATION_RECALL,
+    "ann_truncation_recall": SQL_ANN_TRUNCATION_RECALL,
     "release_diff": SQL_RELEASE_DIFF,
 }

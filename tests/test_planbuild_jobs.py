@@ -42,6 +42,8 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "ann_recall_report": "query-vector fetch across every ANN member",
     "pq_rotation_recall": "per-dim variance collect (d-row permutation "
     "model) + ONE seed fetch serving the query vector and both codebooks",
+    "ann_truncation_recall": "per-dim variance collect (d-row ranking "
+    "model) + 1-row query-vector fetch",
     "hybrid_retrieval": "1-row query-vector fetch",
     # --- loop-carried algorithms: per-round materialization IS the
     # algorithm (convergence probes / merge selection), bounded by the

@@ -358,3 +358,46 @@ class TestPqRotationRecall:
         raw_ids = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10, round_digits=None).collect()]
         rot_ids = [r["vec_id"] for r in S.cosine_topk(rotated, q_rot, k=10, round_digits=None).collect()]
         assert raw_ids == rot_ids
+
+
+class TestAnnTruncationRecall:
+    """ann_truncation_recall: dimension-truncation A/B measured
+    deterministically, structure pinned."""
+
+    def test_shape_and_determinism(self, spark, sf_dir):
+        from scala_etl_test_spark.plans.queries_data import q_ann_truncation_recall
+
+        a = [tuple(r) for r in q_ann_truncation_recall(spark, sf_dir).collect()]
+        b = [tuple(r) for r in q_ann_truncation_recall(spark, sf_dir).collect()]
+        assert a == b
+        assert [(r[0], r[1]) for r in a] == [
+            ("raw_prefix", 8), ("raw_prefix", 16),
+            ("variance_ordered", 8), ("variance_ordered", 16),
+        ]
+        for _variant, _dk, k, n_hits, recall in a:
+            assert k == 10 and 0 <= n_hits <= k
+            assert recall == round(n_hits / k, 6)
+
+    def test_full_d_truncation_is_exact(self, spark, sf_dir):
+        """Sanity anchor: 'truncating' to the full dimension must recover
+        the exact truth (recall 1.0) for BOTH orderings — the variance
+        permutation preserves cosine exactly."""
+        from scala_etl_test_spark.operators import similarity as S
+        from scala_etl_test_spark.plans.queries_data import variance_ranked_dims
+        from scala_etl_test_spark.sources.parquet_source import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        d = len(q)
+        ranked = variance_ranked_dims(emb, d)
+        assert sorted(ranked) == list(range(d))
+        v = F.col("embedding").cast("array<double>")
+        reordered = emb.select(
+            "vec_id", F.array(*[v[i] for i in ranked]).alias("embedding")
+        )
+        truth = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+        got = [
+            r["vec_id"]
+            for r in S.cosine_topk(reordered, [q[i] for i in ranked], k=10).collect()
+        ]
+        assert got == truth
