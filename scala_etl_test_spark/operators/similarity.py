@@ -20,6 +20,9 @@ Python in the scoring loop):
 
 from __future__ import annotations
 
+import pathlib
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, functions as F
 
 from scala_etl_test_spark.caching import tracked_persist
@@ -806,11 +809,15 @@ def forget_from_ivf(
     stats_schema = f"{cluster_col} long, rows_erased long, rows_after long"
     try:
         corpus = spark.read.parquet(corpus_path)
-    except Exception:
+    except AnalysisException as exc:
         # a fully-erased corpus has no parquet files left to infer a schema
         # from (r9 review finding #2): the documented "re-running the same
         # request converges" contract means this is a successful no-op, not
-        # a crash — there is nothing left to forget
+        # a crash — there is nothing left to forget. Only the two
+        # conditions a fully-erased corpus produces are adopted; any other
+        # failure propagates (ADVICE r11 narrowing).
+        if not _is_empty_or_missing_read_error(exc):
+            raise
         return spark.createDataFrame([], stats_schema)
     touched_rows = (
         corpus.select(id_col, cluster_col)
@@ -877,10 +884,13 @@ def forget_from_ivf(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-    except Exception:
+    except AnalysisException as exc:
         # every cell was fully doomed ⇒ every directory was deleted and the
         # rows_after re-read has no files to infer a schema from — the
-        # evidence frame still reports the erasure (finding #2)
+        # evidence frame still reports the erasure (finding #2); other
+        # read failures propagate (ADVICE r11 narrowing)
+        if not _is_empty_or_missing_read_error(exc):
+            raise
         after = {}
     return spark.createDataFrame(
         [(int(c), int(erased[c]), int(after.get(c, 0))) for c in sorted(cells)],
@@ -892,12 +902,47 @@ def _erasure_audit_path(corpus_path: str, request_id: int) -> str:
     return f"{corpus_path.rstrip('/')}/_ERASURE_AUDIT/request={int(request_id)}"
 
 
+def _is_empty_or_missing_read_error(exc: Exception) -> bool:
+    """True ONLY for the two AnalysisException conditions a fully-erased
+    corpus legitimately produces: the path is gone (every cell directory
+    deleted) or it exists but holds no parquet files to infer a schema
+    from (cells emptied but dirs left behind — ADVICE r11). Anything else
+    (permissions, corrupt footer, transient FS error) is an infrastructure
+    failure the caller must see, not a "nothing left to forget" state."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):  # pyspark 4 / 3.4 names
+        fn = getattr(exc, attr, None)
+        if callable(fn):
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+        if cond:
+            break
+    text = cond if cond else str(exc)
+    return "UNABLE_TO_INFER_SCHEMA" in text or "PATH_NOT_FOUND" in text
+
+
 def _next_erasure_request(spark, corpus_path: str) -> int:
-    """Next sequential erasure-request id (Hadoop FS listing, so the same
-    code runs on HDFS/object stores — the swap loop's convention)."""
+    """Next sequential erasure-request id. Local paths list via pathlib
+    (no JVM round-trip — keeps the audit READER usable under Spark
+    Connect, ADVICE r11); remote schemes (hdfs://, abfss://, s3a://)
+    go through the Hadoop FileSystem API as before — those callers are
+    the driver-side erasure job, which always has a classic session."""
+    root_str = f"{corpus_path.rstrip('/')}/_ERASURE_AUDIT"
+    if "://" not in corpus_path:
+        root = pathlib.Path(root_str)
+        if not root.is_dir():
+            return 0
+        ids = [
+            int(p.name.split("=", 1)[1])
+            for p in root.glob("request=*")
+            if p.name.split("=", 1)[1].isdigit()
+        ]
+        return max(ids) + 1 if ids else 0
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
-    root = hpath(f"{corpus_path.rstrip('/')}/_ERASURE_AUDIT")
+    root = hpath(root_str)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
@@ -940,22 +985,26 @@ def erasure_audit_status(
         request_id = nxt - 1
     audit = spark.read.parquet(_erasure_audit_path(corpus_path, request_id))
     cells = [r[cluster_col] for r in audit.select(cluster_col).collect()]
-    # "all live counts are zero" is claimed ONLY for the one state that
-    # legitimately produces it: every cell directory deleted (fully-erased
-    # corpus), which Spark reports as an empty/missing path. Any other
-    # read failure (permissions, corrupt footer, transient FS error) must
-    # propagate — an audit tool that maps infrastructure errors to
-    # "applied" misreports the thing it exists to diagnose (ADVICE r10).
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(corpus_path)  # noqa: SLF001
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    has_data = fs.exists(jvm_path) and any(
-        not f.getPath().getName().startswith(("_", "."))
-        for f in fs.listStatus(jvm_path)
-    )
-    if has_data:
+    # "all live counts are zero" is claimed ONLY for the states that
+    # legitimately produce it: every cell directory deleted, or the dirs
+    # left behind but emptied of parquet files — both surface as the two
+    # specific AnalysisException conditions _is_empty_or_missing_read_error
+    # matches (ADVICE r11: the prior directory-listing probe treated
+    # empty-but-present cell dirs as readable and then crashed on schema
+    # inference, and its spark._jvm reach-through broke under Spark
+    # Connect). Any OTHER read failure (permissions, corrupt footer,
+    # transient FS error) propagates — an audit tool that maps
+    # infrastructure errors to "applied" misreports the thing it exists
+    # to diagnose (ADVICE r10).
+    try:
+        corpus = spark.read.parquet(corpus_path)
+    except AnalysisException as exc:
+        if not _is_empty_or_missing_read_error(exc):
+            raise
+        corpus = None
+    if corpus is not None:
         live = (
-            spark.read.parquet(corpus_path)
-            .filter(F.col(cluster_col).isin(cells))
+            corpus.filter(F.col(cluster_col).isin(cells))
             .groupBy(cluster_col)
             .agg(F.count(F.lit(1)).alias("rows_actual"))
         )

@@ -1724,9 +1724,15 @@ def variance_ranked_dims(emb: DataFrame, d: int, vec_col: str = "embedding") -> 
     ``q = round(x·10⁶)`` int64 (associative integer sums, the pq.SCALE
     idiom), the products widened to DOUBLE only for the final comparison —
     Spark and the DuckDB oracle land on the identical ranking, ties on the
-    smaller dim. The collect is d rows of driver-side model parameters
-    (like the PQ codebook), not a data collect; the stats aggregation is
-    one O(d)-per-row explode + hash agg on d keys."""
+    smaller dim. The moment SUMs accumulate in ``decimal(38,0)`` (ADVICE
+    r11: q² ~ 10¹² per element, so an int64 SUM silently wraps around
+    ~10⁷ rows in non-ANSI Spark while DuckDB promotes SUM(BIGINT) to
+    HUGEINT — the engines would diverge at exactly the corpus sizes this
+    targets; decimal keeps Spark exact to 38 digits, and BOTH engines
+    make one correctly-rounded cast to DOUBLE at comparison time). The
+    collect is d rows of driver-side model parameters (like the PQ
+    codebook), not a data collect; the stats aggregation is one
+    O(d)-per-row explode + hash agg on d keys."""
     from scala_etl_test_spark.operators.pq import SCALE
 
     stats = (
@@ -1740,8 +1746,8 @@ def variance_ranked_dims(emb: DataFrame, d: int, vec_col: str = "embedding") -> 
         )
         .groupBy("dim")
         .agg(
-            F.sum("q").alias("s"),
-            F.sum(F.col("q") * F.col("q")).alias("ss"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
@@ -1769,6 +1775,11 @@ def variance_rr_permutation(
     contain.
 
     Returns ``order`` with ``order[new_pos] = old_dim``."""
+    if d % m != 0:
+        # ADVICE r11: a non-multiple split silently built a corrupt
+        # permutation (position collisions drop dimensions) — fail the
+        # same way train_pq_codebook does
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     ranked = variance_ranked_dims(emb, d, vec_col)
     dsub = d // m
     order = [0] * d
@@ -1837,13 +1848,14 @@ def q_pq_rotation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collecting the rotated frame.
     seed_rows = emb.orderBy("vec_id").limit(_PQ_K).select("vec_id", "embedding").collect()
     seeds = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in seed_rows}
-    if 0 in seeds:
-        query_raw = seeds[0]
-    else:  # ids need not start at 0 for ad-hoc corpora
-        query_raw = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        ]
+    if not seeds:
+        raise ValueError("embeddings table is empty — nothing to evaluate")
+    # query = the MIN vec_id's vector (ADVICE r11: the old vec_id==0
+    # fallback raised TypeError when no such row existed, and the oracle
+    # hardcoded 0 so the advertised ad-hoc-ids case could never gate).
+    # seeds holds the first _PQ_K rows by vec_id, so min(seeds) IS the
+    # corpus-wide minimum; the oracle keys off ORDER BY vec_id LIMIT 1.
+    query_raw = seeds[min(seeds)]
     d = len(query_raw)
     order = variance_rr_permutation(emb, d, _PQ_M)
     v = F.col("embedding").cast("array<double>")
@@ -3675,7 +3687,8 @@ def _pq_recall_variant_sql(pre: str, corpus: str, n_cells: int, nprobe: int) -> 
   SELECT c.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.vq) + 1),
                   i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
-  FROM {pre}cb c JOIN (SELECT sub_idx, vq FROM {pre}quant WHERE vec_id = 0) q
+  FROM {pre}cb c JOIN (SELECT sub_idx, vq FROM {pre}quant
+                       WHERE vec_id = (SELECT MIN(vec_id) FROM {corpus})) q
     ON c.sub_idx = q.sub_idx
 ),
 {pre}adc AS (
@@ -3685,7 +3698,8 @@ def _pq_recall_variant_sql(pre: str, corpus: str, n_cells: int, nprobe: int) -> 
   ORDER BY SUM(d.dist), k.vec_id
   LIMIT 10
 ),
-{pre}q0 AS (SELECT embedding AS qv0 FROM {corpus} WHERE vec_id = 0),
+{pre}q0 AS (SELECT embedding AS qv0 FROM {corpus}
+            WHERE vec_id = (SELECT MIN(vec_id) FROM {corpus})),
 {pre}cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec
   FROM {corpus} ORDER BY vec_id LIMIT {n_cells}
@@ -3764,7 +3778,7 @@ rot AS (
                         i -> e.embedding[pv.p[i] + 1]) AS embedding
   FROM embeddings e, pvec pv
 ),
-q0raw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q0raw AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
 truth AS (
   SELECT e.vec_id
   FROM embeddings e, q0raw q
@@ -3813,10 +3827,13 @@ def q_ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no join beyond the ≤k-row truth intersection."""
     k = 10
     emb = _t(spark, sf_dir, "embeddings").transform(tracked_persist)
-    query = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    # query = the MIN vec_id's vector (ADVICE r11 fix shared with
+    # q_pq_rotation_recall: .first() on a hardcoded vec_id==0 filter
+    # raised TypeError for corpora whose ids start elsewhere)
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    if qrow is None:
+        raise ValueError("embeddings table is empty — nothing to evaluate")
+    query = [float(x) for x in qrow["embedding"]]
     d = len(query)
     ranked = variance_ranked_dims(emb, d)
     truth = S.cosine_topk(emb, query, k=k).select("vec_id")
@@ -3887,7 +3904,7 @@ ranked AS (
   FROM vstat
 ),
 rv AS (SELECT list(dim ORDER BY r) AS rd FROM ranked),
-q0 AS (SELECT embedding AS qv, rd FROM embeddings, rv WHERE vec_id = 0),
+q0 AS (SELECT embedding AS qv, rd FROM embeddings, rv ORDER BY vec_id LIMIT 1),
 truth AS (
   SELECT e.vec_id
   FROM embeddings e, q0 q

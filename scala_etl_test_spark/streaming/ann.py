@@ -46,12 +46,14 @@ import pathlib
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scala_etl_test_spark.streaming.compaction import (
+    _finish_pending_cell_swaps_unlocked,
     compaction_watermark,
     collapse_stream_markers,
     finish_cell_swap as _finish_cell_swap,
     finish_pending_cell_swaps,
     marker_ids,
     marker_path,
+    swap_lock,
     write_watermark,
 )
 
@@ -321,18 +323,37 @@ def compact_ivf_cells(
     ``batch_id=N`` (:func:`_finish_cell_swap`, idempotent — re-running
     after a crash at any step converges; a serve inside the crash window
     under-counts the mid-swap cell transiently, never double-counts).
-    NOT concurrent-safe with a running stream.
+    Heal-vs-compactor races are excluded by the store's
+    :func:`~scala_etl_test_spark.streaming.compaction.swap_lock` (ADVICE
+    r11). Still NOT concurrent-safe with a running stream's APPENDS.
 
     Returns {cell: generations merged} for the cells actually compacted.
     """
-    import shutil
-
     corpus = pathlib.Path(_corpus_dir(index_dir))
     if not corpus.is_dir():
         return {}
+    # ADVICE r11: hold the store's swap lock across plan+stage+swap so a
+    # serve/append-path healer can never interleave with the per-cell
+    # swaps below (the TOCTOU where a stale healer rmtree's the
+    # freshly-renamed merged generation). Serve healers use wait=False
+    # and skip while this runs; reads stay correct throughout because
+    # raw generations are deleted only inside finish_cell_swap, after
+    # the merge covering them is staged in the same cell.
+    with swap_lock(corpus, wait=True):
+        return _compact_ivf_cells_locked(spark, index_dir, corpus, min_generations)
+
+
+def _compact_ivf_cells_locked(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: pathlib.Path,
+    min_generations: int,
+) -> dict[int, int]:
+    import shutil
+
     # recovery pass: finish any swap a crashed previous run left behind
     # (the serve path runs the same sweep — streaming/compaction.py)
-    finish_pending_cell_swaps(corpus)
+    _finish_pending_cell_swaps_unlocked(corpus)
 
     markers = set(_marker_ids(index_dir))
     wm = _compaction_watermark(index_dir)

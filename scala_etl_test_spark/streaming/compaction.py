@@ -31,12 +31,36 @@ recoverable only if compaction happened to run next — a restarted stream
 appending first would re-create the live dir and make serving silently
 drop all pre-compaction state, and the next compaction would then destroy
 the retired copy. Healing before any read or append closes that window.
+
+4. **Per-store swap lock** (:func:`swap_lock`, ADVICE r11): because heal
+   now runs on the serve/append paths, a healer can RACE a live
+   compactor mid-swap — the r11 TOCTOU: the healer globs
+   ``_merged_hi_N``, the compactor renames it to ``batch_id=N``, then
+   the healer's delete loop (gens ≤ N) rmtree's that freshly-renamed
+   merged generation — the only committed copy — and its own rename
+   raises ``FileNotFoundError``. All swap-mutating sections (compaction
+   AND heal) therefore serialize on a per-store lock: an in-process
+   ``threading.Lock`` keyed on the store path plus a same-host
+   cross-process ``_SWAPLOCK`` dir (atomic ``mkdir``) holding the owner
+   pid, stolen via atomic *rename* when the owner is dead so two
+   stealers cannot both win. Serve/append healers acquire with
+   ``wait=False`` and simply SKIP healing when a live owner holds the
+   lock — that owner is mid-swap and will finish it; compactors acquire
+   with ``wait=True``. Pid-liveness stealing assumes the stores' staging
+   filesystem is same-host (true for the local-fs delta spines these
+   stores use); on a shared filesystem run a single maintenance process
+   per store — the lock then degrades to the documented single-process
+   model rather than silently corrupting.
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
 import pathlib
 import shutil
+import threading
+import time
 
 __all__ = [
     "marker_path",
@@ -47,7 +71,122 @@ __all__ = [
     "heal_interrupted_swap",
     "finish_cell_swap",
     "finish_pending_cell_swaps",
+    "swap_lock",
 ]
+
+
+# --------------------------------------------------------------------------
+# per-store swap lock (serializes heal vs compaction — ADVICE r11)
+# --------------------------------------------------------------------------
+
+_INPROC_LOCKS: dict[str, threading.Lock] = {}
+_INPROC_LOCKS_GUARD = threading.Lock()
+
+
+def _inproc_lock(key: str) -> threading.Lock:
+    with _INPROC_LOCKS_GUARD:
+        return _INPROC_LOCKS.setdefault(key, threading.Lock())
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _try_fs_lock(lockdir: pathlib.Path) -> bool:
+    """One non-blocking attempt at the cross-process lockdir. Steal a dead
+    owner's lock via atomic rename (only one stealer's rename succeeds),
+    never rmtree-in-place (two stealers could otherwise both 'win' and one
+    would delete the other's fresh lock)."""
+    try:
+        lockdir.mkdir(parents=True, exist_ok=False)
+    except FileExistsError:
+        pid_file = lockdir / "pid"
+        try:
+            owner = int(pid_file.read_text())
+        except (FileNotFoundError, ValueError, OSError):
+            # owner is mid-write (or the dir is vanishing) — treat as held;
+            # the caller retries or skips
+            return False
+        if owner == os.getpid() or _pid_alive(owner):
+            return False
+        stale = lockdir.with_name(f"{lockdir.name}.stale.{os.getpid()}")
+        try:
+            lockdir.rename(stale)
+        except OSError:
+            return False  # lost the steal race — someone else renamed first
+        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            lockdir.mkdir(parents=True, exist_ok=False)
+        except FileExistsError:
+            return False
+    try:
+        (lockdir / "pid").write_text(str(os.getpid()))
+    except OSError:
+        shutil.rmtree(lockdir, ignore_errors=True)
+        return False
+    return True
+
+
+@contextlib.contextmanager
+def swap_lock(
+    base_dir: str | pathlib.Path,
+    *,
+    wait: bool = True,
+    timeout: float = 120.0,
+    poll: float = 0.05,
+):
+    """Per-store mutual exclusion for every swap-mutating section.
+
+    Yields ``True`` when acquired. With ``wait=False`` (the serve/append
+    healers) yields ``False`` immediately when another live owner holds
+    the store — the correct reaction there is to SKIP healing, because a
+    live owner is mid-swap and finishes it itself. With ``wait=True``
+    (compactors) blocks up to ``timeout`` seconds then raises
+    ``TimeoutError`` — a held lock that long means a second maintenance
+    process is running against the same store, which the protocol forbids.
+
+    The lockdir lives INSIDE the store (``_SWAPLOCK``, underscore ⇒
+    parquet readers skip it), so locking never touches paths outside the
+    store and vanishes with it.
+    """
+    key = os.path.realpath(str(base_dir))
+    tl = _inproc_lock(key)
+    if wait:
+        got_inproc = tl.acquire(timeout=timeout)
+    else:
+        got_inproc = tl.acquire(blocking=False)
+    if not got_inproc:
+        if wait:
+            raise TimeoutError(f"swap_lock: in-process lock busy for {key}")
+        yield False
+        return
+    lockdir = pathlib.Path(base_dir) / "_SWAPLOCK"
+    fs_acquired = False
+    try:
+        deadline = time.monotonic() + timeout
+        while True:
+            if _try_fs_lock(lockdir):
+                fs_acquired = True
+                break
+            if not wait:
+                break
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"swap_lock: {lockdir} held by a live process for >"
+                    f"{timeout}s — two maintenance processes on one store?"
+                )
+            time.sleep(poll)
+        yield fs_acquired
+    finally:
+        if fs_acquired:
+            shutil.rmtree(lockdir, ignore_errors=True)
+        tl.release()
 
 
 # --------------------------------------------------------------------------
@@ -144,6 +283,12 @@ def heal_interrupted_swap(
 
     ``retired`` is only ever deleted AFTER the merged data is confirmed
     in ``live`` (the ADVICE r10 requirement).
+
+    CALLER MUST HOLD :func:`swap_lock` on the store dir (ADVICE r11):
+    unserialized, this heal's renames race a live ``compact_moments``
+    mid-swap (e.g. restoring ``retired`` → ``live`` just as the compactor
+    renames ``tmp`` → ``live``). The moments store's serve/append paths
+    acquire with ``wait=False`` and skip when a live compactor owns it.
     """
     if not live.is_dir():
         if tmp.is_dir():
@@ -187,7 +332,13 @@ def finish_cell_swap(cell_dir: pathlib.Path) -> None:
     ≤ N — committed generations are all in the merge; an uncommitted
     orphan ≤ N is garbage a replay would wipe anyway — then rename the
     merge to ``batch_id=N``. Each step is idempotent, so a crash at any
-    point is healed by re-running."""
+    point is healed by re-running.
+
+    CALLER MUST HOLD :func:`swap_lock` on the corpus dir (ADVICE r11):
+    unserialized, a second healer's delete loop can rmtree the merged
+    generation the first healer just renamed to ``batch_id=N`` — the only
+    committed copy. :func:`finish_pending_cell_swaps` acquires the lock;
+    compactors hold it across plan+stage+swap."""
     merged = next(iter(cell_dir.glob("_merged_hi_*")), None)
     if merged is None:
         return
@@ -198,16 +349,30 @@ def finish_cell_swap(cell_dir: pathlib.Path) -> None:
     merged.rename(cell_dir / f"batch_id={hi}")
 
 
+def _finish_pending_cell_swaps_unlocked(corpus_dir: pathlib.Path) -> int:
+    """The sweep body — caller must hold :func:`swap_lock` on the corpus."""
+    healed = 0
+    for merged in corpus_dir.glob("cluster_id=*/_merged_hi_*"):
+        finish_cell_swap(merged.parent)
+        healed += 1
+    return healed
+
+
 def finish_pending_cell_swaps(corpus_dir: pathlib.Path) -> int:
     """Serve/append-path recovery sweep (ADVICE r10): one glob for pending
     ``_merged_hi_*`` staging dirs across all cells — a crash inside a cell
     swap otherwise leaves that cell's committed rows invisible until the
     next compaction call. Costs one directory glob when nothing is
-    pending. Returns the number of cells healed."""
-    healed = 0
+    pending. Returns the number of cells healed.
+
+    Lock-aware (ADVICE r11): if a LIVE owner holds the store's
+    :func:`swap_lock` — a compactor mid-swap — healing is SKIPPED (returns
+    0); that owner finishes its own swap, and racing it here is exactly
+    the r11 TOCTOU. A DEAD owner's lock is stolen, so a crash mid-swap
+    still heals on the very next serve/append, same as before."""
     if not corpus_dir.is_dir():
-        return healed
-    for merged in corpus_dir.glob("cluster_id=*/_merged_hi_*"):
-        finish_cell_swap(merged.parent)
-        healed += 1
-    return healed
+        return 0
+    with swap_lock(corpus_dir, wait=False) as acquired:
+        if not acquired:
+            return 0
+        return _finish_pending_cell_swaps_unlocked(corpus_dir)

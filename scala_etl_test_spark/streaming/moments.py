@@ -72,6 +72,7 @@ from scala_etl_test_spark.streaming.compaction import (
     heal_interrupted_swap,
     marker_ids,
     marker_path,
+    swap_lock,
     write_watermark,
 )
 
@@ -97,8 +98,15 @@ def _heal(moments_dir: str) -> None:
     EVERY read or append (streaming/compaction.py module docstring /
     ADVICE r10: an append that re-creates the live dir mid-swap makes
     serving silently drop all pre-compaction moments, and the next
-    compaction then deletes the only surviving copies)."""
-    heal_interrupted_swap(*_swap_paths(moments_dir))
+    compaction then deletes the only surviving copies).
+
+    Lock-aware (ADVICE r11): when a LIVE ``compact_moments`` holds the
+    store's swap lock, healing is skipped — racing its renames is the
+    r11 TOCTOU; the compactor finishes its own swap. A DEAD owner's lock
+    is stolen, so crash recovery still happens on the next read/append."""
+    with swap_lock(moments_dir, wait=False) as acquired:
+        if acquired:
+            heal_interrupted_swap(*_swap_paths(moments_dir))
 
 
 def _marker(moments_dir: str, batch_id: int) -> pathlib.Path:
@@ -397,12 +405,21 @@ def compact_moments(spark: SparkSession, moments_dir: str) -> int | None:
     Returns the new watermark, or None when there is nothing to compact
     (fewer than two committed batches on disk).
     """
+    # ADVICE r11: hold the store's swap lock for the whole merge+swap so
+    # a serve/append-path heal can never interleave with the renames
+    # below (they skip with wait=False while this runs)
+    with swap_lock(moments_dir, wait=True):
+        return _compact_moments_locked(spark, moments_dir)
+
+
+def _compact_moments_locked(spark: SparkSession, moments_dir: str) -> int | None:
     pdir, tmp, retired = _swap_paths(moments_dir)
     # crash recovery: a previous run that died mid-swap left the live dir
     # renamed away (or a later append re-created it) — finish the swap
     # before anything else; the shared heal only drops the retired copy
-    # after the merge is confirmed live (streaming/compaction.py)
-    _heal(moments_dir)
+    # after the merge is confirmed live (streaming/compaction.py). Raw
+    # heal, not _heal — the lock is already held on this thread.
+    heal_interrupted_swap(*_swap_paths(moments_dir))
     if not pdir.is_dir():
         return None
     markers = set(_marker_ids(moments_dir))

@@ -239,3 +239,97 @@ class TestSwapCrashSteps:
         # idempotent: a second heal changes nothing
         heal_interrupted_swap(live, tmp, retired)
         assert _gens(live) == gens
+
+
+class TestSwapLock:
+    """Per-store swap lock (ADVICE r11): heal and compaction serialize so
+    a healer can never rmtree a merged generation a live compactor just
+    renamed in — the r11 TOCTOU. Covers acquire/release, skip-when-held
+    (the serve-path reaction), dead-owner stealing, and the
+    finish_pending_cell_swaps skip."""
+
+    def test_acquire_creates_and_releases_lockdir(self, tmp_path):
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        with swap_lock(tmp_path) as acquired:
+            assert acquired is True
+            assert (tmp_path / "_SWAPLOCK" / "pid").is_file()
+        assert not (tmp_path / "_SWAPLOCK").exists()
+
+    def test_nonblocking_skips_while_held_in_process(self, tmp_path):
+        import threading
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        entered = threading.Event()
+        release = threading.Event()
+        observed = []
+
+        def holder():
+            with swap_lock(tmp_path):
+                entered.set()
+                release.wait(timeout=30)
+
+        t = threading.Thread(target=holder)
+        t.start()
+        try:
+            assert entered.wait(timeout=30)
+            with swap_lock(tmp_path, wait=False) as acquired:
+                observed.append(acquired)
+        finally:
+            release.set()
+            t.join(timeout=30)
+        assert observed == [False]
+        # once the holder exits, acquisition succeeds again
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is True
+
+    def test_live_foreign_owner_blocks_nonblocking_and_times_out(self, tmp_path):
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("1")  # init: alive, never ours
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is False
+        with pytest.raises(TimeoutError):
+            with swap_lock(tmp_path, wait=True, timeout=0.3, poll=0.05):
+                pass
+        assert (lockdir / "pid").read_text() == "1"  # never stolen
+
+    def test_dead_owner_lock_is_stolen(self, tmp_path):
+        import subprocess
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text(str(proc.pid))
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is True
+        assert not lockdir.exists()
+
+    def test_finish_pending_cell_swaps_skips_under_live_lock(self, tmp_path):
+        """The serve-path healer must NOT touch a staged swap while a live
+        owner holds the store — exactly the r11 TOCTOU window."""
+        corpus = tmp_path / "corpus"
+        cell = _mk(corpus, "cluster_id=7", {"batch_id=0": "a", "batch_id=1": "b"})
+        _mk(corpus, "cluster_id=7/_merged_hi_1", {})
+        (cell / "_merged_hi_1" / "part-0.parquet").write_text("a+b")
+
+        lockdir = corpus / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("1")  # simulated live compactor
+        assert finish_pending_cell_swaps(corpus) == 0
+        # nothing moved: staged merge still invisible, raw gens intact
+        assert (cell / "_merged_hi_1").is_dir()
+        assert (cell / "batch_id=0").is_dir() and (cell / "batch_id=1").is_dir()
+
+        # owner "finishes": once the lock is gone the sweep heals normally
+        import shutil
+
+        shutil.rmtree(lockdir)
+        assert finish_pending_cell_swaps(corpus) == 1
+        assert _gens(cell) == {"batch_id=1": "a+b"}

@@ -401,3 +401,74 @@ class TestAnnTruncationRecall:
             for r in S.cosine_topk(reordered, [q[i] for i in ranked], k=10).collect()
         ]
         assert got == truth
+
+
+class TestVarianceRankingAdviceR11:
+    """ADVICE r11 regressions: decimal moment sums (int64 SUM wrap),
+    the d % m guard, and the min-vec_id query seed."""
+
+    def test_rr_permutation_rejects_indivisible_dim(self, spark):
+        """d % m != 0 used to build a silently-corrupt permutation
+        (position collisions drop dimensions); now it fails the same way
+        train_pq_codebook does."""
+        from scala_etl_test_spark.plans.queries_data import variance_rr_permutation
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 0.0, 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            variance_rr_permutation(emb, 3, 2)
+
+    def test_ranked_dims_survive_int64_sum_overflow(self, spark):
+        """Σq² must accumulate in decimal(38,0): with q ~ 2e9 (|x| ~ 2000
+        at SCALE=1e6) three rows push the sum past int64, where a long SUM
+        wraps negative in non-ANSI Spark and the high-variance dimension
+        would silently rank LAST instead of first."""
+        from scala_etl_test_spark.plans.queries_data import variance_ranked_dims
+
+        emb = spark.createDataFrame(
+            [(0, [2000.0, 0.001]), (1, [-2000.0, -0.001]), (2, [1999.0, 0.002])],
+            "vec_id long, embedding array<double>",
+        )
+        assert variance_ranked_dims(emb, 2) == [0, 1]
+
+    def test_evals_gate_on_min_vec_id_corpus(self, spark, tmp_path):
+        """Both eval queries (and their oracles) key the probe vector off
+        MIN(vec_id), so a corpus whose ids start at 5 runs end-to-end and
+        still value-matches DuckDB (the old Spark fallback raised
+        TypeError and the old oracle hardcoded vec_id = 0)."""
+        import duckdb
+
+        from scala_etl_test_spark.plans.queries_data import (
+            SQL_ANN_TRUNCATION_RECALL,
+            SQL_PQ_ROTATION_RECALL,
+            q_ann_truncation_recall,
+            q_pq_rotation_recall,
+        )
+        from tests.oracle_harness import compare
+
+        d = 16
+        rows = [
+            (i + 5, [((i * 7 + j * 3) % 11 - 5) / 7.0 for j in range(d)])
+            for i in range(40)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+        )
+        try:
+            for fn, sql in (
+                (q_ann_truncation_recall, SQL_ANN_TRUNCATION_RECALL),
+                (q_pq_rotation_recall, SQL_PQ_ROTATION_RECALL),
+            ):
+                result = compare(fn(spark, str(tmp_path)), con, sql)
+                assert result["count_match"] and result["schema_match"], result
+                assert result["value_match"], result
+        finally:
+            con.close()
