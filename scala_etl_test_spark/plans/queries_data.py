@@ -2006,17 +2006,35 @@ _MODALITY_SQL = (
 
 
 def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scala_etl_test_spark.operators.multimodal import attach_payload_stats
+    """Payload stats + the TOTAL decode classification in one Arrow pass
+    (operators/multimodal.py:payload_stats_with_decode_status) — the
+    decode path that never raises on the corpus and surfaces skipped rows
+    in-band as ``decode_status`` (VERDICT r11 item 4). On this fixture
+    corpus (UTF-8 text payloads, no PIL in the gate container) the
+    classification is SQL-replayable: non-image modalities are
+    ``no_codec``; an image payload that happens to start with the BMP
+    signature ('BM' text) is signature-bearing-but-invalid → ``corrupt``
+    (UTF-8 text cannot satisfy BITMAPINFOHEADER's planes==1 NUL byte, and
+    the PNG signature byte 0x89 cannot start valid UTF-8 at all); every
+    other image payload is ``no_codec``. The statuses are
+    environment-stable (try_decode_media docstring), so the oracle holds
+    with or without PIL installed."""
+    from scala_etl_test_spark.operators.multimodal import payload_stats_with_decode_status
 
     media = _media_table(spark, sf_dir)
-    return attach_payload_stats(media).select("media_id", "modality", "byte_len", "payload_md5")
+    return payload_stats_with_decode_status(media).select(
+        "media_id", "modality", "byte_len", "payload_md5", "decode_status"
+    )
 
 
 SQL_MULTIMODAL_PAYLOAD_STATS = f"""
 SELECT doc_id AS media_id,
        {_MODALITY_SQL} AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       md5(text) AS payload_md5
+       md5(text) AS payload_md5,
+       CASE WHEN {_MODALITY_SQL} != 'image' THEN 'no_codec'
+            WHEN substr(text, 1, 2) = 'BM' THEN 'corrupt'
+            ELSE 'no_codec' END AS decode_status
 FROM documents
 """
 

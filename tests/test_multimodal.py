@@ -87,9 +87,13 @@ def test_resize_real_codec_is_marked_stub(spark):
         resize_media(media, use_real_codec=True).collect()
 
 
-def _png(width, height, color_type=6, bit_depth=8):
+def _png(width, height, color_type=6, bit_depth=8, interlace=0):
     """Build a REAL (spec-valid, zlib-deflated, CRC'd) non-interlaced PNG
-    with stdlib only — what PIL would write for small RGB/RGBA/gray images."""
+    with stdlib only — what PIL would write for small RGB/RGBA/gray images.
+    ``interlace=1`` flips only the IHDR flag (the pixel stream stays
+    sequential): enough to drive the header-level codec-gap branches —
+    both the stdlib UnsupportedCodecError and PIL's lazy header parse —
+    without hand-building Adam7 passes."""
     import binascii
     import struct
     import zlib
@@ -108,7 +112,7 @@ def _png(width, height, color_type=6, bit_depth=8):
         + bytes((x * 37 + y * 11 + c * 5) % 256 for x in range(width) for c in range(channels))
         for y in range(height)
     )
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -312,13 +316,31 @@ def test_decode_media_rejects_corrupt_bmp():
 )
 def test_decode_media_pil_branch():
     """Where PIL IS importable, decode_media must take the PIL branch and
-    agree with the stdlib decoders on the same real payloads."""
+    agree with the stdlib decoders on the same real payloads — including
+    the two codec-gap formats (interlaced PNG, compressed BMP) that the
+    stdlib path classifies unsupported_codec but PIL decodes (VERDICT r11
+    item 4: the gap rows are the ONLY environment-dependent statuses)."""
     for payload in (_png(3, 2, color_type=2), _png(5, 4, color_type=0)):
         got = M.decode_media(payload, "image", "image/png")
         assert (got["width"], got["height"]) in {(3, 2), (5, 4)}
         assert got["n_frames"] == 1
     got = M.decode_media(_bmp(6, 3), "image", "image/bmp")
     assert got == {"width": 6, "height": 3, "n_frames": 1}
+    # parity on the overlap set: stdlib and PIL dims agree payload-for-payload
+    for payload in (_png(4, 7), _png(2, 9, color_type=0), _bmp(5, 4, bpp=32)):
+        stdlib_got = (
+            M._decode_png(payload) if payload[:8] == M._PNG_SIG else M._decode_bmp(payload)
+        )
+        assert M.decode_media(payload, "image", "") == stdlib_got
+    # the gap formats: PIL's header parse serves dims where stdlib raises
+    gap = {
+        "interlaced png": _png(3, 2, interlace=1),
+        "compressed bmp": _bmp(4, 4, compression=1),
+    }
+    for payload in gap.values():
+        got = M.try_decode_media(payload, "image", "")
+        assert got["status"] == "decoded"
+        assert (got["width"], got["height"]) in {(3, 2), (4, 4)}
 
 
 def test_decode_media_untrusted_bytes_raise_only_documented_errors():
@@ -344,3 +366,104 @@ def test_decode_media_untrusted_bytes_raise_only_documented_errors():
         assert set(got) == {"width", "height", "n_frames"}
 
     run()
+
+
+class TestTryDecodeMedia:
+    """The total (never-raising) decode classification (VERDICT r11 item
+    4): statuses for every row class, environment-stability of the
+    non-gap classes, and the Arrow-pass surfacing."""
+
+    def test_statuses_cover_all_row_classes(self):
+        # real decodes carry dims
+        got = M.try_decode_media(_png(3, 2, color_type=2), "image", "image/png")
+        assert got == {"status": "decoded", "width": 3, "height": 2, "n_frames": 1}
+        got = M.try_decode_media(_bmp(5, 4), "image", "image/bmp")
+        assert got == {"status": "decoded", "width": 5, "height": 4, "n_frames": 1}
+        # non-image modalities never have a codec here
+        assert M.try_decode_media(b"RIFF audio", "audio", "audio/wav")["status"] == "no_codec"
+        assert M.try_decode_media(b"", "video", "video/mp4")["status"] == "no_codec"
+        # signature-less image payloads: no decoder recognizes them
+        assert (
+            M.try_decode_media(b"plain text bytes", "image", "text/plain")["status"]
+            == "no_codec"
+        )
+        # signature-bearing but invalid: corrupt, dims None (IHDR lies —
+        # claims 8x8 over a 4x4 pixel stream, same payload the strict
+        # decoder's corrupt-PNG test uses)
+        import struct
+
+        good = _png(4, 4)
+        tampered = good[:16] + struct.pack(">II", 8, 8) + good[24:]
+        got = M.try_decode_media(tampered, "image", "image/png")
+        if M._PILImage is None:  # PIL's lazy open reads only the header
+            assert got == {
+                "status": "corrupt", "width": None, "height": None, "n_frames": None,
+            }
+        assert M.try_decode_media(b"BMtoo-short", "image", "image/bmp")["status"] == "corrupt"
+
+    @pytest.mark.skipif(
+        M._PILImage is not None,
+        reason="codec-gap rows classify 'decoded' where PIL exists "
+        "(covered by test_decode_media_pil_branch)",
+    )
+    def test_codec_gap_rows_are_counted_not_fatal(self):
+        """The two documented gap formats classify unsupported_codec
+        without PIL — the countable row class that used to be a raise."""
+        for payload in (_png(3, 2, interlace=1), _bmp(4, 4, compression=1)):
+            got = M.try_decode_media(payload, "image", "")
+            assert got["status"] == "unsupported_codec"
+            assert got["width"] is None
+
+    def test_never_raises_on_arbitrary_bytes(self):
+        """Totality fuzz — the tolerant twin of the strict decode's
+        documented-errors pin: any bytes, any modality, a dict with a
+        known status, never an exception."""
+        from hypothesis import given, settings, strategies as st
+
+        prefixes = st.sampled_from([b"", M._PNG_SIG, M._BMP_SIG, b"BM" + b"\x00" * 20])
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            prefix=prefixes,
+            body=st.binary(max_size=600),
+            modality=st.sampled_from(["image", "audio", "video", "weird"]),
+        )
+        def run(prefix, body, modality):
+            got = M.try_decode_media(prefix + body, modality, "application/octet-stream")
+            assert got["status"] in M.DECODE_STATUSES
+            assert (got["status"] == "decoded") == (got["width"] is not None)
+
+        run()
+
+    def test_payload_stats_with_decode_status_arrow_pass(self, spark):
+        """One mapInPandas pass yields native-identical stats plus the
+        status column; a mixed corpus (decodable / gap / corrupt /
+        signature-less / non-image) comes back fully classified with no
+        task failure."""
+        import struct
+
+        gap_status = "decoded" if M._PILImage is not None else "unsupported_codec"
+        good = _png(4, 4)
+        tampered = good[:16] + struct.pack(">II", 8, 8) + good[24:]  # IHDR lies
+        corrupt_status = "decoded" if M._PILImage is not None else "corrupt"
+        rows = [
+            (1, "image", _png(3, 2, color_type=2), "image/png", None, None, 1),
+            (2, "image", _png(3, 2, interlace=1), "image/png", None, None, 1),
+            (3, "image", tampered, "image/png", None, None, 1),
+            (4, "image", b"just some text", "text/plain", None, None, 1),
+            (5, "audio", b"RIFF fake audio", "audio/wav", None, None, 1),
+            (6, "image", None, "image/png", None, None, 1),
+        ]
+        df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in M.payload_stats_with_decode_status(df).collect()}
+        assert out[1]["decode_status"] == "decoded"
+        assert out[2]["decode_status"] == gap_status
+        assert out[3]["decode_status"] == corrupt_status
+        assert out[4]["decode_status"] == "no_codec"
+        assert out[5]["decode_status"] == "no_codec"
+        assert out[6]["decode_status"] == "no_codec"  # NULL payload → b""
+        native = {r["media_id"]: r for r in M.attach_payload_stats(df).collect()}
+        for mid, row in out.items():
+            assert row["byte_len"] == (native[mid]["byte_len"] or 0)
+            if native[mid]["payload_md5"] is not None:
+                assert row["payload_md5"] == native[mid]["payload_md5"]
