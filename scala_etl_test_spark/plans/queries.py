@@ -4288,73 +4288,74 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first ~50 registry entries in insertion order per round.  Round-11
-# priority (per VERDICT r10 items 1-2): (1) pq_rotation_recall — carries a
-# full DuckDB oracle for the first time this round (the variance
-# round-robin permutation replaced the non-replayable eigh rotation) and
-# has never scored green; (2) the 32 queries whose last green driver row
-# is r7 (3 rounds stale — the judge's hard requirement: none older than r8
-# after this round), in registry order; (3) the head of the r8-gated tier
-# in registry order to fill the ~50 budget (the remainder rotates in next
-# round).  Everything gated green in r9/r10 on unchanged code sorts last.
-# Staleness computed from CORRECTNESS_r*.json (latest round with a green
-# row for each query name).
+# first ~50 registry entries in insertion order per round.  Round-12
+# priority (per VERDICT r11 item 1): (1) the ENTIRE r8-stale tier — all
+# 34 queries whose last green driver row is r8, in registry order — so
+# after this round no query's green row is older than 2 rounds; (2) the
+# queries whose code changed THIS round and therefore need a fresh row
+# regardless of staleness: pq_rotation_recall / ann_truncation_recall
+# (min-vec_id probe + decimal moment sums), multimodal_payload_stats
+# (decode_status column), forget_from_ivf (narrowed erasure fallbacks),
+# plus embedding_covariance (r9-gated, moment/erasure path churn in
+# r10/r11 — named in VERDICT r11 item 1); (3) the head of the r9-gated
+# tier in registry order to fill the ~50 budget (the remainder rotates
+# next round).  Everything green in r10/r11 on unchanged code sorts
+# last.  Staleness computed from CORRECTNESS_r*.json (latest round with
+# a green row per query name).
 _GATE_PRIORITY: list[str] = [
-    # new full oracle this round — never green under the driver gate
-    "pq_rotation_recall",
-    # added this round (truncation eval) — no driver row yet
-    "ann_truncation_recall",
-    # r7-stale tier — ALL 32, registry order
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "docs_top_terms",
-    "stratified_sample",
-    "corpus_mixture",
-    "vocab_build",
-    "doc_fingerprint",
-    "multimodal_payload_stats",
-    "multimodal_frame_sample",
-    "dedup_clusters",
-    "corpus_clean",
-    "dataset_split",
-    "profile_documents",
-    "repetition_metrics",
-    "pii_scan",
-    "decontaminate",
-    "pack_sequences",
-    "multimodal_features_long",
-    "embedding_centroids",
-    "tokenize_docs",
-    "model_scores",
-    "corpus_prepare",
-    "contrastive_negatives",
-    "semantic_dedup",
-    "semantic_dedup_greedy",
-    "label_spread",
-    # r8-stale tier head, registry order (fills the ~50 budget)
-    "split_explode",
-    "inner_join_using",
-    "window_sum",
-    "conditional_window_sum",
-    "dedup_first_order",
-    "groupby_count",
-    "quantiles_per_group",
-    "category_rules",
-    "events_hourly_anomaly",
-    "expect_orders",
-    "approx_distinct_users",
-    "approx_quantiles_events",
-    "heavy_hitters_cms",
-    "quantile_sketch_merge",
-    "corpus_release_report",
-    "events_drift_psi",
+    # (1) r8-stale tier — ALL 34, registry order
     "sessions_max_concurrency",
+    "events_trend",
+    "copurchase_pairs",
+    "events_sliding_window",
+    "scd2_customer_status",
+    "scd2_asof_enrich",
+    "events_trimmed_stats",
+    "event_transitions",
+    "session_attribution",
+    "full_outer_reconcile",
+    "multimodal_features",
+    "unigram_lm_score",
+    "bm25_topk",
+    "graph_pagerank",
+    "weighted_sample",
+    "dsir_weights",
+    "events_zorder",
+    "ann_multiprobe_topk",
+    "bpe_merges",
+    "embedding_outliers",
+    "kmeans_train",
+    "bigram_lm_score",
+    "pq_codes",
+    "ann_pq_topk",
+    "bpe_encode",
+    "token_budget",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "pmi_collocations",
+    "negative_sampling",
+    "ann_recall_report",
+    "source_kl_divergence",
+    "hybrid_retrieval",
+    "forget_documents",
+    # (2) code changed this round — fresh row required on current code
+    "pq_rotation_recall",
+    "ann_truncation_recall",
+    "multimodal_payload_stats",
+    "forget_from_ivf",
+    "embedding_covariance",
+    # (3) r9-gated tier head, registry order (fills the ~50 budget)
+    "segmentation_rules",
+    "validate_normalize",
+    "topk_customers",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "tpch_q6",
+    "semi_join_exists",
+    "anti_join_no_orders",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))
