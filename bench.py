@@ -371,6 +371,46 @@ def main() -> None:
             if small_adj > 0:
                 scaling["wall_ratio_10x_solo_adjusted"] = round(big_adj / small_adj, 2)
 
+    # Vocabulary-saturated prefix_jaccard pin (VERDICT r11 item 8): the
+    # PPJoin docstring's worst-regime claim — "a corpus whose vocabulary
+    # does NOT grow with size degrades exact candidate generation toward
+    # length-banded all-pairs, but row-local verification keeps it
+    # walkable" — becomes a MEASURED number in every bench artifact. The
+    # regime is built exactly like the docs stress replica (10× the rows
+    # of the small-SF documents table via deterministic per-replica word
+    # shuffles: distinct documents, identical shingle vocabulary) and
+    # dedup_prefix_jaccard is timed at 1× vs 10×. Disable with
+    # SPARK_GRAFT_NO_SATURATION=1.
+    saturated = None
+    if (
+        small_dir
+        and os.path.isdir(small_dir)
+        and small_dir != sf_dir
+        and not os.environ.get("SPARK_GRAFT_NO_SATURATION")
+    ):
+        import shutil as _sh
+        import sys as _sys
+        import tempfile
+
+        if here not in _sys.path:
+            _sys.path.insert(0, here)
+        from tools.stress_replica import REPLICAS, _build_docs_replica
+
+        sat_dir = tempfile.mkdtemp(prefix="bench_sat_docs_")
+        try:
+            n_sat_rows = _build_docs_replica(spark, small_dir, sat_dir)
+            base_wall = min(run_once("dedup_prefix_jaccard", small_dir) for _ in range(2))
+            sat_wall = min(run_once("dedup_prefix_jaccard", sat_dir) for _ in range(2))
+            saturated = {
+                "rows": n_sat_rows,
+                "replicas": REPLICAS,
+                "base_s": round(base_wall, 3),
+                "saturated_s": round(sat_wall, 3),
+                "ratio": round(sat_wall / base_wall, 2) if base_wall > 0 else None,
+            }
+        finally:
+            _sh.rmtree(sat_dir, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -394,6 +434,8 @@ def main() -> None:
     result["solo_rule"] = {"ratio": SOLO_RULE_RATIO, "flagged": flagged}
     if scaling is not None:
         result["scaling_10x"] = scaling
+    if saturated is not None:
+        result["prefix_jaccard_saturated"] = saturated
     # Full-result sidecar: the next run's solo-retime rule needs THIS run's
     # per-query minima, and the driver's artifact keeps only a stdout tail.
     # Committed with the round log so cross-round provenance survives.
