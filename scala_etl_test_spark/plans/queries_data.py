@@ -1956,10 +1956,12 @@ def pca_rotation_recall_report(spark: SparkSession, data_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     k, n_cells, nprobe = 10, 4, 2
     emb = _t(spark, data_dir, "embeddings").transform(tracked_persist)
-    query_raw = [
-        float(v)
-        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    # MIN-vec_id probe, same ADVICE r11 fix as the registered twin: a
+    # hardcoded vec_id==0 .first() raises TypeError on ad-hoc corpora
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    if qrow is None:
+        raise ValueError("embeddings table is empty — nothing to evaluate")
+    query_raw = [float(v) for v in qrow["embedding"]]
     d = len(query_raw)
     comps = S.pca_components_from_cov(S.embedding_covariance(emb), d=d, k=d)
     rotated = S.project_to_components(emb, comps).select(
