@@ -81,7 +81,15 @@ def test_exact_dedup_single_shuffle(q):
 def test_hot_paths_stay_jvm_side(q):
     """No row-at-a-time Python anywhere; Arrow-batched Python only in the
     explicitly-Python multimodal feature extractor."""
-    python_ok = {"multimodal_features", "multimodal_features_long", "model_scores"}
+    python_ok = {
+        "multimodal_features",
+        "multimodal_features_long",
+        "model_scores",
+        # r12: the tolerant decode classification must read payload bytes
+        # in Python by design (operators/multimodal.py:try_decode_media);
+        # stats ride the same single Arrow pass instead of a second scan
+        "multimodal_payload_stats",
+    }
     for name in QUERIES:
         p = plan(q(name), mode="simple")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python UDF:\n{p}"
