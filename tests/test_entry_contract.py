@@ -69,3 +69,22 @@ def test_readme_query_count_matches_registry(contract):
     n = len(contract.queries())
     claimed = {int(m) for m in re.findall(r"(?:ALL|all) (\d+) registered queries", text)}
     assert claimed == {n}, f"README claims {claimed}, registry has {n}"
+
+
+def test_cert_ledger_count_matches_registry(contract):
+    """VERDICT r11 item 6: the round-certification ledger and the registry
+    must agree ON THE SAME TREE (the r11 cert said 182/182 while HEAD's
+    registry was 183 — cert and registry landed in different commits).
+    The round log's newest ``certified registry: N/M queries`` marker is
+    parsed and both numbers must equal len(QUERIES); a cert commit that
+    doesn't update the marker alongside a registry change fails here, in
+    the same pytest run the certification itself records."""
+    import pathlib
+    import re
+
+    survey = pathlib.Path(__file__).resolve().parent.parent / "SURVEY.md"
+    marks = re.findall(r"certified registry: (\d+)/(\d+) queries", survey.read_text())
+    assert marks, "no 'certified registry: N/M queries' marker in SURVEY.md §8"
+    n_q, n_o = (int(x) for x in marks[-1])
+    n = len(contract.queries())
+    assert (n_q, n_o) == (n, n), f"last cert marker {n_q}/{n_o}, registry has {n}"
