@@ -333,3 +333,73 @@ class TestSwapLock:
         shutil.rmtree(lockdir)
         assert finish_pending_cell_swaps(corpus) == 1
         assert _gens(cell) == {"batch_id=1": "a+b"}
+
+
+class TestSwapLockConcurrency:
+    """Post-cert hardening: REAL concurrent healers (threads), not
+    simulated owners. Without the swap lock, parallel
+    finish_pending_cell_swaps calls reproduce the r11 TOCTOU with
+    measurable probability (one healer's delete loop destroys the merged
+    generation another just renamed in); with it, the committed content
+    survives every iteration."""
+
+    def test_parallel_healers_never_lose_the_merge(self, tmp_path):
+        import concurrent.futures
+        import shutil
+
+        for i in range(20):
+            corpus = tmp_path / f"corpus{i}"
+            cell = _mk(
+                corpus, "cluster_id=1", {"batch_id=0": "a", "batch_id=1": "b"}
+            )
+            staged = cell / "_merged_hi_1"
+            staged.mkdir()
+            (staged / "part-0.parquet").write_text("a+b")
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+                healed = list(
+                    ex.map(lambda _: finish_pending_cell_swaps(corpus), range(8))
+                )
+            # exactly one healer wins; skippers report 0 (live owner) —
+            # and NOBODY deletes the only committed copy
+            assert sum(healed) == 1, healed
+            assert _gens(cell) == {"batch_id=1": "a+b"}
+            shutil.rmtree(corpus)
+
+    def test_lock_released_on_exception(self, tmp_path):
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        with pytest.raises(RuntimeError, match="boom"):
+            with swap_lock(tmp_path):
+                raise RuntimeError("boom")
+        assert not (tmp_path / "_SWAPLOCK").exists()
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is True
+
+    def test_reacquire_after_skip_path(self, tmp_path):
+        """A wait=False miss must leave both lock layers clean — the
+        in-process lock especially (an unreleased threading lock would
+        deadlock every later compaction of the same store)."""
+        import threading
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("1")
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is False
+        import shutil
+
+        shutil.rmtree(lockdir)
+
+        got = []
+
+        def worker():
+            with swap_lock(tmp_path, wait=True, timeout=5) as a:
+                got.append(a)
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join(timeout=30)
+        assert got == [True]
