@@ -4343,6 +4343,9 @@ _GATE_PRIORITY: list[str] = [
     "ann_truncation_recall",
     "multimodal_payload_stats",
     "forget_from_ivf",
+    # post-cert amendment: NEW query gating the persisted erasure +
+    # audit-classification path (never driver-gated before)
+    "erasure_audit",
     "embedding_covariance",
     # (3) r9-gated tier head, registry order (fills the ~50 budget)
     "segmentation_rules",

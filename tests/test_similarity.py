@@ -921,3 +921,20 @@ class TestErasureAuditTrail:
         part.write_bytes(b"not a parquet file")
         with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
             S.erasure_audit_status(spark, corpus).collect()
+
+
+def test_erasure_audit_query_deterministic_and_applied(spark, sf_dir):
+    """Registered-query pin for the r12 post-cert amendment: two runs
+    (two fresh corpus dirs) classify identically, every touched cell is
+    'applied' with rows_actual == rows_after_expected, and at least one
+    cell was actually touched by the standard closure request."""
+    from scala_etl_test_spark.plans.queries_data import q_erasure_audit
+
+    a = sorted(tuple(r) for r in q_erasure_audit(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_erasure_audit(spark, sf_dir).collect())
+    assert a == b
+    assert a, "closure request touched no cells — fixture drifted"
+    for _cell, before, erased, after_exp, actual, status in a:
+        assert status == "applied"
+        assert actual == after_exp == before - erased
+        assert erased > 0
