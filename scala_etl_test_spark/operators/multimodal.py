@@ -327,19 +327,29 @@ def payload_stats_with_decode_status(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            # NULL payloads keep NULL stats — the same semantics as the
+            # native attach_payload_stats (F.length/F.md5 of NULL) and the
+            # registered oracle's octet_length/md5; mapping NULL to b''
+            # here silently diverged on NULL rows (caught by the crafted
+            # all-branches parity test). The decode CLASSIFIER still sees
+            # b'' — "no payload" classifies no_codec, not a crash.
+            payloads = [bytes(p) if p is not None else None for p in pdf["payload"]]
             statuses = [
-                try_decode_media(p, m, mm)["status"]
+                try_decode_media(p or b"", m, mm)["status"]
                 for p, m, mm in zip(payloads, pdf["modality"], pdf["mime"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "modality": pdf["modality"].to_numpy(),
-                    "byte_len": np.fromiter(
-                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                    "byte_len": pd.array(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="Int64",
                     ),
-                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
                     "decode_status": statuses,
                 },
                 columns=[f.name for f in PAYLOAD_STATUS_SCHEMA.fields],

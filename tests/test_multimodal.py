@@ -461,9 +461,65 @@ class TestTryDecodeMedia:
         assert out[3]["decode_status"] == corrupt_status
         assert out[4]["decode_status"] == "no_codec"
         assert out[5]["decode_status"] == "no_codec"
-        assert out[6]["decode_status"] == "no_codec"  # NULL payload → b""
+        assert out[6]["decode_status"] == "no_codec"  # NULL payload classifies, stats stay NULL
         native = {r["media_id"]: r for r in M.attach_payload_stats(df).collect()}
         for mid, row in out.items():
-            assert row["byte_len"] == (native[mid]["byte_len"] or 0)
-            if native[mid]["payload_md5"] is not None:
-                assert row["payload_md5"] == native[mid]["payload_md5"]
+            # NULL-preserving: byte_len/md5 must match the native path
+            # exactly, including NULL for a NULL payload
+            assert row["byte_len"] == native[mid]["byte_len"]
+            assert row["payload_md5"] == native[mid]["payload_md5"]
+
+
+def test_payload_stats_oracle_parity_covers_all_status_branches(spark, tmp_path):
+    """Cross-engine pin for the decode_status CASE: the sf fixtures never
+    produce a 'BM'-prefixed image text, so the 'corrupt' branch of the
+    registered oracle would otherwise go unexercised. A crafted documents
+    table drives every branch — image+BM-prefix (corrupt), image plain
+    text (no_codec), NULL text (no_codec), audio/video (no_codec) — and
+    Spark must value-hash-match DuckDB on it."""
+    import duckdb
+
+    from scala_etl_test_spark.plans.queries_data import (
+        SQL_MULTIMODAL_PAYLOAD_STATS,
+        q_multimodal_payload_stats,
+    )
+    from tests.oracle_harness import compare
+
+    rows = [
+        # (doc_id, source, text, n_chars) — source 'web' → image modality
+        (1, "web", "BM looks like a bitmap header but is prose", 43),
+        (2, "web", "BM", 2),
+        (3, "web", "plain web document text", 23),
+        (4, "web", None, None),
+        (5, "books", "BM audio modality never decodes", 31),
+        (6, "wiki", "video modality text", 19),
+        (7, "web", "", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    try:
+        result = compare(
+            q_multimodal_payload_stats(spark, str(tmp_path)),
+            con,
+            SQL_MULTIMODAL_PAYLOAD_STATS,
+        )
+        assert result["count_match"] and result["schema_match"], result
+        assert result["value_match"], result
+    finally:
+        con.close()
+    # and the branch coverage is what we claimed
+    out = {
+        r["media_id"]: r["decode_status"]
+        for r in q_multimodal_payload_stats(spark, str(tmp_path)).collect()
+    }
+    if M._PILImage is None:
+        assert out[1] == "corrupt" and out[2] == "corrupt"
+    assert out[3] == "no_codec" and out[4] == "no_codec"
+    assert out[5] == "no_codec" and out[6] == "no_codec" and out[7] == "no_codec"
