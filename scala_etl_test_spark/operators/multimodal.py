@@ -380,19 +380,31 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
         # columnar, no iterrows: one pass per column, the per-byte histogram
         # work vectorized in numpy (byte_histogram_features)
         for pdf in batches:
-            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            # NULL payloads: the MOMENT columns (byte_len, features) take
+            # the documented empty-branch values (0, zero-vector — a NULL
+            # payload carries no bytes to count), but the DIGEST is NULL,
+            # not md5(b'') — "the hash of nothing" and "no payload to
+            # hash" are different facts, and the registered oracle
+            # (md5(text)) distinguishes them. Caught by the crafted
+            # NULL-corpus parity test; the sf fixtures carry no NULLs.
+            payloads = [bytes(p) if p is not None else None for p in pdf["payload"]]
             if use_real_codec:
                 for payload, modality, mime in zip(payloads, pdf["modality"], pdf["mime"]):
-                    decode_media(payload, modality, mime)  # PIL-gated; raises without codecs
+                    decode_media(payload or b"", modality, mime)  # PIL-gated; raises without codecs
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "modality": pdf["modality"].to_numpy(),
                     "byte_len": np.fromiter(
-                        (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                        (len(p) if p is not None else 0 for p in payloads),
+                        dtype=np.int64,
+                        count=len(payloads),
                     ),
-                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "features": [byte_histogram_features(p) for p in payloads],
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
+                    "features": [byte_histogram_features(p or b"") for p in payloads],
                 },
                 columns=[f.name for f in DECODED_SCHEMA.fields],
             )
@@ -458,6 +470,13 @@ def sample_frame_indices(
     df: DataFrame, n_frames_col: str = "meta_n_frames", every: int = 2
 ) -> DataFrame:
     """One row per sampled frame index — native explode over a sequence;
-    decode happens after sampling, never before."""
-    idx = F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
+    decode happens after sampling, never before. A NULL frame count
+    yields NO rows (unknown length ⇒ nothing to sample) — Spark's
+    NULL-skipping ``greatest(NULL, 0)`` would otherwise silently invent
+    frame 0 for such rows, diverging from the SQL semantics
+    (``range(0, NULL)`` is empty); caught by the crafted NULL-corpus
+    parity test."""
+    n = F.col(n_frames_col)
+    hi = F.when(n.isNotNull(), F.greatest(n - 1, F.lit(0)))
+    idx = F.sequence(F.lit(0), hi, F.lit(every))
     return df.withColumn("frame_index", F.explode(idx))

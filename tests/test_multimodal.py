@@ -523,3 +523,50 @@ def test_payload_stats_oracle_parity_covers_all_status_branches(spark, tmp_path)
         assert out[1] == "corrupt" and out[2] == "corrupt"
     assert out[3] == "no_codec" and out[4] == "no_codec"
     assert out[5] == "no_codec" and out[6] == "no_codec" and out[7] == "no_codec"
+
+
+def test_features_and_frame_sample_oracle_parity_on_crafted_nulls(spark, tmp_path):
+    """Crafted-corpus parity for the remaining multimodal registry
+    entries (features, features_long, frame_sample) over NULL / empty /
+    unicode texts — the documented NULL→b'' feature semantics and the
+    COALESCE branches in their oracles get a value-hash check the sf
+    fixtures (no NULL texts) cannot give them."""
+    import duckdb
+
+    from scala_etl_test_spark.plans.queries_data import (
+        SQL_MULTIMODAL_FEATURES,
+        SQL_MULTIMODAL_FEATURES_LONG,
+        SQL_MULTIMODAL_FRAME_SAMPLE,
+        q_multimodal_features,
+        q_multimodal_features_long,
+        q_multimodal_frame_sample,
+    )
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "web", "ordinary text payload", 21),
+        (2, "web", None, None),
+        (3, "books", "", 0),
+        (4, "wiki", "múltí-byte ünïcôde — nibbles differ from ASCII", 46),
+        (5, "books", "BM short", 8),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    try:
+        for fn, sql in (
+            (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+            (q_multimodal_features_long, SQL_MULTIMODAL_FEATURES_LONG),
+            (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
+        ):
+            result = compare(fn(spark, str(tmp_path)), con, sql)
+            assert result["count_match"] and result["schema_match"], (fn.__name__, result)
+            assert result["value_match"], (fn.__name__, result)
+    finally:
+        con.close()
