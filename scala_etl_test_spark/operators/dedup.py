@@ -69,8 +69,15 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.get(w, i + j) for j in range(n)]
     )
-    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
-        F.array(F.concat_ws(" ", w))
+    # NULL words array (NULL text) ⇒ EMPTY shingle set, not [''] — without
+    # the first branch concat_ws's NULL-coercion minted an '' whole-doc
+    # shingle for NULL documents, pairing "no content" with genuinely
+    # empty documents (r12 edge-corpus sweep; oracle twin:
+    # plans/queries_data.py:_shingles_sql's d.text IS NULL branch)
+    return (
+        F.when(w.isNull(), F.array().cast("array<string>"))
+        .when(F.size(w) >= n, F.transform(idx, gram))
+        .otherwise(F.array(F.concat_ws(" ", w)))
     )
 
 
@@ -396,8 +403,17 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3)
     # the exchange reuse documented above (the verification joins push
     # isnotnull; the signature groupBy does not — without this filter the
     # two subtrees diverge at the scan and Catalyst re-executes it).
+    # NULL-TEXT rows are dropped with the NULL-id rows (r12 edge-corpus
+    # sweep): a NULL document has no content to shingle. Without the
+    # filter, split(NULL) → NULL array and concat_ws's NULL-coercion
+    # silently minted an '' whole-doc shingle — pairing "no content"
+    # with every genuinely-empty document and diverging from the oracle
+    # (whose NULL shingle row crashes the hex seed instead).
     return (
-        _spread(df.filter(F.col(id_col).isNotNull()), id_col)
+        _spread(
+            df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull()),
+            id_col,
+        )
         .select(F.col(id_col), words(text_col).alias("_w"))
         .select(
             F.col(id_col),

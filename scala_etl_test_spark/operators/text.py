@@ -61,8 +61,14 @@ def quality_score(col: Column | str) -> Column:
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     n_stop = F.size(F.filter(w, lambda x: x.isin(all_markers)))
     n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
-    punct_ratio = F.round(n_punct / n_chars, 6)
-    stop_ratio = F.round(n_stop / n_words, 6)
+    # try_divide, not "/": an EMPTY or whitespace-only document has
+    # n_chars/n_words = 0, and under Spark 4 ANSI a raw divide kills the
+    # executor task (caught by the r12 edge-corpus sweep — the generated
+    # fixtures contain no empty docs, a 100 TB corpus certainly does).
+    # NULL ratio == DuckDB's x/0, and every F.when below sends NULL to
+    # its otherwise-branch exactly like the oracle's CASE.
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
+    stop_ratio = F.round(F.try_divide(n_stop, n_words), 6)
     length_ok = (n_words >= 5) & (n_words <= 10000)
     return F.round(
         F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
@@ -96,11 +102,17 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_stop = F.size(F.filter(w, lambda x: x.isin(all_markers)))
     n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    punct_ratio = F.round(n_punct / n_chars, 6)
-    stop_ratio = F.round(n_stop / n_words, 6)
-    digit_ratio = F.round(n_digit / n_chars, 6)
+    # try_divide throughout (see quality_score): empty/whitespace-only
+    # documents must score, not crash the scan under ANSI
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 6)
+    stop_ratio = F.round(F.try_divide(n_stop, n_words), 6)
+    digit_ratio = F.round(F.try_divide(n_digit, n_chars), 6)
     avg_word_len = F.round(
-        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_words, 6
+        F.try_divide(
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+            n_words,
+        ),
+        6,
     )
     length_ok = (n_words >= 5) & (n_words <= 10000)
     quality = (

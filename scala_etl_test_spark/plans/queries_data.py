@@ -43,9 +43,17 @@ _PACK_BUDGET = 256  # tokens per packed sequence (pack_sequences / corpus_prepar
 
 
 def _shingles_sql(n: int) -> str:
+    """NULL text ⇒ NO shingles (r12 edge-corpus sweep): a NULL document
+    has no content to fingerprint — unlike the empty string, whose ''
+    whole-doc shingle legitimately pairs all empty-normalized docs. The
+    engine twin is the text-isnotnull filter in
+    operators/dedup.py:shingle_table; without this branch the NULL
+    propagated into md5(NULL) and DuckDB's NULL-skipping concat turned
+    the hex seed into the unparseable literal '0x'."""
     parts = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
     return (
-        f"CASE WHEN len(w) >= {n} "
+        f"CASE WHEN d.text IS NULL THEN CAST([] AS VARCHAR[]) "
+        f"WHEN len(w) >= {n} "
         f"THEN list_transform(range(0, len(w) - {n} + 1), i -> {parts}) "
         f"ELSE [{_NORM_SQL.replace('text', 'd.text')}] END"
     )
@@ -730,8 +738,12 @@ def q_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MODEL_SCORES = f"""
 SELECT doc_id,
-       CAST(CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 8)) AS BIGINT) % 1000000
-            AS DOUBLE) / 1000000 AS model_score
+       -- NULL text scores NULL (the engine's NULL-in → NULL-out contract);
+       -- without the guard DuckDB's NULL-skipping concat turns the hex
+       -- seed into the unparseable literal '0x' (r12 edge-corpus sweep)
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(CAST(concat('0x', substr(md5({_NORM_SQL}), 1, 8)) AS BIGINT) % 1000000
+                 AS DOUBLE) / 1000000 END AS model_score
 FROM documents
 """
 
