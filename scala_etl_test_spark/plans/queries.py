@@ -707,10 +707,14 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact integers, so the trailing mean/variance
     (computed from SUM and SUM of squares in double) and ``sqrt`` are
     bit-identical across engines; the z-score is rounded to 6.
+    NULL-timestamp events are excluded (r12 timeline-operator
+    convention): an undated event belongs to no hour, and a NULL bucket
+    sorts on opposite ends of the trailing window in the two engines,
+    shifting every downstream running statistic by one position.
     """
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
         "event_type",
@@ -749,7 +753,7 @@ WITH hourly AS (
   SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
          event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), stats AS (
   SELECT hour_bucket, event_type, n_events,
          COUNT(*) OVER w AS n,
@@ -1704,10 +1708,14 @@ def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers in any engine, so the kept SET is cross-engine identical —
     a value-threshold winsorization would hinge on float-equality at the
     percentile boundary. One window shuffle (row_number and the group
-    count share the partition spec) + one aggregate."""
+    count share the partition spec) + one aggregate. NULL values are
+    excluded up front (r12 edge-corpus sweep): a row with no metric
+    carries nothing to trim or average, and NULL sorts on opposite ends
+    of the value ranking in the two engines — it would shift which rows
+    the rank bounds cut."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
     n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
     ranked = (
@@ -1732,7 +1740,7 @@ WITH ranked AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -1883,7 +1891,11 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates, expressed in batch. Spark's ``window()`` replicates each row
     into its 4 covering windows JVM-side (no explode in user code); the
     oracle reproduces the same windows by unnesting slide offsets 0..3
-    from each row's 15-min bucket."""
+    from each row's 15-min bucket. Spark's window() silently DROPS
+    NULL-timestamp rows (no window covers them); the oracle's
+    ``WHERE ts IS NOT NULL`` states the same semantics explicitly
+    (r12 edge-corpus sweep — time_bucket(NULL) minted a phantom NULL
+    window on the DuckDB side)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
@@ -1907,6 +1919,7 @@ WITH x AS (
            - k * (INTERVAL '15 minutes') AS win_start
   FROM (
     SELECT event_type, value, ts, unnest([0, 1, 2, 3]) AS k FROM events
+    WHERE ts IS NOT NULL
   )
 )
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1925,8 +1938,12 @@ FROM x GROUP BY 1, 2
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ROWS frame (3 PRECEDING..CURRENT) with a total order —
     beyond the reference's unbounded frames (SURVEY §2.5). Decimal math for
-    cross-engine exactness."""
-    ev = _t(spark, sf_dir, "events")
+    cross-engine exactness. NULL-timestamp events are EXCLUDED (r12
+    edge-corpus sweep): an event with no time has no position in a
+    time-ordered frame, and the engines disagree on where NULL sorts
+    (Spark NULLS FIRST, DuckDB NULLS LAST) — the timeline-operator
+    convention shared with event_transitions/session_attribution."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select(
         "event_id",
@@ -1942,6 +1959,7 @@ SQL_WINDOW_MOVING_AVG = """
 SELECT event_id, user_id,
        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w / COUNT(*) OVER w AS DECIMAL(16,6)) AS DOUBLE) AS moving_avg
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
@@ -2004,10 +2022,17 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSON_PROPS_EXTRACT = """
+-- json_valid guard (r12 edge-corpus sweep): Spark's from_json returns
+-- NULL for malformed JSON (counted n_unparseable); DuckDB's raw
+-- json_extract THROWS on it — the guard states the tolerant semantics
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(COUNT(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 END) AS BIGINT) AS n_unparseable
+       CAST(SUM(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN NOT COALESCE(json_valid(props), FALSE) THEN 1
+                       WHEN json_extract(props, '$.k') IS NULL THEN 1
+                  END) AS BIGINT) AS n_unparseable
 FROM events GROUP BY event_type
 """
 
@@ -2533,8 +2558,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition no matter the corpus size. The row-normalizing total is a
     window over the 25-row aggregate, not over events. Last event of a
     user has no successor and is excluded (lead is NULL), matching the
-    standard open-boundary convention."""
-    ev = _t(spark, sf_dir, "events")
+    standard open-boundary convention. NULL-timestamp events are
+    excluded (r12 timeline-operator convention): no time ⇒ no position
+    in the user's sequence, and NULL sorts on opposite ends in the two
+    engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = (
         ev.withColumn("to_type", F.lead("event_type").over(by_time))
@@ -2557,7 +2585,7 @@ SQL_EVENT_TRANSITIONS = """
 WITH steps AS (
   SELECT event_type AS from_type,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 counts AS (
   SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_steps
@@ -2582,8 +2610,12 @@ def q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same pass via min_by/max_by on the (ts, event_id) total order —
     no second window, no self-join. Two 5-row aggregates (one per model)
     full-outer-join on type; nulls mean a type never opened (resp. closed)
-    a session. Revenue sums in decimal for cross-engine bit-stability."""
-    ev = _t(spark, sf_dir, "events")
+    a session. Revenue sums in decimal for cross-engine bit-stability.
+    NULL-timestamp events are excluded (r12 timeline-operator
+    convention): an undated event can neither open nor close a session,
+    and the engines disagree on where NULL sorts in the (ts, event_id)
+    total order the min_by/max_by keys use."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     flagged = ev.withColumn(
@@ -2641,7 +2673,7 @@ WITH flagged AS (
   SELECT user_id, ts, event_id, event_type, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 sessions AS (
   SELECT *,
@@ -2701,8 +2733,15 @@ def q_approx_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFram
     Gate shape (same as approx_distinct_users): the estimate itself is
     engine-specific, so the hashed output carries the exact count and the
     IN-BAND verdict |merged/exact − 1| ≤ 5·rsd; the oracle reproduces the
-    exact side and pins the verdict TRUE."""
-    ev = _t(spark, sf_dir, "events")
+    exact side and pins the verdict TRUE.
+
+    NULL-timestamp events are excluded (r12 edge-corpus sweep): the
+    query models a DAILY rollup job, which never sees undated rows — and
+    DuckDB's COUNT(DISTINCT CAST(ts AS DATE)) would skip the NULL day
+    Spark's groupBy materializes, off-by-one per affected type. The
+    type join is NULL-SAFE so an unknown-type bucket (NULL event_type)
+    stays visible like every other per-type rollup here."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -2715,9 +2754,13 @@ def q_approx_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFram
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
     return (
-        merged.join(exact, on="event_type")
+        merged.alias("m")
+        .join(
+            exact.alias("x"),
+            F.col("m.event_type").eqNullSafe(F.col("x.event_type")),
+        )
         .select(
-            "event_type",
+            F.col("m.event_type").alias("event_type"),
             "n_daily_sketches",
             "n_exact",
             (F.abs(F.col("est") / F.col("n_exact") - 1) <= _HLL_BOUND).alias(
@@ -2734,6 +2777,7 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
        TRUE AS within_bound
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -3509,8 +3553,13 @@ def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type day grid — the candidate axis is DAYS (bounded), never rows.
     SSE = Σv² − (Σv)²/n per segment, in fixed decimal until the final
     division so both engines agree bit-for-bit; ties break to the
-    earliest day."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    earliest day. NULL-timestamp events are excluded with the NULL
+    values (r12 timeline-operator convention): an undated value has no
+    day on the series, and the NULL day group shifts the prefix sums
+    differently per engine."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     day = F.to_date("ts")
     daily = ev.groupBy("event_type", day.alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -3569,7 +3618,7 @@ WITH daily AS (
          COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(12,2))) AS s,
          SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
   GROUP BY 1, 2
 ),
 cum AS (
