@@ -177,3 +177,45 @@ def test_events_engine_survives_nan_values(spark, sf_dir, tmp_path):
         "events_trimmed_stats",
     ):
         assert QUERIES[name](spark, str(tmp_path)).count() >= 0, name
+
+
+def test_embeddings_engine_survives_null_and_empty_vectors(spark, sf_dir, tmp_path):
+    """Engine-robustness pin for the embeddings family: NULL and
+    zero-length embedding rows must not kill any of the ANN / covariance
+    / clustering queries (quantized_base's documented NULL/empty filter
+    plus the cosine NULL semantics absorb them). Parity is not asserted
+    here — the vector oracles hardcode width arithmetic — only that the
+    plans execute; at 100 TB a NULL vector from a failed embed job is a
+    certainty, and the answer is quarantine, not a dead executor."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900000, NULL, 0),
+            (900001, CAST([] AS FLOAT[]), 1)
+          ) t(vec_id, embedding, label)
+        ) TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in TABLES:
+        src = pathlib.Path(sf_dir) / f"{t}.parquet"
+        if t != "embeddings" and src.exists():
+            shutil.copy(src, tmp_path / f"{t}.parquet")
+    for name in (
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "embedding_covariance",
+        "embedding_near_dup",
+        "semantic_dedup",
+        "embedding_centroids",
+        "kmeans_train",
+        "ann_pq_topk",
+    ):
+        assert QUERIES[name](spark, str(tmp_path)).count() >= 0, name
