@@ -4337,77 +4337,78 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 }
 
 # Driver-gate ordering: the driver's correctness gate covers roughly the
-# first ~50 registry entries in insertion order per round.  Round-12
-# priority (per VERDICT r11 item 1): (1) the ENTIRE r8-stale tier — all
-# 34 queries whose last green driver row is r8, in registry order — so
-# after this round no query's green row is older than 2 rounds; (2) the
-# queries whose code changed THIS round and therefore need a fresh row
-# regardless of staleness: pq_rotation_recall / ann_truncation_recall
-# (min-vec_id probe + decimal moment sums), multimodal_payload_stats
-# (decode_status column), forget_from_ivf (narrowed erasure fallbacks),
-# plus embedding_covariance (r9-gated, moment/erasure path churn in
-# r10/r11 — named in VERDICT r11 item 1); (3) the head of the r9-gated
-# tier in registry order to fill the ~50 budget (the remainder rotates
-# next round).  Everything green in r10/r11 on unchanged code sorts
-# last.  Staleness computed from CORRECTNESS_r*.json (latest round with
-# a green row per query name).
+# first ~50 registry entries in insertion order per round.  Round-13
+# priority (per VERDICT r12 item 1): (1) the ENTIRE r9-stale tier — all
+# 38 queries whose last green driver row is r9, in registry order.
+# This tier is simultaneously the oldest AND contains most of the
+# queries whose implementation changed in r12 (the NULL-text shingle
+# builder in operators/dedup.py:60-80 and the try_divide ratio fixes in
+# operators/text.py:64): dedup_minhash_pairs, dedup_prefix_jaccard,
+# dedup_snm, chunk_dedup, split_leakage_audit, source_overlap_matrix,
+# lsh_recall_audit, quality_filter_sweep, oov_rate, ...  (2) the
+# r10-gated entries ALSO downstream of the r12 shingle/text fixes
+# (dedup_simhash*, dedup_containment, dedup_ngram_jaccard,
+# dedup_edit_distance, dedup_method_report, window_moving_avg,
+# json_props_extract) plus the span/winnow family that shares the
+# shingle builder — fills the ~50 budget.  Everything green in r11/r12
+# on unchanged code sorts last.  Done-bar: after the r13 gate no green
+# row is older than r11 and every query whose implementation changed in
+# r12 has a post-change driver row.  Staleness computed from
+# CORRECTNESS_r*.json (latest round with a green row per query name).
 _GATE_PRIORITY: list[str] = [
-    # (1) r8-stale tier — ALL 34, registry order
-    "sessions_max_concurrency",
-    "events_trend",
-    "copurchase_pairs",
-    "events_sliding_window",
-    "scd2_customer_status",
-    "scd2_asof_enrich",
-    "events_trimmed_stats",
-    "event_transitions",
-    "session_attribution",
-    "full_outer_reconcile",
-    "multimodal_features",
-    "unigram_lm_score",
-    "bm25_topk",
-    "graph_pagerank",
-    "weighted_sample",
-    "dsir_weights",
-    "events_zorder",
-    "ann_multiprobe_topk",
-    "bpe_merges",
-    "embedding_outliers",
-    "kmeans_train",
-    "bigram_lm_score",
-    "pq_codes",
-    "ann_pq_topk",
-    "bpe_encode",
-    "token_budget",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "pmi_collocations",
-    "negative_sampling",
-    "ann_recall_report",
-    "source_kl_divergence",
-    "hybrid_retrieval",
-    "forget_documents",
-    # (2) code changed this round — fresh row required on current code
-    "pq_rotation_recall",
-    "ann_truncation_recall",
-    "multimodal_payload_stats",
-    "forget_from_ivf",
-    # post-cert amendment: NEW query gating the persisted erasure +
-    # audit-classification path (never driver-gated before)
-    "erasure_audit",
-    "embedding_covariance",
-    # (3) r9-gated tier head, registry order (fills the ~50 budget)
-    "segmentation_rules",
-    "validate_normalize",
-    "topk_customers",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "tpch_q6",
-    "semi_join_exists",
+    # (1) r9-stale tier — ALL 38, registry order
     "anti_join_no_orders",
+    "topk_docs_per_source",
+    "skew_salted_join",
+    "skew_distinct_count",
+    "events_gapfill",
+    "events_ab_welch",
+    "events_ks_drift",
+    "kanon_audit",
+    "events_lateness_audit",
+    "events_changepoint",
+    "lineitem_corr_matrix",
+    "orders_checksum",
+    "customer_balance_ntiles",
+    "events_ewma",
+    "approx_distinct_sketch_merge",
+    "approx_overlap_sketch",
+    "training_set_pit",
+    "funnel_latency",
+    "event_path_trigrams",
+    "fk_integrity_audit",
+    "pseudonymize_referential",
+    "join_size_profile",
+    "prorate_order_totals",
+    "pareto_revenue",
+    "dedup_minhash_pairs",
+    "chunk_dedup",
+    "dedup_prefix_jaccard",
+    "dedup_snm",
+    "item_cf_neighbors",
+    "graph_triangles",
+    "decontaminate_bloom_audit",
+    "source_overlap_matrix",
+    "quality_filter_sweep",
+    "oov_rate",
+    "cdc_chunk_dedup",
+    "split_leakage_audit",
+    "lsh_recall_audit",
+    "shard_manifest",
+    # (2) r10-gated entries touched by (or sharing the shingle builder
+    # with) the r12 dedup.py/text.py fixes — registry order
+    "json_props_extract",
+    "window_moving_avg",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "duplicate_spans",
+    "duplicate_span_stats",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "dedup_method_report",
+    "dedup_edit_distance",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))
