@@ -225,6 +225,12 @@ def decode_media(payload: bytes, modality: str, mime: str) -> dict:
     fallback."""
     if modality == "image":
         if _PILImage is not None:
+            # PIL.open is a LAZY header parse (ADVICE r12): verify() the
+            # full stream so a valid-header/corrupt-body payload raises
+            # here like it does in the stdlib decoders, then re-open —
+            # verify() consumes the Image object.
+            img = _PILImage.open(io.BytesIO(payload))
+            img.verify()
             img = _PILImage.open(io.BytesIO(payload))
             return {
                 "width": img.width,
@@ -262,12 +268,15 @@ def try_decode_media(payload: bytes, modality: str, mime: str) -> dict:
 
     Statuses are ENVIRONMENT-STABLE except for the gap itself: with or
     without PIL, a signature-less payload is ``no_codec`` and a
-    signature-bearing undecodable one is ``corrupt``; only the gap rows
-    move (``decoded`` with PIL, ``unsupported_codec`` without) — so an
-    oracle over a gap-free corpus replays identically in both
-    environments. Unexpected exceptions still propagate: anything
-    other than the documented ValueError/UnsupportedCodecError out of
-    the stdlib decoders is a bug, not a payload problem."""
+    signature-bearing undecodable one is ``corrupt`` — the PIL branch
+    calls ``img.verify()`` so a valid-header/corrupt-body stream cannot
+    classify ``decoded`` there (ADVICE r12: ``PIL.open`` alone is a lazy
+    header parse); only the gap rows move (``decoded`` with PIL,
+    ``unsupported_codec`` without) — so an oracle over a gap-free corpus
+    replays identically in both environments. Unexpected exceptions
+    still propagate: anything other than the documented
+    ValueError/UnsupportedCodecError out of the stdlib decoders is a
+    bug, not a payload problem."""
     none = {"width": None, "height": None, "n_frames": None}
     payload = payload or b""
     if modality != "image":
@@ -281,6 +290,8 @@ def try_decode_media(payload: bytes, modality: str, mime: str) -> dict:
     )
     if _PILImage is not None:
         try:
+            img = _PILImage.open(io.BytesIO(payload))
+            img.verify()  # full-stream integrity; open() is header-lazy
             img = _PILImage.open(io.BytesIO(payload))
             return {
                 "status": "decoded",

@@ -46,11 +46,15 @@ the retired copy. Healing before any read or append closes that window.
    stealers cannot both win. Serve/append healers acquire with
    ``wait=False`` and simply SKIP healing when a live owner holds the
    lock — that owner is mid-swap and will finish it; compactors acquire
-   with ``wait=True``. Pid-liveness stealing assumes the stores' staging
-   filesystem is same-host (true for the local-fs delta spines these
-   stores use); on a shared filesystem run a single maintenance process
-   per store — the lock then degrades to the documented single-process
-   model rather than silently corrupting.
+   with ``wait=True``. The owner token is pid + ``/proc`` start time, so
+   a recycled pid cannot impersonate a dead owner (ADVICE r12); the
+   token is staged and renamed in atomically, so a crash can never leave
+   a pid-less held lock (ADVICE r12). Pid-liveness stealing assumes the
+   stores' staging filesystem is same-host (true for the local-fs delta
+   spines these stores use); on a SHARED filesystem — where the stores
+   would actually live at 100 TB — switch to the mtime-lease variant
+   (``lease_ttl=`` / :data:`DEFAULT_LEASE_TTL` + periodic
+   :func:`refresh_swap_lock`), which needs no cross-host pid semantics.
 """
 
 from __future__ import annotations
@@ -72,6 +76,8 @@ __all__ = [
     "finish_cell_swap",
     "finish_pending_cell_swaps",
     "swap_lock",
+    "refresh_swap_lock",
+    "DEFAULT_LEASE_TTL",
 ]
 
 
@@ -81,6 +87,23 @@ __all__ = [
 
 _INPROC_LOCKS: dict[str, threading.Lock] = {}
 _INPROC_LOCKS_GUARD = threading.Lock()
+
+# Opt-in mtime-lease liveness (VERDICT r12 item 7): on a SHARED/remote
+# staging filesystem pid numbers are meaningless across hosts, so
+# pid-liveness stealing cannot work. Setting this (seconds, e.g. 300) —
+# or passing ``lease_ttl=`` per call — switches owner-liveness to "the
+# lock token's mtime is younger than the TTL": a crashed owner's lock
+# expires and is stolen after the TTL; a long-running owner keeps it by
+# calling :func:`refresh_swap_lock` more often than the TTL. Pick a TTL
+# comfortably above the longest swap (or refresh inside it).
+DEFAULT_LEASE_TTL: float | None = None
+
+# A token-less lockdir is crash debris (a release interrupted between
+# deleting the token and removing the dir, or a legacy mid-write): it is
+# stealable once older than this grace, held while younger — the grace
+# covers the (microsecond-scale) windows where the token is legitimately
+# in flight.
+_ORPHAN_GRACE = 2.0
 
 
 def _inproc_lock(key: str) -> threading.Lock:
@@ -98,39 +121,113 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _try_fs_lock(lockdir: pathlib.Path) -> bool:
-    """One non-blocking attempt at the cross-process lockdir. Steal a dead
-    owner's lock via atomic rename (only one stealer's rename succeeds),
-    never rmtree-in-place (two stealers could otherwise both 'win' and one
-    would delete the other's fresh lock)."""
+def _proc_start_token(pid: int) -> str | None:
+    """Boot-scoped process start time (``/proc/<pid>/stat`` field 22,
+    clock ticks since boot) — distinguishes a live owner from an
+    unrelated process that recycled its pid (ADVICE r12). ``None`` where
+    ``/proc`` is unavailable (non-Linux): liveness then degrades to
+    pid-only, and the pid-reuse caveat in :func:`swap_lock` applies."""
     try:
-        lockdir.mkdir(parents=True, exist_ok=False)
-    except FileExistsError:
-        pid_file = lockdir / "pid"
-        try:
-            owner = int(pid_file.read_text())
-        except (FileNotFoundError, ValueError, OSError):
-            # owner is mid-write (or the dir is vanishing) — treat as held;
-            # the caller retries or skips
-            return False
-        if owner == os.getpid() or _pid_alive(owner):
-            return False
-        stale = lockdir.with_name(f"{lockdir.name}.stale.{os.getpid()}")
-        try:
-            lockdir.rename(stale)
-        except OSError:
-            return False  # lost the steal race — someone else renamed first
-        shutil.rmtree(stale, ignore_errors=True)
-        try:
-            lockdir.mkdir(parents=True, exist_ok=False)
-        except FileExistsError:
-            return False
+        stat = pathlib.Path(f"/proc/{pid}/stat").read_bytes()
+        # comm (field 2) may contain spaces/parens — split after the
+        # LAST ')' so the remaining fields are positional
+        return stat.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError):
+        return None
+
+
+def _owner_token() -> str:
+    return f"{os.getpid()}:{_proc_start_token(os.getpid()) or ''}"
+
+
+def _owner_is_live(token: str) -> bool:
+    """Pid-mode liveness: the recorded owner is live iff its pid exists
+    AND (when both sides have a /proc start token) the start time still
+    matches — a recycled pid with a different start time is dead."""
+    pid_s, _, start = token.strip().partition(":")
     try:
-        (lockdir / "pid").write_text(str(os.getpid()))
-    except OSError:
-        shutil.rmtree(lockdir, ignore_errors=True)
+        pid = int(pid_s)
+    except ValueError:
+        return False  # corrupt token — not a live owner
+    if not _pid_alive(pid):
+        return False
+    cur = _proc_start_token(pid)
+    if start and cur and cur != start:
         return False
     return True
+
+
+def _stage_and_rename(lockdir: pathlib.Path) -> bool:
+    """Atomically acquire ``lockdir`` WITH its token already inside: the
+    token is written into a private staging dir which is then renamed to
+    the lock name, so no observer ever sees a token-less held lock and a
+    crash at any point leaves only an ignorable (pid-scoped, later
+    steal-cleaned) staging dir — the ADVICE r12 mkdir→write crash window
+    cannot occur. The rename fails when a (non-empty) lockdir exists."""
+    staging = lockdir.with_name(
+        f"{lockdir.name}.acquire.{os.getpid()}.{threading.get_ident()}"
+    )
+    try:
+        staging.mkdir(parents=True, exist_ok=False)
+        (staging / "pid").write_text(_owner_token())
+        staging.rename(lockdir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
+    return True
+
+
+def _steal(lockdir: pathlib.Path) -> bool:
+    """Steal a dead/expired owner's lock via atomic rename (only one
+    stealer's rename succeeds), never rmtree-in-place (two stealers could
+    otherwise both 'win' and one would delete the other's fresh lock)."""
+    stale = lockdir.with_name(
+        f"{lockdir.name}.stale.{os.getpid()}.{threading.get_ident()}"
+    )
+    try:
+        lockdir.rename(stale)
+    except OSError:
+        return False  # lost the steal race — someone else renamed first
+    shutil.rmtree(stale, ignore_errors=True)
+    return _stage_and_rename(lockdir)
+
+
+def _try_fs_lock(lockdir: pathlib.Path, lease_ttl: float | None) -> bool:
+    """One non-blocking attempt at the cross-process lockdir."""
+    if not lockdir.exists():
+        return _stage_and_rename(lockdir)
+    token_file = lockdir / "pid"
+    try:
+        token = token_file.read_text()
+        token_mtime = token_file.stat().st_mtime
+    except (FileNotFoundError, OSError):
+        # token-less lockdir: crash debris, stealable past the grace;
+        # younger than the grace it may be a token in flight — held
+        try:
+            age = time.time() - lockdir.stat().st_mtime
+        except OSError:
+            return False  # the dir is vanishing — caller retries or skips
+        if age <= _ORPHAN_GRACE:
+            return False
+        return _steal(lockdir)
+    if lease_ttl is not None:
+        live = (time.time() - token_mtime) <= lease_ttl
+    else:
+        live = _owner_is_live(token)
+    if live:
+        return False
+    return _steal(lockdir)
+
+
+def refresh_swap_lock(base_dir: str | pathlib.Path) -> None:
+    """Lease-mode keep-alive: the lock OWNER touches its token so the
+    mtime stays younger than the TTL across a long swap. A no-op (never a
+    crash) when the lock is not currently held — a stolen lock simply
+    stops being refreshable, which is the lease contract."""
+    try:
+        os.utime(pathlib.Path(base_dir) / "_SWAPLOCK" / "pid")
+    except OSError:
+        pass
 
 
 @contextlib.contextmanager
@@ -140,6 +237,7 @@ def swap_lock(
     wait: bool = True,
     timeout: float = 120.0,
     poll: float = 0.05,
+    lease_ttl: float | None = None,
 ):
     """Per-store mutual exclusion for every swap-mutating section.
 
@@ -147,15 +245,28 @@ def swap_lock(
     healers) yields ``False`` immediately when another live owner holds
     the store — the correct reaction there is to SKIP healing, because a
     live owner is mid-swap and finishes it itself. With ``wait=True``
-    (compactors) blocks up to ``timeout`` seconds then raises
-    ``TimeoutError`` — a held lock that long means a second maintenance
+    (compactors) blocks up to ``timeout`` seconds TOTAL — one deadline
+    spans the in-process acquire and the fs-lock loop (ADVICE r12: two
+    fresh budgets could block ~2× the stated timeout) — then raises
+    ``TimeoutError``: a held lock that long means a second maintenance
     process is running against the same store, which the protocol forbids.
+
+    Owner liveness is pid+start-time by default (same-host staging
+    filesystems; a recycled pid with a different ``/proc`` start time is
+    recognized as dead — where ``/proc`` is unavailable liveness degrades
+    to pid-only and pid reuse can hold a dead owner's lock until that
+    unrelated process exits). On SHARED/remote filesystems pass
+    ``lease_ttl`` (or set :data:`DEFAULT_LEASE_TTL` once per deployment):
+    liveness becomes "token mtime younger than the TTL", stealable after
+    expiry, kept alive via :func:`refresh_swap_lock`.
 
     The lockdir lives INSIDE the store (``_SWAPLOCK``, underscore ⇒
     parquet readers skip it), so locking never touches paths outside the
     store and vanishes with it.
     """
     key = os.path.realpath(str(base_dir))
+    ttl = DEFAULT_LEASE_TTL if lease_ttl is None else lease_ttl
+    deadline = time.monotonic() + timeout
     tl = _inproc_lock(key)
     if wait:
         got_inproc = tl.acquire(timeout=timeout)
@@ -169,23 +280,35 @@ def swap_lock(
     lockdir = pathlib.Path(base_dir) / "_SWAPLOCK"
     fs_acquired = False
     try:
-        deadline = time.monotonic() + timeout
         while True:
-            if _try_fs_lock(lockdir):
+            if _try_fs_lock(lockdir, ttl):
                 fs_acquired = True
                 break
             if not wait:
                 break
-            if time.monotonic() >= deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
                 raise TimeoutError(
                     f"swap_lock: {lockdir} held by a live process for >"
                     f"{timeout}s — two maintenance processes on one store?"
                 )
-            time.sleep(poll)
+            time.sleep(min(poll, remaining))
         yield fs_acquired
     finally:
         if fs_acquired:
-            shutil.rmtree(lockdir, ignore_errors=True)
+            # release via rename-then-rmtree so no observer ever sees a
+            # token-less _SWAPLOCK from a normal release (a crash inside
+            # rmtree previously left exactly the debris _ORPHAN_GRACE
+            # now guards against)
+            released = lockdir.with_name(
+                f"{lockdir.name}.release.{os.getpid()}.{threading.get_ident()}"
+            )
+            try:
+                lockdir.rename(released)
+            except OSError:
+                shutil.rmtree(lockdir, ignore_errors=True)
+            else:
+                shutil.rmtree(released, ignore_errors=True)
         tl.release()
 
 

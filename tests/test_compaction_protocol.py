@@ -403,3 +403,168 @@ class TestSwapLockConcurrency:
         t.start()
         t.join(timeout=30)
         assert got == [True]
+
+
+class TestSwapLockHardening:
+    """ADVICE r12 closures + the VERDICT r12 item-7 lease variant.
+
+    1. Atomic acquisition: the owner token is staged and renamed in, so
+       no crash window can leave a pid-less HELD lock; release renames
+       out before deleting, so normal release has no token-less window
+       either. A token-less lockdir is therefore always crash debris —
+       held inside _ORPHAN_GRACE (a token may be in flight), stealable
+       past it.
+    2. Pid-reuse: the token records /proc start time; a live pid with a
+       DIFFERENT start time is a recycled pid, i.e. a dead owner.
+    3. Single deadline: wait=True spends at most ~timeout total across
+       the in-process acquire and the fs loop, not ~2x.
+    4. Lease mode: liveness = token mtime age vs TTL (shared-fs variant
+       where pids mean nothing); refresh_swap_lock extends it.
+    """
+
+    def test_tokenless_lockdir_is_held_within_grace(self, tmp_path):
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)  # fresh mtime, no token
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is False
+        assert lockdir.is_dir()
+
+    def test_tokenless_lockdir_is_stolen_past_grace(self, tmp_path):
+        import os
+        import time
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        old = time.time() - 3600
+        os.utime(lockdir, (old, old))
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is True
+            # and the fresh lock carries a pid:starttime token
+            assert (lockdir / "pid").read_text().split(":")[0] == str(os.getpid())
+        assert not lockdir.exists()
+
+    def test_recycled_pid_is_treated_as_dead(self, tmp_path):
+        """A token whose pid is LIVE but whose recorded start time differs
+        from the process currently wearing that pid is a dead owner."""
+        import os
+
+        from scala_etl_test_spark.streaming import compaction
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        me = os.getpid()
+        real_start = compaction._proc_start_token(me)
+        if real_start is None:
+            pytest.skip("no /proc start tokens on this platform")
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text(f"{me}:{int(real_start) + 12345}")
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is True
+        # matching start time = genuinely live owner: held
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("1:" + (compaction._proc_start_token(1) or ""))
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is False
+
+    def test_wait_true_single_deadline(self, tmp_path):
+        """Total blocking stays ~timeout even when the fs lock is what's
+        contended (previously the fs loop got a fresh full budget)."""
+        import time
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("1")  # live foreign owner
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError):
+            with swap_lock(tmp_path, wait=True, timeout=0.5, poll=0.05):
+                pass
+        elapsed = time.monotonic() - t0
+        assert elapsed < 1.0, elapsed  # one budget, not two
+
+    def test_lease_mode_fresh_token_held_expired_stolen(self, tmp_path):
+        import os
+        import time
+
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        # pid is DEAD but the lease is fresh: lease mode must hold (pids
+        # mean nothing on a shared fs — mtime is the only signal)
+        (lockdir / "pid").write_text("999999999:")
+        with swap_lock(tmp_path, wait=False, lease_ttl=30.0) as acquired:
+            assert acquired is False
+        # expire the lease: stealable even though the pid check is moot
+        old = time.time() - 60
+        os.utime(lockdir / "pid", (old, old))
+        with swap_lock(tmp_path, wait=False, lease_ttl=30.0) as acquired:
+            assert acquired is True
+        assert not lockdir.exists()
+
+    def test_lease_refresh_extends_ownership(self, tmp_path):
+        import os
+        import time
+
+        from scala_etl_test_spark.streaming.compaction import (
+            refresh_swap_lock,
+            swap_lock,
+        )
+
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("999999999:")
+        old = time.time() - 60
+        os.utime(lockdir / "pid", (old, old))
+        refresh_swap_lock(tmp_path)  # owner keep-alive brings mtime current
+        with swap_lock(tmp_path, wait=False, lease_ttl=30.0) as acquired:
+            assert acquired is False
+        # refresh of an unheld store is a silent no-op
+        refresh_swap_lock(tmp_path / "nonexistent")
+
+    def test_default_lease_ttl_switches_mode_globally(self, tmp_path, monkeypatch):
+        """Deployments set DEFAULT_LEASE_TTL once; every swap_lock call —
+        including the ones buried in serve/append healers — then runs in
+        lease mode without plumbing a kwarg through."""
+        from scala_etl_test_spark.streaming import compaction
+        from scala_etl_test_spark.streaming.compaction import swap_lock
+
+        monkeypatch.setattr(compaction, "DEFAULT_LEASE_TTL", 30.0)
+        lockdir = tmp_path / "_SWAPLOCK"
+        lockdir.mkdir(parents=True)
+        (lockdir / "pid").write_text("999999999:")  # dead pid, fresh lease
+        with swap_lock(tmp_path, wait=False) as acquired:
+            assert acquired is False
+
+    def test_parallel_healers_never_lose_the_merge_lease_mode(
+        self, tmp_path, monkeypatch
+    ):
+        """The r11 TOCTOU hammer, re-run with the lock in LEASE mode —
+        the variant the stores would use on a shared filesystem."""
+        import concurrent.futures
+        import shutil
+
+        from scala_etl_test_spark.streaming import compaction
+
+        monkeypatch.setattr(compaction, "DEFAULT_LEASE_TTL", 30.0)
+        for i in range(10):
+            corpus = tmp_path / f"corpus{i}"
+            cell = _mk(
+                corpus, "cluster_id=1", {"batch_id=0": "a", "batch_id=1": "b"}
+            )
+            staged = cell / "_merged_hi_1"
+            staged.mkdir()
+            (staged / "part-0.parquet").write_text("a+b")
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+                healed = list(
+                    ex.map(lambda _: finish_pending_cell_swaps(corpus), range(8))
+                )
+            assert sum(healed) == 1, healed
+            assert _gens(cell) == {"batch_id=1": "a+b"}
+            shutil.rmtree(corpus)

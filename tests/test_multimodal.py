@@ -445,7 +445,9 @@ class TestTryDecodeMedia:
         gap_status = "decoded" if M._PILImage is not None else "unsupported_codec"
         good = _png(4, 4)
         tampered = good[:16] + struct.pack(">II", 8, 8) + good[24:]  # IHDR lies
-        corrupt_status = "decoded" if M._PILImage is not None else "corrupt"
+        # environment-stable since the PIL branch verify()s the stream
+        # (ADVICE r12): a tampered body is corrupt with OR without PIL
+        corrupt_status = "corrupt"
         rows = [
             (1, "image", _png(3, 2, color_type=2), "image/png", None, None, 1),
             (2, "image", _png(3, 2, interlace=1), "image/png", None, None, 1),
