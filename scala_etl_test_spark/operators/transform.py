@@ -46,17 +46,21 @@ def parse_order_detail(df: DataFrame, detail_col: str = "order_detail") -> DataF
 
     - ``split(detail, "~")`` → array of triples; ``explode`` → one row each
       (1 order ≈ 10.55 items in the reference's production data);
-    - ``split(triple, "\\|")`` + ``getItem`` → ``product`` / ``aisles`` /
-      ``number_of_products`` (qty cast to Int);
+    - ``split(triple, "\\|")`` + ``F.get`` → ``product`` / ``aisles`` /
+      ``number_of_products`` (qty cast to Int). ``F.get``, not
+      ``getItem`` (r13 edge-corpus convention): a triple with missing
+      fields — one dirty detail string in 100 TB — yields a short array,
+      and ``getItem`` past the end kills the executor under Spark 4
+      ANSI; out-of-range index ⇒ NULL instead;
     - intermediate array columns dropped.
     """
     split_detail = F.split(F.col(detail_col), "~")
     exploded = df.withColumn("product_detail_item", F.explode(split_detail))
     triple = F.split(F.col("product_detail_item"), r"\|")
     return (
-        exploded.withColumn("product", triple.getItem(0))
-        .withColumn("aisles", triple.getItem(1))
-        .withColumn("number_of_products", triple.getItem(2).cast("int"))
+        exploded.withColumn("product", F.get(triple, 0))
+        .withColumn("aisles", F.get(triple, 1))
+        .withColumn("number_of_products", F.get(triple, 2).cast("int"))
         .drop(detail_col, "product_detail_item")
     )
 

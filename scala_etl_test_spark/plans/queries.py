@@ -136,12 +136,17 @@ def q_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = encoded.withColumn("triple", F.explode(F.split("detail", "~")))
     parts = F.split(F.col("triple"), r"\|")
+    # F.get, not getItem (r13 edge-corpus convention): concat_ws SKIPS
+    # NULL fields in both engines, so a NULL returnflag/linestatus row
+    # yields a SHORT triple — getItem past the end kills the executor
+    # under ANSI, while DuckDB's list index returns NULL. Out-of-range
+    # split index ⇒ NULL.
     return exploded.select(
         "l_orderkey",
         "l_linenumber",
-        parts.getItem(0).alias("flag"),
-        parts.getItem(1).alias("status"),
-        parts.getItem(2).cast("int").alias("item_number"),
+        F.get(parts, 0).alias("flag"),
+        F.get(parts, 1).alias("status"),
+        F.get(parts, 2).cast("int").alias("item_number"),
     )
 
 
@@ -294,7 +299,12 @@ def q_dedup_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic: keep each customer's lowest-orderkey order (SURVEY §2.8
     Trap 2 tie-break policy)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    # NULLS LAST (r13 edge-corpus convention: NULL sorts last in every
+    # explicit total ordering — a real orderkey beats an unknown one, so
+    # "first order" is never the NULL-key row; Spark's ASC default is
+    # NULLS FIRST, DuckDB's is NULLS LAST, so leaving it implicit is a
+    # cross-engine divergence on any NULL key)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").asc_nulls_last())
     return (
         orders.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -310,7 +320,7 @@ SQL_DEDUP_FIRST_ORDER = """
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS first_order_price
 FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey NULLS LAST) AS rn
   FROM orders
 ) WHERE rn = 1
 """
@@ -497,9 +507,14 @@ def q_validate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_VALIDATE_NORMALIZE = """
+-- '  ' || c_name || '  ', not concat(): string normalizers are
+-- NULL-PRESERVING (r13 edge-corpus convention — NULL name in, NULL
+-- normalized name out). Spark's concat propagates NULL but DuckDB's
+-- SKIPS it, so the oracle must use the NULL-propagating || operator to
+-- express the same semantics.
 SELECT c_custkey,
-       trim(concat('  ', c_name, '  ')) AS name_trimmed,
-       regexp_replace(trim(concat('  ', c_name, '  ')), '[0-9]', '', 'g') AS name_no_digits,
+       trim('  ' || c_name || '  ') AS name_trimmed,
+       regexp_replace(trim('  ' || c_name || '  '), '[0-9]', '', 'g') AS name_no_digits,
        CAST(abs(c_custkey * -1) AS BIGINT) AS abs_key,
        CASE WHEN c_acctbal < 0 THEN 0.0
             ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) END AS bal_floor,
@@ -1545,7 +1560,13 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k ≈ 10 here — bounded, and the join key is the order, so no
     all-pairs blowup across orders); per-part totals broadcast back.
     Top-50 by (support desc, pair) keeps the gate output bounded."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # a NULL basket id is not a basket (r13 edge-corpus convention):
+    # without the filter the engine's count-over-distinct includes the
+    # NULL-orderkey group while the oracle's COUNT(DISTINCT ok) excludes
+    # it, silently shifting every lift denominator by one
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    ).select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     a = li.select("ok", F.col("pk").alias("p1"))
@@ -1579,7 +1600,8 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_COPURCHASE_PAIRS = f"""
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            WHERE l_orderkey IS NOT NULL),
 pairs AS (
   SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -3164,10 +3186,16 @@ def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank basis to percentile_approx bands (segmentation_rules' plan);
     the output keeps one representative row per (segment, decile): the
     decile's boundary customer (max balance), a bounded 5×10-row report.
-    (ts, id)-free total order: (balance, custkey) breaks ties."""
+    (ts, id)-free total order: (balance, custkey) breaks ties. NULLS
+    LAST throughout (r13 edge-corpus convention: NULL sorts last in
+    every explicit total ordering — an unknown balance ranks after every
+    real one and never becomes a decile's boundary representative;
+    Spark's ASC default is NULLS FIRST, DuckDB's NULLS LAST, so an
+    implicit ordering shifts every ntile/percent_rank/cume in a segment
+    containing one NULL balance)."""
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc_nulls_last()
     )
     ranked = cust.select(
         "c_mktsegment",
@@ -3178,7 +3206,7 @@ def q_customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
     top_in_decile = Window.partitionBy("c_mktsegment", "decile").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").desc()
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").desc_nulls_last()
     )
     return (
         ranked.withColumn("_rn", F.row_number().over(top_in_decile))
@@ -3202,11 +3230,13 @@ WITH ranked AS (
          round(percent_rank() OVER w, 6) AS pct_rank,
          round(cume_dist() OVER w, 6) AS cume
   FROM customer
-  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST)
 ),
 top_in_decile AS (
   SELECT *, row_number() OVER (PARTITION BY c_mktsegment, decile
-                               ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                               ORDER BY c_acctbal DESC NULLS LAST,
+                                        c_custkey DESC NULLS LAST) AS rn
   FROM ranked
 )
 SELECT c_mktsegment, decile, c_custkey AS boundary_custkey,

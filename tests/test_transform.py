@@ -35,6 +35,19 @@ def test_triple_decomposition(raw):
     assert "order_detail" not in out.columns
 
 
+def test_short_triple_yields_nulls_not_a_dead_executor(spark, raw):
+    """r13 edge-corpus convention pin: a detail triple with missing
+    fields decomposes to NULLs (out-of-range split index ⇒ NULL) — under
+    Spark 4 ANSI the old getItem path KILLED the scan on one dirty
+    string, the same executor-killer class as r12's divide-by-zero."""
+    base = raw.limit(1).drop("order_detail")
+    dirty = base.withColumn("order_detail", F.lit("solo_product~a|b|2"))
+    rows = {r["product"]: r for r in parse_order_detail(dirty).collect()}
+    assert rows["solo_product"]["aisles"] is None
+    assert rows["solo_product"]["number_of_products"] is None
+    assert rows["a"]["aisles"] == "b" and rows["a"]["number_of_products"] == 2
+
+
 def test_positional_union_keeps_duplicates(raw):
     assert positional_union(raw, raw).count() == raw.count() * 2
 
