@@ -298,9 +298,25 @@ def main() -> None:
         ),
         key=lambda n: -(timings[n] / prev_timings[n]),
     )[:SOLO_RULE_CAP]
+    # Absolute-movers rule (VERDICT r12 item 2): the ratio rule missed
+    # graph_triangles at 2.245→3.346 s (1.49× but under the flag after a
+    # noisy prior round) and item_cf_neighbors — a +1 s swing on a 3 s
+    # query is exactly the case that needs solo adjudication even when
+    # the ratio sits near the threshold. The top-3 queries by ABSOLUTE
+    # regression (seconds over previous round, minimum +0.5 s so noise on
+    # sub-second queries never burns a slot) are always solo re-timed too.
+    ABS_RULE_FLOOR = 0.5
+    abs_movers = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if n in prev_timings and t - prev_timings[n] > ABS_RULE_FLOOR
+        ),
+        key=lambda n: -(timings[n] - prev_timings[n]),
+    )[:3]
     solo_retime = {
         name: round(min(run_once(name, sf_dir) for _ in range(3)), 3)
-        for name in dict.fromkeys(["dedup_prefix_jaccard", *flagged])
+        for name in dict.fromkeys(["dedup_prefix_jaccard", *flagged, *abs_movers])
         if name in QUERIES
     }
 
@@ -350,6 +366,20 @@ def main() -> None:
                 key=lambda n: -scaling["per_query_ratio"][n],
             )[:5]
             solo_top: dict[str, dict] = {}
+            # Overhead-vs-data split (VERDICT r12 item 5): the sf/100 dir
+            # is the direct measurement of each query's fixed overhead —
+            # at 1% of the data its wall is almost purely session/plan/
+            # task-launch floor (~0.75 s/query on this host), the very
+            # floor that dominates the 10×-ratio DENOMINATOR and makes
+            # the totals ratio under-read data-scaling headroom. With a
+            # linear wall model (wall = overhead + c·data) the tiny wall
+            # bounds the overhead term, and the DATA-ONLY ratio
+            # (big−tiny)/(small−tiny) becomes a first-class artifact
+            # number instead of a prose argument.
+            tiny_dir = os.path.join(
+                os.path.dirname(sf_dir.rstrip("/")), f"sf{small_sf / 10:g}"
+            )
+            have_tiny = os.path.isdir(tiny_dir) and tiny_dir != small_dir
             for n in top5:
                 big = min(run_once(n, sf_dir) for _ in range(3))
                 small = min(run_once(n, small_dir) for _ in range(3))
@@ -358,7 +388,21 @@ def main() -> None:
                     "small": round(small, 3),
                     "ratio": round(big / small, 2) if small > 0 else None,
                 }
+                if have_tiny:
+                    tiny = min(run_once(n, tiny_dir) for _ in range(3))
+                    solo_top[n]["tiny"] = round(tiny, 3)
+                    if small - tiny > 0:
+                        solo_top[n]["data_ratio"] = round(
+                            (big - tiny) / (small - tiny), 2
+                        )
             scaling["solo_top_ratio"] = solo_top
+            if have_tiny:
+                d_big = sum(v["big"] - v.get("tiny", 0) for v in solo_top.values())
+                d_small = sum(
+                    v["small"] - v.get("tiny", 0) for v in solo_top.values()
+                )
+                if d_small > 0:
+                    scaling["data_ratio_10x_solo_top"] = round(d_big / d_small, 2)
             # the headline ratio re-stated with the top-5 sweeps replaced
             # by their solo minima on both sides — the number the judge
             # should track round-over-round
@@ -431,7 +475,12 @@ def main() -> None:
         "contention": contention,
         "solo_retime": solo_retime,
     }
-    result["solo_rule"] = {"ratio": SOLO_RULE_RATIO, "flagged": flagged}
+    result["solo_rule"] = {
+        "ratio": SOLO_RULE_RATIO,
+        "flagged": flagged,
+        "abs_floor": ABS_RULE_FLOOR,
+        "abs_movers": abs_movers,
+    }
     if scaling is not None:
         result["scaling_10x"] = scaling
     if saturated is not None:
@@ -463,6 +512,7 @@ def main() -> None:
         "extended_n": result["extended_n"],
         "wall_ratio_10x_data": (scaling or {}).get("wall_ratio_10x_data"),
         "r10x_solo_adj": (scaling or {}).get("wall_ratio_10x_solo_adjusted"),
+        "data_ratio_top": (scaling or {}).get("data_ratio_10x_solo_top"),
         "canary_warm": contention["canary_warm"],
         "stalls": contention["stalls"],
         "sweep_seed": sweep_seed,
