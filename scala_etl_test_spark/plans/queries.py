@@ -1880,8 +1880,12 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation via FULL OUTER join — which ids exist in the
     customer dimension, which in the event stream, and which in both (the
     audit query every CDC pipeline runs after a backfill). Both sides
-    shuffle on the id; presence flags come from null-ness, so no row is
-    widened beyond the two indicator columns."""
+    shuffle on the id; presence flags come from SIDE MARKERS (a literal
+    on the dimension, the never-NULL group count on the stream), never
+    from key null-ness (r13 cross-family edge sweep: a NULL-key row IS
+    present on its side — inferring presence from ``key IS NOT NULL``
+    misreports it absent, which the oracle did until pinned to the same
+    marker scheme)."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.lit(True).alias("in_customer")
     )
@@ -1897,13 +1901,19 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FULL_OUTER_RECONCILE = """
-SELECT COALESCE(c.c_custkey, e.id) AS id,
-       c.c_custkey IS NOT NULL AS in_customer,
-       e.id IS NOT NULL AS in_events,
+-- presence = side markers, not key null-ness (r13 cross-family edge
+-- sweep): a NULL-key customer row is still IN customer, and the
+-- NULL-user event group is still IN events, but neither matches across
+-- the join, so `key IS NOT NULL` would misreport both sides absent
+SELECT COALESCE(c.id, e.id) AS id,
+       COALESCE(c.in_c, FALSE) AS in_customer,
+       COALESCE(e.in_e, FALSE) AS in_events,
        CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
-FROM customer c
-FULL OUTER JOIN (SELECT user_id AS id, COUNT(*) AS n FROM events GROUP BY 1) e
-  ON c.c_custkey = e.id
+FROM (SELECT c_custkey AS id, TRUE AS in_c FROM customer) c
+FULL OUTER JOIN
+     (SELECT user_id AS id, COUNT(*) AS n, TRUE AS in_e
+      FROM events GROUP BY 1) e
+  ON c.id = e.id
 """
 
 
