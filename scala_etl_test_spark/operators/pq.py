@@ -114,10 +114,25 @@ def _argmin_code(vq: Column, codebook_s: list[list[int]]) -> Column:
 
 
 def _int_l2(a: Column, b: Column) -> Column:
-    """Exact squared L2 between two int64 arrays (associative int sum)."""
+    """Exact squared L2 between two int64 arrays.
+
+    Squares and accumulates in decimal(38,0), NOT int64 (r13 embeddings
+    edge sweep — the same overflow horizon r12 fixed in
+    variance_ranked_dims): with SCALE=1e6, a single component at
+    |x| ≳ 3e3 makes one squared diff overflow int64, an
+    ARITHMETIC_OVERFLOW executor-killer under ANSI on any
+    out-of-distribution vector (a mis-scaled upstream embed job is a
+    certainty at 100 TB). decimal(38,0) is exact to |x| ~ 1e12 and
+    matches the DuckDB oracles' HUGEINT arithmetic. The int64
+    SUBTRACTION stays safe far beyond that horizon (|diff| < 2e18)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x - y).cast("decimal(38,0)")
+            * (x - y).cast("decimal(38,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, t: acc + t,
     )
 

@@ -4435,20 +4435,31 @@ _GATE_PRIORITY: list[str] = [
     "split_leakage_audit",
     "lsh_recall_audit",
     "shard_manifest",
-    # (2) r10-gated entries touched by (or sharing the shingle builder
-    # with) the r12 dedup.py/text.py fixes — registry order
-    "json_props_extract",
-    "window_moving_avg",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "duplicate_spans",
-    "duplicate_span_stats",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "dedup_method_report",
-    "dedup_edit_distance",
+    # (2) code changed THIS round (r13) — fresh driver row required on
+    # current code: the five relational edge-sweep fixes (NULLS-LAST
+    # orderings, F.get split indexing, NULL-basket filter, ||-oracle),
+    # the presence-marker reconcile oracle, the shared-closure erasure
+    # trio, and the PQ family whose distance arithmetic moved to 128-bit
+    # (operators/pq.py:_int_l2 decimal(38,0) + HUGEINT oracles).  The
+    # r10-tier entries this displaces (dedup_simhash*, ngram, containment,
+    # edit_distance, method_report, winnow/span, window_moving_avg,
+    # json_props_extract) are all doc-/events-only and therefore
+    # re-validated against their oracles on EVERY local pytest run by the
+    # r12 nullcorpus sweep — continuous local evidence while they queue
+    # for the r14 window; the r13-changed queries below have no driver
+    # row on current code at all, which is the sharper gap.
+    "split_explode",
+    "dedup_first_order",
+    "validate_normalize",
+    "copurchase_pairs",
+    "full_outer_reconcile",
+    "forget_documents",
+    "forget_from_ivf",
+    "erasure_audit",
+    "pq_codes",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "pq_rotation_recall",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

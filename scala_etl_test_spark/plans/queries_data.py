@@ -3703,10 +3703,14 @@ cb AS (
   SELECT q.sub_idx, s.code, q.vq AS cw
   FROM quant q JOIN seeds s ON q.vec_id = s.vec_id
 ),
+-- HUGEINT squares (r13 embeddings edge sweep): one data component at
+-- |x| ≳ 3e3 overflows a BIGINT squared diff at SCALE=1e6 — 128-bit on
+-- both sides (HUGEINT here, decimal(38,0) in operators/pq.py:_int_l2)
+-- moves the horizon to |x| ~ 1e12
 dists AS (
   SELECT q.vec_id, q.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.vq) + 1),
-                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+                  i -> CAST(q.vq[i] - c.cw[i] AS HUGEINT) * CAST(q.vq[i] - c.cw[i] AS HUGEINT))) AS dist
   FROM quant q JOIN cb c ON q.sub_idx = c.sub_idx
 ),
 codes AS (
@@ -3734,7 +3738,7 @@ SQL_ANN_PQ_TOPK = (
 dtab AS (
   SELECT c.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.qv) + 1),
-                  i -> (q.qv[i] - c.cw[i]) * (q.qv[i] - c.cw[i]))) AS dist
+                  i -> CAST(q.qv[i] - c.cw[i] AS HUGEINT) * CAST(q.qv[i] - c.cw[i] AS HUGEINT))) AS dist
   FROM cb c JOIN qsub q ON c.sub_idx = q.sub_idx
 )
 SELECT k.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
@@ -3787,7 +3791,7 @@ qsub AS (SELECT sub_idx, vq AS qv FROM quant WHERE vec_id = 0),
 dtab AS (
   SELECT c.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.qv) + 1),
-                  i -> (q.qv[i] - c.cw[i]) * (q.qv[i] - c.cw[i]))) AS dist
+                  i -> CAST(q.qv[i] - c.cw[i] AS HUGEINT) * CAST(q.qv[i] - c.cw[i] AS HUGEINT))) AS dist
   FROM cb c JOIN qsub q ON c.sub_idx = q.sub_idx
 )
 SELECT k.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
@@ -3832,14 +3836,14 @@ def _pq_recall_variant_sql(pre: str, corpus: str, n_cells: int, nprobe: int) -> 
   FROM (SELECT q.vec_id, q.sub_idx, c.code,
                row_number() OVER (PARTITION BY q.vec_id, q.sub_idx
                  ORDER BY list_sum(list_transform(range(1, len(q.vq) + 1),
-                          i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))), c.code) AS rn
+                          i -> CAST(q.vq[i] - c.cw[i] AS HUGEINT) * CAST(q.vq[i] - c.cw[i] AS HUGEINT))), c.code) AS rn
         FROM {pre}quant q JOIN {pre}cb c ON q.sub_idx = c.sub_idx)
   WHERE rn = 1
 ),
 {pre}dtab AS (
   SELECT c.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.vq) + 1),
-                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+                  i -> CAST(q.vq[i] - c.cw[i] AS HUGEINT) * CAST(q.vq[i] - c.cw[i] AS HUGEINT))) AS dist
   FROM {pre}cb c JOIN (SELECT sub_idx, vq FROM {pre}quant
                        WHERE vec_id = (SELECT MIN(vec_id) FROM {corpus})) q
     ON c.sub_idx = q.sub_idx
@@ -4147,7 +4151,7 @@ cbr AS (
 dists AS (
   SELECT q.vec_id, q.sub_idx, c.code,
          list_sum(list_transform(range(1, len(q.vq) + 1),
-                  i -> (q.vq[i] - c.cw[i]) * (q.vq[i] - c.cw[i]))) AS dist
+                  i -> CAST(q.vq[i] - c.cw[i] AS HUGEINT) * CAST(q.vq[i] - c.cw[i] AS HUGEINT))) AS dist
   FROM quantr q JOIN cbr c ON q.sub_idx = c.sub_idx
 ),
 codes AS (
