@@ -1101,46 +1101,26 @@ SELECT node, component FROM comp
 """
 
 
-_ERASURE_CLOSURE_CACHE: dict[str, str] = {}
-_ERASURE_CLOSURE_LOCK = None  # lazy threading.Lock (module import stays light)
-
-
 def _erasure_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc_id erasure closure of the shared ``% 97`` opt-out request
-    (opt-outs ∪ every member of their minhash near-dup clusters),
-    computed ONCE per (process, sf_dir) and materialized to a tmp parquet
-    (VERDICT r12 item 6): ``forget_documents`` / ``forget_from_ivf`` /
-    ``erasure_audit`` all replay the SAME request, and the
-    pairs + connected-components rounds
-    behind it dominated the erasure gate cost (~14 s of a cold sf0.01
-    window, paid three times). Parquet, not persist(): the gate's
-    ``release_persisted()`` / ``clearCache()`` between queries must not
-    evict it, and an id-list parquet round-trip is byte-exact. The memo
-    key is the realpath of ``sf_dir``, so distinct fixtures (edge-corpus
-    tmp dirs, other SFs) never share a closure; fixtures are immutable
-    within a process, which is what makes the memo sound."""
-    import os as _os
-    import tempfile
-    import threading as _threading
+    (opt-outs ∪ every member of their minhash near-dup clusters) — the
+    helper ``forget_documents`` / ``forget_from_ivf`` / ``erasure_audit``
+    all build their request from.
 
+    Computed per CALL, from the parquet inputs, every time. A previous
+    revision memoized the materialized closure per (process, sf_dir) to
+    cut gate cost — that is a cross-run result cache keyed on the data
+    directory, which makes every timed run after the first measure an
+    anti-join against precomputed ids instead of the query. Reverted:
+    each invocation pays for its own closure (the CC rounds inside
+    ``connected_components`` still ``localCheckpoint`` within the call,
+    which is per-run materialization, not cross-run caching)."""
     from scala_etl_test_spark.operators.cluster import forget_closure_ids
 
-    global _ERASURE_CLOSURE_LOCK
-    if _ERASURE_CLOSURE_LOCK is None:
-        _ERASURE_CLOSURE_LOCK = _threading.Lock()
-    key = _os.path.realpath(sf_dir)
-    with _ERASURE_CLOSURE_LOCK:
-        path = _ERASURE_CLOSURE_CACHE.get(key)
-    if path is None or not _os.path.isdir(path):
-        docs = _t(spark, sf_dir, "documents")
-        optout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-        pairs = q_dedup_minhash_pairs(spark, sf_dir)
-        doomed = forget_closure_ids(optout, pairs, "doc_id")
-        path = tempfile.mkdtemp(prefix="spark_graft_erasure_closure_")
-        doomed.write.mode("overwrite").parquet(path)
-        with _ERASURE_CLOSURE_LOCK:
-            _ERASURE_CLOSURE_CACHE[key] = path
-    return spark.read.parquet(path)
+    docs = _t(spark, sf_dir, "documents")
+    optout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return forget_closure_ids(optout, pairs, "doc_id")
 
 
 def q_forget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
