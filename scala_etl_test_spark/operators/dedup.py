@@ -483,14 +483,34 @@ def lsh_candidate_pairs(
     band_table: DataFrame, id_col: str, max_bucket: int = 1000
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH bucket, with
-    the ``max_bucket`` skew cap of :func:`_capped_buckets`."""
+    the ``max_bucket`` skew cap of :func:`_capped_buckets`.
+
+    Pair generation is ROW-LOCAL: each surviving bucket is folded into one
+    sorted id array (the groupBy rides the window's existing
+    hashpartitioning(band_idx, band_hash) — zero extra exchanges) and the
+    i<j combinations explode inside the same stage. The previous shape — a
+    self-join of the capped band table on the bucket key — re-executed the
+    whole signature→band→window subtree for the join's second side
+    (plan-verified: two complete sig pipelines in dedup_minhash_pairs'
+    physical plan) and paid the join's own exchanges on top. The window's
+    ≤ max_bucket filter runs BEFORE collect_list, so no aggregation buffer
+    ever holds more than max_bucket ids (8 KB at the default) — the
+    one-giant-bucket regime that must not OOM a task at corpus scale is
+    dropped by the streaming window count, exactly as before."""
     counted = _capped_buckets(band_table, max_bucket)
-    a = counted.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = counted.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    grouped = (
+        counted.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        a.join(b, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size(F.col("_ids")))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 

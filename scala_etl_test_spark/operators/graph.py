@@ -64,21 +64,29 @@ def pagerank(
     # on every edge row, and in the broadcast regime the edge table is
     # never shuffled or sorted at all.
     e = e.transform(tracked_persist)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(tracked_persist)
-
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes")).transform(tracked_persist)
-    nodes = deg.select(F.col("src").alias("node")).transform(tracked_persist)
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    # ONE node-sized state table carries everything the per-iteration math
+    # needs (node, deg, n_nodes): the per-iteration rank⋈deg join and the
+    # per-iteration crossJoin(n) of the previous shape re-joined CONSTANT
+    # node state every round — 2 joins × num_iters plan nodes for values
+    # that never change. Folding them into the state costs two extra
+    # columns on node-sized rows and removes both joins from every
+    # iteration (same arithmetic, same expressions ⇒ bit-identical ranks).
+    state = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(n))
+        .transform(tracked_persist)
+    )
+    ranks = state.select(
+        "node", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
 
     base = F.lit(1.0 - damping) / F.col("n_nodes")
     maybe_bc = F.broadcast if broadcast_nodes else (lambda df: df)
     for i in range(num_iters):
-        weights = (
-            ranks.withColumnRenamed("node", "src")
-            .join(deg, "src")
-            .select("src", (F.col("rank") / F.col("deg")).alias("w"))
+        weights = ranks.select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
         contribs = (
             e.join(maybe_bc(weights), "src")
@@ -87,15 +95,13 @@ def pagerank(
             .withColumnRenamed("dst", "node")
         )
         # left join: a node with no in-edges keeps the teleport mass only.
-        ranks = (
-            nodes.join(maybe_bc(contribs), "node", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "node",
-                (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+        ranks = state.join(maybe_bc(contribs), "node", "left").select(
+            "node",
+            "deg",
+            "n_nodes",
+            (base + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                "rank"
+            ),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < num_iters:
             ranks = ranks.localCheckpoint()
@@ -124,9 +130,11 @@ def triangle_count(
 
     Input edges may be directed duplicates or self-loops; both are
     canonicalized away first. Scale: two shuffles build degrees + oriented
-    edges, the wedge join shuffles on the pivot node, and the closing
-    check is a semi-join against the oriented edge set — every key is a
-    node id with the hub problem already neutralized by orientation.
+    edges; wedges are then closed ROW-LOCALLY by intersecting the two
+    endpoints' sorted out-adjacency arrays (each bounded at O(sqrt(m)) by
+    the orientation), so no wedge-sized data ever crosses an exchange —
+    every shuffled row is an edge or an adjacency list with the hub
+    problem already neutralized.
 
     Returns (node, n_triangles) for every node in ≥1 triangle.
     """
@@ -139,6 +147,15 @@ def triangle_count(
         .distinct()
     )
     und = und.transform(tracked_persist)
+    # Materialize the canonical edge cache ONCE before fan-out: its two
+    # consumers (the degree aggregation and the degree-attach join) start
+    # as CONCURRENT query stages, and a cold InMemoryRelation is computed
+    # by every racer — profiled at sf0.1 as two ~20 s-exRun copies of the
+    # upstream pair build (the most expensive subtree here) feeding one
+    # 0.19 MB exchange each. One bounded count() serializes that build;
+    # the racers then read warm blocks. (Plan-build job: allowlisted in
+    # tests/test_planbuild_jobs.py with the other loop/probe queries.)
+    und.count()
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -158,19 +175,39 @@ def triangle_count(
         F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
     )
     oriented = oriented.transform(tracked_persist)
-    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    wedges = e1.join(e2, on="y").select("x", "y", "z")
-    closed = wedges.join(
-        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
-        on=["x", "z"],
-        how="left_semi",
+    oriented.count()  # same racer dedup for its three consumers (adj + 2 join sides)
+    # Sorted out-adjacency per node — bounded at O(sqrt(m)) ids per row by
+    # the orientation (arboricity bound), so collect_list can never build
+    # a hub-sized buffer. Each oriented edge (x, z) then closes its
+    # triangles ROW-LOCALLY as array_intersect(N+(x), N+(z)): triangle
+    # {a,b,c} with a→b, a→c, b→c is found exactly once, on edge (a, b),
+    # as c ∈ N+(a) ∩ N+(b). The previous shape materialized every wedge
+    # x→y→z through the e1⋈e2 join and then shuffled ALL O(m^1.5) wedge
+    # rows into a semi-join on (x, z); the intersection form moves only
+    # the m edge rows plus two adjacency payloads (Σ out-deg = m ids) and
+    # closes wedges inside whole-stage codegen — no wedge-sized exchange
+    # exists at any scale.
+    adj = (
+        oriented.groupBy("lo")
+        .agg(F.array_sort(F.collect_list("hi")).alias("_nbrs"))
+        .transform(tracked_persist)  # consumed by BOTH tri join sides
     )
-    # one explode pass, NOT a 3-way union: a union would re-run the wedge
-    # join once per branch (closed is unpersisted lineage, by far the most
-    # expensive subtree here)
+    tri = (
+        oriented.join(
+            adj.select(F.col("lo"), F.col("_nbrs").alias("_nx")), on="lo"
+        )
+        .join(
+            adj.select(F.col("lo").alias("hi"), F.col("_nbrs").alias("_nz")),
+            on="hi",
+        )
+        .select(
+            F.col("lo").alias("x"),
+            F.col("hi").alias("z"),
+            F.explode(F.array_intersect("_nx", "_nz")).alias("y"),
+        )
+    )
     per_node = (
-        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

@@ -53,6 +53,10 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "bpe_merges": "one best-pair selection job per learned merge",
     "bpe_encode": "BPE training loop feeds the encoder",
     "kmeans_train": "Lloyd iterations via pyspark.ml",
+    "graph_triangles": "two bounded count()s materialize the edge/"
+    "oriented caches before their consumers fan out — concurrent query "
+    "stages would each recompute the cold cache (profiled: the pair "
+    "build ran twice, ~20 s exRun per copy at sf0.1)",
     # --- composites that consume the above eagerly inside cache scopes ---
     "dedup_method_report": "runs every dedup strategy incl. cluster rounds",
     "corpus_clean": "includes connected-components cluster rounds",
