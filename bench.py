@@ -494,33 +494,45 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the tail-regex fallback still works
     print(json.dumps(result))
-    # Second, ≤300-char summary line LAST (VERDICT r7 item 2): the driver
-    # keeps only the final ~2000 chars of stdout and json-parses the LAST
-    # line — the full blob above outgrew that window in r6/r7, so the
-    # official headline numbers were unrecoverable from BENCH_r{N}.json.
-    # This line always fits, always parses, and carries the official
-    # fields; the full per-query blob stays on line 1 (its tail survives
-    # in the artifact's raw capture).
+    # Final summary line (VERDICT r7 item 2 + VERDICT r13 item 2): the
+    # driver keeps only the final ~2000 chars of stdout and json-parses the
+    # LAST line. The full blob above outgrew that window in r6/r7, so r8
+    # shrank the last line to a ≤300-char summary — which silently killed
+    # the driver's per-query perf channel for five rounds (PERF per_query
+    # empty, n_common 0 since r08). The per-query ``queries`` dict is the
+    # contract field the driver diffs round-over-round, and at 39 queries ×
+    # ~30 chars it fits the tail window with room to spare (~1.4 KB), so it
+    # goes BACK on the last line. The heavyweight extras (contention
+    # per-sweep provenance, scaling replicas, saturation pin) stay on
+    # line 1 only; a defensive cascade keeps the last line under 1900
+    # chars no matter how the headline list grows.
     summary = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
+        "queries": timings,
         # an unparseable sf dir leaves sf_val as the raw string — cap it so
         # a long path can never push the summary past the tail window
         "sf": sf_val if isinstance(sf_val, float) else str(sf_val)[-24:],
         "extended_total": result["extended_total"],
         "extended_n": result["extended_n"],
-        "wall_ratio_10x_data": (scaling or {}).get("wall_ratio_10x_data"),
         "r10x_solo_adj": (scaling or {}).get("wall_ratio_10x_solo_adjusted"),
         "data_ratio_top": (scaling or {}).get("data_ratio_10x_solo_top"),
         "canary_warm": contention["canary_warm"],
         "stalls": contention["stalls"],
         "sweep_seed": sweep_seed,
-        "solo_retime": solo_retime,
     }
     line = json.dumps(summary)
-    if len(line) > 300:  # never die here: a missing summary recreates the
-        # r6/r7 unrecoverable-artifact failure this line exists to close
+    if len(line) > 1900:
+        # headline list grew past the tail budget: coarser timings first,
+        # then drop per-query data entirely rather than ship a truncated
+        # (unparseable) line — the r6/r7 failure this cascade exists to close
+        summary["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(summary)
+    if len(line) > 1900:
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    if len(line) > 1900:
         line = json.dumps({"metric": summary["metric"], "value": summary["value"], "unit": "sec"})
     print(line)
 

@@ -493,14 +493,21 @@ def lsh_candidate_pairs(
     whole signature→band→window subtree for the join's second side
     (plan-verified: two complete sig pipelines in dedup_minhash_pairs'
     physical plan) and paid the join's own exchanges on top. The window's
-    ≤ max_bucket filter runs BEFORE collect_list, so no aggregation buffer
-    ever holds more than max_bucket ids (8 KB at the default) — the
+    ≤ max_bucket filter runs BEFORE the set aggregation, so no aggregation
+    buffer ever holds more than max_bucket ids (8 KB at the default) — the
     one-giant-bucket regime that must not OOM a task at corpus scale is
-    dropped by the streaming window count, exactly as before."""
+    dropped by the streaming window count, exactly as before.
+
+    collect_set (not collect_list) guards the id_a < id_b contract against
+    band tables with duplicate (id, band_idx, band_hash) rows: a duplicated
+    id would otherwise survive into the sorted array and the i<j slice
+    would emit a self-pair (id, id). In-repo band tables are unique per
+    (id, band), so this is identical there; the set dedup makes the public
+    operator honor its docstring on any input."""
     counted = _capped_buckets(band_table, max_bucket)
     grouped = (
         counted.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
     return (

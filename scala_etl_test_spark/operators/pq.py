@@ -91,10 +91,24 @@ def train_pq_codebook(
 
 
 def _argmin_code(vq: Column, codebook_s: list[list[int]]) -> Column:
-    """Argmin over the literal codewords of one subspace: exact int64 L2²
+    """Argmin over the literal codewords of one subspace: exact squared L2
     against the quantized subvector; ``array_min`` on (dist, code) structs
     is lexicographic, so ties break on the smaller code. Pure expression —
-    no join, no shuffle, one distance evaluation per codeword."""
+    no join, no shuffle, one distance evaluation per codeword.
+
+    Distance arithmetic is two-tier (VERDICT r13 item 3): the codewords are
+    plan-time literals, so their max |component| is known here, and a
+    one-per-row bound check on max |vq component| proves ALL k int64
+    distance sums for this row are overflow-free — those rows (every
+    in-distribution vector) take the int64 fast path; only rows whose
+    magnitude could overflow fall back to the exact decimal(38,0) path of
+    :func:`_int_l2`. Both paths are exact integers when they run (the fast
+    path is guarded to never overflow), so the selected code — and every
+    declared query result — is bit-identical to the always-decimal r13
+    form; what changes is that the k·dsub multiply-accumulate per row runs
+    in int64 instead of decimal-128 for normal data. A NULL-component or
+    empty vq makes the guard NULL and falls through to the decimal path,
+    which reproduces the r13 NULL semantics exactly."""
     cands = F.array(
         *[
             F.struct(
@@ -104,13 +118,37 @@ def _argmin_code(vq: Column, codebook_s: list[list[int]]) -> Column:
             for j, cw in enumerate(codebook_s)
         ]
     )
-    scored = F.transform(
-        cands,
-        lambda c: F.struct(
-            _int_l2(vq, c["cw"]).alias("dist"), c["code"].alias("code")
-        ),
+
+    def argmin(dist_fn) -> Column:
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                dist_fn(vq, c["cw"]).alias("dist"), c["code"].alias("code")
+            ),
+        )
+        return F.array_min(scored)["code"]
+
+    dsub = max(len(codebook_s[0]), 1)
+    c_max = max((abs(c) for cw in codebook_s for c in cw), default=0)
+    # sum of dsub squared diffs ≤ dsub·(b_max + c_max)² must fit int64
+    b_max = math.isqrt((2**63 - 1) // dsub) - c_max
+    slow = argmin(_int_l2)
+    if b_max <= 0:  # codewords themselves too large: decimal always
+        return slow
+    vq_safe = F.array_max(F.transform(vq, lambda x: F.abs(x))) <= F.lit(b_max)
+    return F.when(vq_safe, argmin(_int_l2_i64)).otherwise(slow)
+
+
+def _int_l2_i64(a: Column, b: Column) -> Column:
+    """Squared L2 in pure int64 — the hot path. ONLY safe behind
+    :func:`_argmin_code`'s magnitude guard (dsub·(max|a|+max|b|)² < 2⁶³);
+    unguarded it is the ANSI ARITHMETIC_OVERFLOW executor-killer the r13
+    edge sweep found."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
     )
-    return F.array_min(scored)["code"]
 
 
 def _int_l2(a: Column, b: Column) -> Column:
@@ -124,7 +162,10 @@ def _int_l2(a: Column, b: Column) -> Column:
     out-of-distribution vector (a mis-scaled upstream embed job is a
     certainty at 100 TB). decimal(38,0) is exact to |x| ~ 1e12 and
     matches the DuckDB oracles' HUGEINT arithmetic. The int64
-    SUBTRACTION stays safe far beyond that horizon (|diff| < 2e18)."""
+    SUBTRACTION stays safe far beyond that horizon (|diff| < 2e18).
+    :func:`_argmin_code` routes in-distribution rows to the int64 twin
+    :func:`_int_l2_i64` behind a proven-safe magnitude guard and keeps
+    this as the out-of-distribution fallback."""
     return F.aggregate(
         F.zip_with(
             a,

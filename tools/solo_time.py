@@ -43,8 +43,10 @@ def main() -> int:
             return json.load(r)
 
     def cpu_now() -> float:
-        """Total executorRunTime (s) across all completed stages so far —
-        a contention-robust work metric (deltas around a run isolate it)."""
+        """Total executorCpuTime (ns → s) across all completed stages so
+        far — a contention-robust work metric (deltas around a run isolate
+        it). CPU time, not executorRunTime wall: a stage blocked on fetch
+        counts ~0 here."""
         try:
             return sum(s["executorCpuTime"] for s in rest("stages?status=complete")) / 1e9
         except Exception:
