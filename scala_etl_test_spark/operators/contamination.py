@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from scala_etl_test_spark.caching import tracked_persist
-
 from scala_etl_test_spark.operators.dedup import shingles_from_words, words
 
 
@@ -157,39 +155,109 @@ def cross_source_overlap(
     included) so the matrix shape is independent of what the data happens
     to contain.
 
-    Scale shape: the corpus-sized work is ONE distinct over (shingle,
-    source) — a single partial-aggregated shuffle keyed by the shingle
-    hash. The self-join then meets at most ``n_sources`` rows per shingle
-    (post-distinct), so its per-key fanout is bounded by ``n_sources²``
-    regardless of corpus size, and every later join handles ≤ n_sources²
-    rows (driver-scale; broadcast).
+    Scale shape: the corpus-sized work is ONE partial-aggregated shuffle
+    keyed by the shingle, folding each shingle's sources into a sorted
+    set (bounded at ``n_sources`` entries — dashboard-scale — so no
+    aggregation buffer ever exceeds it). Each set then explodes
+    ROW-LOCALLY into its i<j source pairs plus one unit row per member,
+    and partial-aggregates into a single tiny stats table — (a, b,
+    n_shared) for pairs, (a, NULL, per-source distinct-shingle count)
+    for units. Per-source totals fan onto pairs through a broadcast of
+    the 1-row source-universe array, so the final matrix is ONE
+    source-pair aggregation left-joined to the universe pair skeleton.
+
+    Two r14 plan properties worth keeping (the previous shape — distinct
+    over (source, shingle), a self-join of that cached table on the
+    shingle string, and three broadcast builds over the cached table —
+    violated both):
+
+    - the expensive corpus lineage appears exactly ONCE in the final
+      plan (a single broadcast build). Persisted-or-not, a lineage with
+      k consumers is computed by up to k racing cold-cache query stages
+      (profiled here: the scan+shingle pass ran 3× per run);
+    - no corpus-scale shuffle is ever followed by a low-byte/high-fanout
+      stage AQE can coalesce to one partition: the self-join's ~6.6 MB
+      shuffle collapsed to a single task that serially rebuilt the whole
+      pair matrix (profiled 2.3 s single-task stage inside
+      corpus_release_report).
     """
-    sh = (
-        df.select(F.col(source_col).alias("_src"), words(text_col).alias("_w"))
+    from scala_etl_test_spark.operators.dedup import _spread
+
+    # the tokenize+shingle explode is the fanout-heavy stage; a small scan
+    # (one file ⇒ one task at gate scale) must not serialize it
+    sh_sets = (
+        _spread(df, None)
+        .select(F.col(source_col).alias("_src"), words(text_col).alias("_w"))
         .select("_src", F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"))
-        .distinct()
-        .transform(tracked_persist)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
     )
-    per_source = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n_sh"))
-    overlap = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
-        .filter(F.col("a._src") < F.col("b._src"))
-        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    null_src = F.lit(None).cast("string")
+    units = F.transform(
+        F.col("_srcs"), lambda x: F.struct(x.alias("_sa"), null_src.alias("_sb"))
+    )
+    ij_pairs = F.flatten(
+        F.transform(
+            F.col("_srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_srcs"), i + 2, F.size(F.col("_srcs"))),
+                lambda y: F.struct(x.alias("_sa"), y.alias("_sb")),
+            ),
+        )
+    )
+    stats = (
+        sh_sets.select(F.explode(F.concat(units, ij_pairs)).alias("_e"))
+        .groupBy(F.col("_e._sa").alias("_sa"), F.col("_e._sb").alias("_sb"))
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     univ = df.select(F.col(source_col).alias("_s")).distinct()
+    univ_arr = univ.agg(F.array_sort(F.collect_set("_s")).alias("_all"))
+    # one row per (pair, contribution): a unit row (s, NULL, n) fans out to
+    # every universe pair containing s, carrying n as that side's
+    # distinct-shingle total; a pair row carries its shared count. ONE
+    # aggregation then assembles (n_shared, n_a, n_b) per pair.
+    unit_fan = F.transform(
+        F.filter(F.col("_all"), lambda u: u != F.col("_sa")),
+        lambda u: F.struct(
+            F.least(F.col("_sa"), u).alias("a"),
+            F.greatest(F.col("_sa"), u).alias("b"),
+            F.lit(0).cast("long").alias("sh"),
+            F.when(F.col("_sa") < u, F.col("_n")).otherwise(F.lit(0)).alias("na"),
+            F.when(F.col("_sa") > u, F.col("_n")).otherwise(F.lit(0)).alias("nb"),
+        ),
+    )
+    pair_one = F.array(
+        F.struct(
+            F.col("_sa").alias("a"),
+            F.col("_sb").alias("b"),
+            F.col("_n").cast("long").alias("sh"),
+            F.lit(0).cast("long").alias("na"),
+            F.lit(0).cast("long").alias("nb"),
+        )
+    )
+    counts = (
+        stats.join(F.broadcast(univ_arr))
+        .select(
+            F.explode(
+                F.when(F.col("_sb").isNull(), unit_fan).otherwise(pair_one)
+            ).alias("_c")
+        )
+        .groupBy(F.col("_c.a").alias("source_a"), F.col("_c.b").alias("source_b"))
+        .agg(
+            F.sum("_c.sh").alias("_n_shared"),
+            F.sum("_c.na").alias("_na"),
+            F.sum("_c.nb").alias("_nb"),
+        )
+    )
     pairs = (
         univ.select(F.col("_s").alias("source_a"))
         .join(univ.select(F.col("_s").alias("source_b")))
         .filter(F.col("source_a") < F.col("source_b"))
     )
     n_shared = F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long")
-    denom = F.col("_na") + F.col("_nb") - n_shared
+    denom = F.coalesce(F.col("_na"), F.lit(0)) + F.coalesce(F.col("_nb"), F.lit(0)) - n_shared
     return (
-        pairs.join(F.broadcast(overlap), on=["source_a", "source_b"], how="left")
-        .join(F.broadcast(per_source.select(F.col("_src").alias("source_a"), F.col("_n_sh").alias("_na"))), on="source_a", how="left")
-        .join(F.broadcast(per_source.select(F.col("_src").alias("source_b"), F.col("_n_sh").alias("_nb"))), on="source_b", how="left")
+        pairs.join(F.broadcast(counts), on=["source_a", "source_b"], how="left")
         .select(
             "source_a",
             "source_b",

@@ -273,9 +273,10 @@ def _max_partition_bytes(df: DataFrame) -> int:
     return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Repartition by id before a fanout-heavy stage (explode × k hashes) —
-    but ONLY when the input underuses the cluster.
+def _spread(df: DataFrame, id_col: str | None) -> DataFrame:
+    """Repartition by id (round-robin when ``id_col`` is None) before a
+    fanout-heavy stage (explode × k hashes) — but ONLY when the input
+    underuses the cluster.
 
     Document tables are small on disk relative to their shingle fanout, so a
     scan can land in far fewer partitions than cores (the local testdata is
@@ -328,6 +329,12 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
         return df
     if decision is None and _scan_size_bytes(df) // _max_partition_bytes(df) + 1 >= target:
         return df
+    if id_col is None:
+        # keyless callers (no id column in the operator contract): plain
+        # round-robin — deterministic under retries via Spark's
+        # sort-before-repartition, and immune to the few-distinct-values
+        # skew a hash key like a 20-value source column would have
+        return df.repartition(target)
     return df.repartition(target, id_col)
 
 
