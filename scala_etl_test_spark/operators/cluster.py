@@ -192,27 +192,66 @@ def forget_closure_ids(
     request-sized opt-out list to every member of each opted-out id's
     near-dup cluster, returned as a single-column (``id_col``) DataFrame.
 
-    Shape: the opt-out list broadcasts into a semi-join against the
-    (node, component) table, doomed components fan out to members via one
-    cluster-keyed join. The fan-out is deliberately NOT hint-broadcast:
-    one viral opt-out cluster could exceed the threshold, and the planner
-    picks broadcast itself when the closure is small. Pass ``components``
-    (a precomputed (node, component) map over the SAME pairs) to skip the
-    CC rounds."""
+    Shape (r14): with no precomputed ``components``, the closure is a
+    seed-frontier BFS from the opt-out ids — per round, the (small,
+    broadcast) frontier joins the static edge list once and the strictly
+    new neighbors become the next frontier. Reachability in an undirected
+    graph IS component membership, so the visited set equals the
+    CC-based closure exactly — but every round touches only
+    frontier-incident edges via a broadcast probe (no corpus-node-sized
+    label table is shuffled per round, which is what the previous
+    full-graph connected_components run did), and rounds stop at the
+    CLUSTER eccentricity from the seeds instead of the global diameter.
+    The frontier is request-scale by the near-dup-cluster premise; a
+    viral cluster that outgrew broadcast would surface as a broadcast
+    build failure, not silent wrongness.
+
+    Pass ``components`` (a precomputed (node, component) map over the
+    SAME pairs — callers that need full components anyway) to skip the
+    rounds; that path keeps the r13 semi-join/fan-out shape, where the
+    fan-out is deliberately NOT hint-broadcast (one viral opt-out
+    cluster could exceed the threshold; the planner picks broadcast
+    itself when the closure is small)."""
     opt_col = id_col if id_col in optout.columns else optout.columns[0]
     opt_ids = optout.select(F.col(opt_col).alias("node")).distinct()
-    comp = components if components is not None else connected_components(pairs, src, dst)
-    doomed = (
-        comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
-        .select("component")
-        .distinct()
-    )
-    doomed_members = comp.join(doomed, on="component", how="left_semi").select(
-        F.col("node").alias(id_col)
-    )
-    return doomed_members.unionByName(
-        opt_ids.select(F.col("node").alias(id_col))
-    ).distinct()
+    if components is not None:
+        comp = components
+        doomed = (
+            comp.join(F.broadcast(opt_ids), on="node", how="left_semi")
+            .select("component")
+            .distinct()
+        )
+        doomed_members = comp.join(doomed, on="component", how="left_semi").select(
+            F.col("node").alias(id_col)
+        )
+        return doomed_members.unionByName(
+            opt_ids.select(F.col("node").alias(id_col))
+        ).distinct()
+    # materialize canonical edges ONCE (the possibly-expensive pair
+    # pipeline upstream must not re-run per BFS round), same policy as
+    # connected_components
+    edges = _canonical_edges(pairs, src, dst).localCheckpoint()
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    visited = opt_ids.localCheckpoint()
+    frontier = visited
+    # near-dup clusters are tiny cliques; 20 rounds is the same
+    # pathological-chain bound connected_components enforces
+    for _ in range(20):
+        nxt = (
+            adj.join(F.broadcast(frontier), adj.u == frontier.node, "left_semi")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), on="node", how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return visited.select(F.col("node").alias(id_col))
+        # no checkpoint: both operands are already flat checkpointed RDD
+        # scans, so the union's lineage stays round-count-deep, not
+        # exponential — and this saves one job per round
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    raise ValueError("forget_closure_ids did not converge in 20 BFS rounds")
 
 
 def forget_documents(

@@ -1204,6 +1204,10 @@ def prefix_jaccard_join(
         shingles = shingle_table(df, text_col, id_col, shingle_n).transform(tracked_persist)
     sh = shingles.select(F.col(id_col), "sh_h")
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("_freq"))
+    # persisted: THREE consumers (the prefix explode and both verification
+    # array sides) would otherwise each re-run the freq join + sort-fold —
+    # and re-race the shingle cache underneath it (profiled: the shingle
+    # subtree executed 4× per run before this persist)
     per_doc = (
         sh.join(freq, on="sh_h")
         .groupBy(id_col)
@@ -1212,6 +1216,7 @@ def prefix_jaccard_join(
                 F.collect_list(F.struct(F.col("_freq"), F.col("sh_h")))
             ).alias("_sorted")
         )
+        .transform(tracked_persist)
     )
     eps = 1e-9
     t = float(threshold)
@@ -1265,8 +1270,16 @@ def prefix_jaccard_join(
         F.transform("_sorted", lambda s: s["sh_h"]).alias("_set"),
         n.alias("_n"),
     )
+    # explicit-count repartitions pin the two verification exchanges: the
+    # candidate table is small in BYTES but each row costs an
+    # array_intersect over two full shingle sets, and AQE's byte-based
+    # coalescing otherwise collapses the exchange to ONE partition and runs
+    # the whole verification serially (profiled 1.3 s single-task stage at
+    # sf0.1; spread_by_cell precedent)
+    target = cands.sparkSession.sparkContext.defaultParallelism
     verified = (
-        cands.join(
+        cands.repartition(target, "id_a")
+        .join(
             doc_sets.select(
                 F.col(id_col).alias("id_a"),
                 F.col("_set").alias("_set_a"),
@@ -1274,6 +1287,7 @@ def prefix_jaccard_join(
             ),
             on="id_a",
         )
+        .repartition(target, "id_b")
         .join(
             doc_sets.select(
                 F.col(id_col).alias("id_b"),

@@ -61,8 +61,8 @@ PLANBUILD_JOB_ALLOWLIST: dict[str, str] = {
     "dedup_method_report": "runs every dedup strategy incl. cluster rounds",
     "corpus_clean": "includes connected-components cluster rounds",
     "corpus_prepare": "includes connected-components cluster rounds",
-    "forget_documents": "includes connected-components cluster rounds",
-    "forget_from_ivf": "includes connected-components cluster rounds",
+    "forget_documents": "includes seed-frontier BFS closure rounds",
+    "forget_from_ivf": "includes seed-frontier BFS closure rounds",
     "erasure_audit": "the persisted erasure request (closure rounds + "
     "cell-local partition rewrite) must RUN before its audit artifact "
     "can be classified; the returned frame is the lazy audit join",
