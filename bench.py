@@ -276,8 +276,16 @@ def main() -> None:
             raise ValueError("sidecar regime mismatch")
         prev_timings = {k: float(v) for k, v in _prev["queries"].items()}
     except (OSError, ValueError, KeyError, TypeError):
+        # filter to names the regex actually matches: the r13 driver also
+        # committed BENCH_r13_c8.json (the 8-core leg), which the glob
+        # catches but the regex does not — an unguarded .group(1) here
+        # crashed the whole bench whenever the sidecar regime mismatched
         newest = max(
-            (f for f in glob.glob(os.path.join(here, "BENCH_r*.json"))),
+            (
+                f
+                for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if re.search(r"BENCH_r(\d+)\.json$", f)
+            ),
             key=lambda f: int(re.search(r"BENCH_r(\d+)\.json$", f).group(1)),
             default=None,
         )
@@ -388,6 +396,16 @@ def main() -> None:
                     "small": round(small, 3),
                     "ratio": round(big / small, 2) if small > 0 else None,
                 }
+                # plan-vs-execute decomposition (VERDICT r13 item 8): how
+                # much of the tiny-SF floor is DataFrame construction +
+                # analysis (driver-side, data-independent). Measured at the
+                # small SF where the floor dominates; additive artifact
+                # field, runs OUTSIDE every timed region above.
+                t0 = time.perf_counter()
+                QUERIES[n](spark, small_dir)
+                solo_top[n]["plan_build_s"] = round(time.perf_counter() - t0, 3)
+                release_persisted()
+                spark.catalog.clearCache()
                 if have_tiny:
                     tiny = min(run_once(n, tiny_dir) for _ in range(3))
                     solo_top[n]["tiny"] = round(tiny, 3)

@@ -4396,70 +4396,72 @@ _BASE_ORACLE_SQL: dict[str, str] = {
 # r12 has a post-change driver row.  Staleness computed from
 # CORRECTNESS_r*.json (latest round with a green row per query name).
 _GATE_PRIORITY: list[str] = [
-    # (1) r9-stale tier — ALL 38, registry order
-    "anti_join_no_orders",
-    "topk_docs_per_source",
-    "skew_salted_join",
-    "skew_distinct_count",
-    "events_gapfill",
-    "events_ab_welch",
-    "events_ks_drift",
-    "kanon_audit",
-    "events_lateness_audit",
-    "events_changepoint",
-    "lineitem_corr_matrix",
-    "orders_checksum",
-    "customer_balance_ntiles",
-    "events_ewma",
-    "approx_distinct_sketch_merge",
-    "approx_overlap_sketch",
-    "training_set_pit",
-    "funnel_latency",
-    "event_path_trigrams",
-    "fk_integrity_audit",
-    "pseudonymize_referential",
-    "join_size_profile",
-    "prorate_order_totals",
-    "pareto_revenue",
-    "dedup_minhash_pairs",
-    "chunk_dedup",
-    "dedup_prefix_jaccard",
-    "dedup_snm",
-    "item_cf_neighbors",
-    "graph_triangles",
-    "decontaminate_bloom_audit",
+    # (1) code changed THIS round (r14) — every optimization site needs a
+    # fresh driver correctness row on the optimized code: the
+    # cross_source_overlap single-lineage fold (overlap matrix + release
+    # report), the item-CF zero-join rewrite, the PPJoin verification
+    # pin + per_doc persist (prefix_jaccard and its two consumers), the
+    # BFS erasure closure (forget trio), the corpus_clean metrics spread,
+    # the lsh collect_set guard (minhash pairs + clusters +
+    # split_leakage), and the PQ int64 fast path (whole PQ/ANN family).
     "source_overlap_matrix",
-    "quality_filter_sweep",
-    "oov_rate",
-    "cdc_chunk_dedup",
-    "split_leakage_audit",
+    "corpus_release_report",
+    "item_cf_neighbors",
+    "dedup_prefix_jaccard",
     "lsh_recall_audit",
-    "shard_manifest",
-    # (2) code changed THIS round (r13) — fresh driver row required on
-    # current code: the five relational edge-sweep fixes (NULLS-LAST
-    # orderings, F.get split indexing, NULL-basket filter, ||-oracle),
-    # the presence-marker reconcile oracle, the shared-closure erasure
-    # trio, and the PQ family whose distance arithmetic moved to 128-bit
-    # (operators/pq.py:_int_l2 decimal(38,0) + HUGEINT oracles).  The
-    # r10-tier entries this displaces (dedup_simhash*, ngram, containment,
-    # edit_distance, method_report, winnow/span, window_moving_avg,
-    # json_props_extract) are all doc-/events-only and therefore
-    # re-validated against their oracles on EVERY local pytest run by the
-    # r12 nullcorpus sweep — continuous local evidence while they queue
-    # for the r14 window; the r13-changed queries below have no driver
-    # row on current code at all, which is the sharper gap.
-    "split_explode",
-    "dedup_first_order",
-    "validate_normalize",
-    "copurchase_pairs",
-    "full_outer_reconcile",
+    "dedup_method_report",
     "forget_documents",
     "forget_from_ivf",
     "erasure_audit",
+    "corpus_clean",
+    "corpus_prepare",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "split_leakage_audit",
     "pq_codes",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_recall_report",
     "pq_rotation_recall",
+    # (2) stalest remaining tier (VERDICT r13 item 10): the relational +
+    # events families last gated in r10 or earlier, registry order — no
+    # green row ages past two rounds without re-validation. The rest of
+    # the r10-stale tier (tpch_q13..q22 tail, simhash/winnow families,
+    # entity_resolution, release_diff) queues next; all are doc-/events-
+    # only or TPC-H-only paths untouched since their last green row and
+    # re-checked locally by the edge-corpus parity sweeps on every pytest
+    # run.
+    "scan_filter_project",
+    "union_positional",
+    "broadcast_left_join",
+    "asof_last_purchase",
+    "tpch_q14",
+    "tpch_q10",
+    "tpch_q18",
+    "events_cube",
+    "events_rollup",
+    "events_pivot",
+    "json_props_extract",
+    "window_moving_avg",
+    "set_ops_customers",
+    "range_join_session_errors",
+    "events_funnel",
+    "events_retention",
+    "events_user_gaps",
+    "customer_revenue_quartiles",
+    "merge_upsert",
+    "grouping_sets_revenue",
+    "lineitem_unpivot_measures",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q12",
 ]
 
 assert set(_GATE_PRIORITY) <= set(_BASE_QUERIES), sorted(set(_GATE_PRIORITY) - set(_BASE_QUERIES))

@@ -1296,7 +1296,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from a single documents scan lineage."""
     from scala_etl_test_spark.operators.cluster import dedup_keep_representative
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread BEFORE the representative filter: the anti-join broadcasts and
+    # therefore preserves its probe side's partitioning, so without the
+    # spread the lang/quality/token regex projection runs inside the
+    # single-split documents scan stage — profiled as a 0.7 s one-task
+    # stage at sf0.1 (the metrics are the compute-dense part of this plan)
+    docs = D._spread(_t(spark, sf_dir, "documents"), "doc_id")
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
     kept = dedup_keep_representative(docs, pairs, "doc_id")
     # all three metrics are row-local Column expressions → ONE projection
